@@ -1,0 +1,139 @@
+"""Minimal zstd bindings over libzstd via ctypes.
+
+The environment has no `zstandard` Python package, but libzstd.so is present.
+We need three capabilities (parity with reference src/silo/zstdfasta/
+zstd_compressor.cpp / zstd_decompressor.cpp):
+
+- plain compress/decompress (snapshot blobs, .zst input files)
+- dictionary compress/decompress where the dictionary is the reference
+  genome (sequences differ from the reference in few places, so this is a
+  dramatic ratio win)
+- streaming decompress for .zst files of unknown decompressed size
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+_lib = ctypes.CDLL(ctypes.util.find_library("zstd") or "libzstd.so.1")
+
+_lib.ZSTD_compressBound.restype = ctypes.c_size_t
+_lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+_lib.ZSTD_isError.restype = ctypes.c_uint
+_lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+_lib.ZSTD_getErrorName.restype = ctypes.c_char_p
+_lib.ZSTD_getErrorName.argtypes = [ctypes.c_size_t]
+_lib.ZSTD_compress.restype = ctypes.c_size_t
+_lib.ZSTD_compress.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+                               ctypes.c_size_t, ctypes.c_int]
+_lib.ZSTD_decompress.restype = ctypes.c_size_t
+_lib.ZSTD_decompress.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+                                 ctypes.c_size_t]
+_lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+_lib.ZSTD_getFrameContentSize.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+
+_lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+_lib.ZSTD_createDCtx.restype = ctypes.c_void_p
+_lib.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+_lib.ZSTD_compress_usingDict.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+    ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int]
+_lib.ZSTD_decompress_usingDict.restype = ctypes.c_size_t
+_lib.ZSTD_decompress_usingDict.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+    ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t]
+
+# Streaming decompression
+_lib.ZSTD_createDStream.restype = ctypes.c_void_p
+_lib.ZSTD_initDStream.restype = ctypes.c_size_t
+_lib.ZSTD_initDStream.argtypes = [ctypes.c_void_p]
+_lib.ZSTD_DStreamInSize.restype = ctypes.c_size_t
+_lib.ZSTD_DStreamOutSize.restype = ctypes.c_size_t
+
+
+class _Buffer(ctypes.Structure):
+    _fields_ = [("dst", ctypes.c_void_p), ("size", ctypes.c_size_t), ("pos", ctypes.c_size_t)]
+
+
+_lib.ZSTD_decompressStream.restype = ctypes.c_size_t
+_lib.ZSTD_decompressStream.argtypes = [ctypes.c_void_p, ctypes.POINTER(_Buffer),
+                                       ctypes.POINTER(_Buffer)]
+
+_CONTENTSIZE_UNKNOWN = 2**64 - 1
+_CONTENTSIZE_ERROR = 2**64 - 2
+
+
+def _check(code: int) -> int:
+    if _lib.ZSTD_isError(code):
+        raise RuntimeError(f"zstd error: {_lib.ZSTD_getErrorName(code).decode()}")
+    return code
+
+
+def compress(data: bytes, level: int = 3) -> bytes:
+    bound = _lib.ZSTD_compressBound(len(data))
+    out = ctypes.create_string_buffer(bound)
+    n = _check(_lib.ZSTD_compress(out, bound, data, len(data), level))
+    return out.raw[:n]
+
+
+def decompress(data: bytes, max_size: int | None = None) -> bytes:
+    size = _lib.ZSTD_getFrameContentSize(data, len(data))
+    if size in (_CONTENTSIZE_UNKNOWN, _CONTENTSIZE_ERROR):
+        return decompress_stream(data)
+    out = ctypes.create_string_buffer(size)
+    n = _check(_lib.ZSTD_decompress(out, size, data, len(data)))
+    return out.raw[:n]
+
+
+def decompress_stream(data: bytes) -> bytes:
+    """Streaming decompress for frames without a content-size header."""
+    ds = _lib.ZSTD_createDStream()
+    _check(_lib.ZSTD_initDStream(ds))
+    out_chunk = _lib.ZSTD_DStreamOutSize()
+    src = ctypes.create_string_buffer(data, len(data))
+    in_buf = _Buffer(ctypes.cast(src, ctypes.c_void_p), len(data), 0)
+    chunks = []
+    dst = ctypes.create_string_buffer(out_chunk)
+    while in_buf.pos < in_buf.size:
+        out_buf = _Buffer(ctypes.cast(dst, ctypes.c_void_p), out_chunk, 0)
+        _check(_lib.ZSTD_decompressStream(ds, ctypes.byref(out_buf), ctypes.byref(in_buf)))
+        chunks.append(dst.raw[: out_buf.pos])
+    _lib.ZSTD_freeDStream(ds)
+    return b"".join(chunks)
+
+
+class DictCompressor:
+    """zstd compressor with a fixed dictionary (e.g. the reference genome)."""
+
+    def __init__(self, dictionary: bytes, level: int = 3):
+        self._dict = dictionary
+        self._level = level
+        self._cctx = _lib.ZSTD_createCCtx()
+
+    def compress(self, data: bytes) -> bytes:
+        bound = _lib.ZSTD_compressBound(len(data))
+        out = ctypes.create_string_buffer(bound)
+        n = _check(_lib.ZSTD_compress_usingDict(
+            self._cctx, out, bound, data, len(data),
+            self._dict, len(self._dict), self._level))
+        return out.raw[:n]
+
+
+class DictDecompressor:
+    """zstd decompressor with a fixed dictionary."""
+
+    def __init__(self, dictionary: bytes):
+        self._dict = dictionary
+        self._dctx = _lib.ZSTD_createDCtx()
+
+    def decompress(self, data: bytes) -> bytes:
+        size = _lib.ZSTD_getFrameContentSize(data, len(data))
+        if size in (_CONTENTSIZE_UNKNOWN, _CONTENTSIZE_ERROR):
+            # Fall back to a generous bound: dict-based frames we write
+            # always carry the content size, so this is input-robustness only.
+            size = max(len(self._dict) * 4, len(data) * 20, 1 << 20)
+        out = ctypes.create_string_buffer(size)
+        n = _check(_lib.ZSTD_decompress_usingDict(
+            self._dctx, out, size, data, len(data), self._dict, len(self._dict)))
+        return out.raw[:n]

@@ -1,0 +1,80 @@
+"""Query engine driver.
+
+Parity with reference src/silo/query_engine/query_engine.cpp: parse the JSON
+query, compile the filter per partition, evaluate to packed bitsets, hand
+them to the action. On a TPU slice the per-partition loop becomes a
+broadcast over the device mesh (parallel/), with counts merged by psum.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+
+from . import ast
+from .actions import parse_action
+from .errors import QueryParseError
+from .ir import HostEvaluator
+
+performance_logger = logging.getLogger("lapis_silo_tpu.performance")
+
+
+class Query:
+    def __init__(self, query_string: str):
+        try:
+            data = json.loads(query_string)
+        except json.JSONDecodeError as ex:
+            raise QueryParseError(f"The query was not a valid JSON: {ex}") from ex
+        if (
+            not isinstance(data, dict)
+            or not isinstance(data.get("filterExpression"), dict)
+            or not isinstance(data.get("action"), dict)
+        ):
+            raise QueryParseError("Query json must contain filterExpression and action.")
+        self.filter = ast.parse_expression(data["filterExpression"])
+        self.action = parse_action(data["action"])
+
+
+class QueryEngine:
+    def __init__(self, database, use_device: bool | None = None):
+        self.database = database
+        if use_device is None:
+            import os
+
+            use_device = os.environ.get("SILO_TPU_HOST_ONLY", "0") != "1"
+        self._device_engine = None
+        self._use_device = use_device
+
+    def _evaluate_filter(self, query: Query) -> list:
+        """Compile + evaluate the filter per partition -> packed bitsets."""
+        db = self.database
+        if self._use_device:
+            try:
+                if self._device_engine is None:
+                    from ..ops.device_engine import DeviceEngine
+
+                    self._device_engine = DeviceEngine(db)
+                return self._device_engine.evaluate(query.filter)
+            except (ImportError, NotImplementedError):
+                self._use_device = False  # fall back to host evaluation
+        results = []
+        for partition in db.partitions:
+            node = query.filter.compile(db, partition, ast.NONE)
+            evaluator = HostEvaluator(partition.sequence_count)
+            results.append(evaluator.evaluate(node))
+        return results
+
+    def execute(self, query_string: str) -> dict:
+        query = Query(query_string)
+        t0 = time.perf_counter()
+        bitmaps = self._evaluate_filter(query)
+        t1 = time.perf_counter()
+        rows = query.action.execute_and_order(self.database, bitmaps)
+        t2 = time.perf_counter()
+        performance_logger.info(
+            "filter time [microseconds]: %d, action time [microseconds]: %d",
+            int((t1 - t0) * 1e6),
+            int((t2 - t1) * 1e6),
+        )
+        return {"queryResult": rows}

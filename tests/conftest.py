@@ -1,0 +1,33 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+# exercised without TPU hardware (the driver separately dry-runs the
+# multi-chip path).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "testBaseData"))
+
+
+@pytest.fixture(scope="session")
+def example_dataset_db():
+    """The exampleDataset corpus built through the full ingest pipeline."""
+    if not reference_available():
+        pytest.skip("reference test data not available")
+    from lapis_silo_tpu.config.database_config import get_validated_config
+    from lapis_silo_tpu.preprocessing.preprocessing_config import read_preprocessing_config
+    from lapis_silo_tpu.preprocessing.preprocessor import Preprocessor
+
+    base = os.path.join(REFERENCE_ROOT, "testBaseData/exampleDataset/")
+    dbconf = get_validated_config(base + "database_config.yaml")
+    pcfg = read_preprocessing_config(base + "preprocessing_config.yaml")
+    pcfg.input_directory = base
+    return Preprocessor(pcfg, dbconf).preprocess()
