@@ -1,0 +1,392 @@
+"""Device (JAX/XLA) execution engine for filters and heavy reductions.
+
+TPU-native design:
+
+- The whole index lives on device as ONE static plane bank
+  ``bank[P, R, W]`` (uint32): P partitions (padded to a common word count
+  W), R = every (segment, symbol, position) row. Filters never re-upload
+  index data.
+- A filter compiles to a tiny *postfix program* over packed words — a stack
+  machine with AND/OR/NOT/threshold-count ops. The interpreter is traced
+  ONCE per (program-length bucket, depth, W) and reused for every query with
+  that shape: no per-query XLA compiles. Per-partition data that is not in
+  the static bank (indexed-column value bitmaps, metadata predicate masks,
+  insertion search results) is packed into a small per-query dynamic bank
+  ``dyn[P, D, W]``.
+- The program is vmapped over the partition axis; on a multi-host slice the
+  partition axis shards over the device mesh (parallel/) and per-partition
+  results merge with psum.
+- Mutations' per-(symbol, position) counts are one fused
+  ``popcount(bank & filter)`` reduction over the whole bank — the natural
+  HBM-bandwidth-bound TPU workload (Pallas kernel in ops/pallas_kernels.py
+  supersedes the jnp path where available).
+
+Replaces the reference's per-operator Roaring evaluation
+(src/silo/query_engine/operators/*.cpp) and the TBB loops of
+src/silo/query_engine/actions/mutations.cpp:140-166.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..query import ir
+from . import bitset
+
+# Opcodes
+PUSH_STATIC = 0
+PUSH_DYN = 1
+PUSH_FULL = 2
+PUSH_EMPTY = 3
+OP_NOT = 4
+OP_AND = 5
+OP_OR = 6
+TH_PUSH = 7
+TH_ADD = 8
+TH_GE = 9
+TH_EQ = 10
+NOP = 11
+
+_LEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+MAX_STACK = 16
+MAX_COUNT_STACK = 4
+
+
+class StructureMismatch(Exception):
+    """Per-partition IRs diverged structurally; caller falls back to host."""
+
+
+class ProgramTooLarge(Exception):
+    pass
+
+
+class _Program:
+    def __init__(self):
+        self.opcodes: list[int] = []
+        self.operands: list[int] = []
+        self.dyn_rows: list[list[np.ndarray]] = []  # per dyn leaf: per partition words
+
+    def emit(self, opcode: int, operand: int = 0):
+        self.opcodes.append(opcode)
+        self.operands.append(operand)
+
+    def add_dyn(self, rows_per_partition: list[np.ndarray]) -> int:
+        self.dyn_rows.append(rows_per_partition)
+        return len(self.dyn_rows) - 1
+
+
+class DeviceEngine:
+    def __init__(self, database):
+        self.db = database
+        partitions = database.partitions
+        if not partitions:
+            raise NotImplementedError("empty database")
+        self.n_partitions = len(partitions)
+        self.part_rows = [p.sequence_count for p in partitions]
+        self.n_words = max(bitset.words_for(p.sequence_count) for p in partitions)
+
+        # Row directory: (kind, segment, symbol, position) -> bank row.
+        self.row_offsets: dict[tuple[str, str], tuple[int, int, int]] = {}
+        offset = 0
+        segments: list[tuple[str, str]] = [
+            ("nuc", name) for name in sorted(database.nuc_sequences)
+        ] + [("aa", name) for name in sorted(database.aa_sequences)]
+        first = partitions[0]
+        for kind, name in segments:
+            seg = first.nuc_sequences[name] if kind == "nuc" else first.aa_sequences[name]
+            self.row_offsets[(kind, name)] = (offset, seg.alphabet.count, seg.length)
+            offset += seg.alphabet.count * seg.length
+        self.n_rows = offset
+
+        # Build bank[P, R, W] (pad each partition's words to the common W).
+        bank = np.zeros((self.n_partitions, self.n_rows, self.n_words), dtype=np.uint32)
+        for pi, partition in enumerate(partitions):
+            w = bitset.words_for(partition.sequence_count)
+            for kind, name in segments:
+                seg = (
+                    partition.nuc_sequences[name]
+                    if kind == "nuc"
+                    else partition.aa_sequences[name]
+                )
+                start, count, length = self.row_offsets[(kind, name)]
+                bank[pi, start : start + count * length, :w] = seg.planes.reshape(
+                    count * length, w
+                )
+        self.bank = jax.device_put(bank)
+        full = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
+        for pi, partition in enumerate(partitions):
+            w = bitset.words_for(partition.sequence_count)
+            full[pi, :w] = partition.full
+        self.full_masks = jax.device_put(full)
+        self._filter_cache: dict[str, jax.Array] = {}
+
+    # -- lowering ---------------------------------------------------------
+
+    def static_row(self, ref: tuple) -> int:
+        kind, name, sym, pos = ref
+        start, _count, length = self.row_offsets[(kind, name)]
+        return start + sym * length + pos
+
+    def lower(self, filter_expr) -> tuple[_Program, int]:
+        """Compile the expression per partition (uniform mode) and flatten
+        the synchronized IRs into one program."""
+        from ..query import ast
+        from ..query.ir import HostEvaluator
+
+        db = self.db
+        db.uniform_compile = True
+        try:
+            irs = [
+                filter_expr.compile(db, partition, ast.NONE)
+                for partition in db.partitions
+            ]
+        finally:
+            db.uniform_compile = False
+
+        program = _Program()
+        evaluators = [HostEvaluator(n) for n in self.part_rows]
+        max_depth = self._emit(irs, program, evaluators)
+        if len(program.opcodes) > _LEN_BUCKETS[-1]:
+            raise ProgramTooLarge(len(program.opcodes))
+        if max_depth > MAX_STACK:
+            raise ProgramTooLarge(f"stack depth {max_depth}")
+        return program, max_depth
+
+    def _emit(self, nodes: list, program: _Program, evaluators, count_depth=0) -> int:
+        node = nodes[0]
+        node_type = type(node)
+        if any(type(other) is not node_type for other in nodes[1:]):
+            raise StructureMismatch([type(n).__name__ for n in nodes])
+        if node_type is ir.Full:
+            program.emit(PUSH_FULL)
+            return 1
+        if node_type is ir.Empty:
+            program.emit(PUSH_EMPTY)
+            return 1
+        if node_type is ir.Plane:
+            refs = {n.static_ref for n in nodes}
+            if len(refs) == 1 and node.static_ref is not None:
+                program.emit(PUSH_STATIC, self.static_row(node.static_ref))
+            else:
+                idx = program.add_dyn([self._pad(n.words) for n in nodes])
+                program.emit(PUSH_DYN, idx)
+            return 1
+        if node_type is ir.Not:
+            depth = self._emit([n.child for n in nodes], program, evaluators, count_depth)
+            program.emit(OP_NOT)
+            return depth
+        if node_type in (ir.And, ir.Or):
+            arity = len(node.children)
+            if any(len(n.children) != arity for n in nodes):
+                raise StructureMismatch("boolean arity")
+            opcode = OP_AND if node_type is ir.And else OP_OR
+            depth = self._emit([n.children[0] for n in nodes], program, evaluators,
+                               count_depth)
+            for i in range(1, arity):
+                child_depth = self._emit(
+                    [n.children[i] for n in nodes], program, evaluators, count_depth
+                )
+                depth = max(depth, 1 + child_depth)
+                program.emit(opcode)
+            return depth
+        if node_type is ir.Selection:
+            # Predicates are host-evaluated into a dynamic row per partition.
+            rows = []
+            for evaluator, n in zip(evaluators, nodes):
+                rows.append(self._pad(evaluator.evaluate(ir.Selection(n.predicates))))
+            idx = program.add_dyn(rows)
+            program.emit(PUSH_DYN, idx)
+            depth = 1
+            if node.child is not None:
+                if any((n.child is None) != (node.child is None) for n in nodes):
+                    raise StructureMismatch("selection child")
+                child_depth = self._emit(
+                    [n.child for n in nodes], program, evaluators, count_depth
+                )
+                depth = max(depth, 1 + child_depth)
+                program.emit(OP_AND)
+            return depth
+        if node_type is ir.Threshold:
+            arity = len(node.children)
+            if any(
+                len(n.children) != arity
+                or n.k != node.k
+                or n.match_exactly != node.match_exactly
+                for n in nodes
+            ):
+                raise StructureMismatch("threshold")
+            if count_depth + 1 > MAX_COUNT_STACK:
+                raise ProgramTooLarge("count stack")
+            if arity > 255:
+                raise ProgramTooLarge("threshold arity")
+            program.emit(TH_PUSH)
+            depth = 0
+            for i in range(arity):
+                child_depth = self._emit(
+                    [n.children[i] for n in nodes], program, evaluators, count_depth + 1
+                )
+                depth = max(depth, child_depth)
+                program.emit(TH_ADD)
+            program.emit(TH_EQ if node.match_exactly else TH_GE, min(node.k, 2**31 - 1))
+            return max(depth, 1)
+        raise StructureMismatch(f"unknown node {node_type}")
+
+    def _pad(self, words: np.ndarray) -> np.ndarray:
+        if len(words) == self.n_words:
+            return words
+        out = np.zeros(self.n_words, dtype=np.uint32)
+        out[: len(words)] = words
+        return out
+
+    # -- execution ----------------------------------------------------------
+
+    def evaluate(self, filter_expr) -> list[np.ndarray]:
+        """Returns per-partition packed bitsets (host numpy, trimmed)."""
+        device_words = self.evaluate_device(filter_expr)
+        host = np.asarray(device_words)
+        return [
+            host[pi, : bitset.words_for(n)] for pi, n in enumerate(self.part_rows)
+        ]
+
+    def evaluate_device(self, filter_expr) -> jax.Array:
+        """Returns the [P, W] filter bitset on device (cached per query)."""
+        program, depth = self.lower(filter_expr)
+        n = len(program.opcodes)
+        bucket = next(b for b in _LEN_BUCKETS if b >= n)
+        opcodes = np.full(bucket, NOP, dtype=np.int32)
+        operands = np.zeros(bucket, dtype=np.int32)
+        opcodes[:n] = program.opcodes
+        operands[:n] = program.operands
+        n_dyn = max(1, len(program.dyn_rows))
+        dyn = np.zeros((self.n_partitions, n_dyn, self.n_words), dtype=np.uint32)
+        for di, rows in enumerate(program.dyn_rows):
+            for pi, row in enumerate(rows):
+                dyn[pi, di] = row
+        run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words)
+        return run(jnp.asarray(opcodes), jnp.asarray(operands), self.bank,
+                   jax.device_put(dyn), self.full_masks)
+
+    # -- heavy reductions -----------------------------------------------------
+
+    def mutation_counts(self, kind: str, name: str, filter_words: list[np.ndarray]):
+        """counts[S, L]: per (symbol, position) popcount of plane & filter,
+        summed over partitions. THE flagship reduction."""
+        start, count, length = self.row_offsets[(kind, name)]
+        dyn = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
+        for pi, words in enumerate(filter_words):
+            dyn[pi, : len(words)] = words
+        result = _mutation_counts_jit(
+            self.bank, jax.device_put(dyn), start, count * length
+        )
+        return np.asarray(result).reshape(count, length)
+
+
+@functools.lru_cache(maxsize=64)
+def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_words: int):
+    """Build the jitted, partition-vmapped stack-machine interpreter for one
+    shape bucket."""
+
+    def run_one(opcodes, operands, bank, dyn, full_mask):
+        def step(state, instr):
+            stack, sp, counts, csp = state
+            opcode, operand = instr
+
+            def push(value, stack=stack, sp=sp):
+                return jax.lax.dynamic_update_index_in_dim(stack, value, sp, 0), sp + 1
+
+            def do_push_static(_):
+                row = jax.lax.dynamic_slice(bank, (operand, 0), (1, n_words))[0]
+                s, p = push(row)
+                return s, p, counts, csp
+
+            def do_push_dyn(_):
+                row = jax.lax.dynamic_slice(dyn, (operand, 0), (1, n_words))[0]
+                s, p = push(row)
+                return s, p, counts, csp
+
+            def do_push_full(_):
+                s, p = push(full_mask)
+                return s, p, counts, csp
+
+            def do_push_empty(_):
+                s, p = push(jnp.zeros((n_words,), jnp.uint32))
+                return s, p, counts, csp
+
+            def do_not(_):
+                top = stack[sp - 1]
+                return stack.at[sp - 1].set(jnp.bitwise_not(top) & full_mask), sp, counts, csp
+
+            def do_and(_):
+                val = stack[sp - 2] & stack[sp - 1]
+                return stack.at[sp - 2].set(val), sp - 1, counts, csp
+
+            def do_or(_):
+                val = stack[sp - 2] | stack[sp - 1]
+                return stack.at[sp - 2].set(val), sp - 1, counts, csp
+
+            def do_th_push(_):
+                new_counts = jax.lax.dynamic_update_index_in_dim(
+                    counts, jnp.zeros((n_words, 32), jnp.uint8), csp, 0
+                )
+                return stack, sp, new_counts, csp + 1
+
+            def do_th_add(_):
+                top = stack[sp - 1]
+                bits = ((top[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & 1
+                        ).astype(jnp.uint8)
+                new_counts = counts.at[csp - 1].add(bits)
+                return stack, sp - 1, new_counts, csp
+
+            def _pack(mask_bits):
+                weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+                return jnp.sum(
+                    mask_bits.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32
+                )
+
+            def do_th_ge(_):
+                k = operand.astype(jnp.uint8)
+                words = _pack(counts[csp - 1] >= k) & full_mask
+                s, p = push(words)
+                return s, p, counts, csp - 1
+
+            def do_th_eq(_):
+                k = operand.astype(jnp.uint8)
+                words = _pack(counts[csp - 1] == k) & full_mask
+                s, p = push(words)
+                return s, p, counts, csp - 1
+
+            def do_nop(_):
+                return stack, sp, counts, csp
+
+            new_state = jax.lax.switch(
+                opcode,
+                [do_push_static, do_push_dyn, do_push_full, do_push_empty,
+                 do_not, do_and, do_or, do_th_push, do_th_add, do_th_ge,
+                 do_th_eq, do_nop],
+                None,
+            )
+            return new_state, None
+
+        stack0 = jnp.zeros((MAX_STACK, n_words), jnp.uint32)
+        counts0 = jnp.zeros((MAX_COUNT_STACK, n_words, 32), jnp.uint8)
+        (stack, sp, _, _), _ = jax.lax.scan(
+            step, (stack0, jnp.int32(0), counts0, jnp.int32(0)), (opcodes, operands)
+        )
+        return stack[0]
+
+    vmapped = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0))
+    return jax.jit(vmapped)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _mutation_counts_jit(bank, filters, start, n_seg_rows):
+    segment = jax.lax.dynamic_slice(
+        bank, (0, start, 0), (bank.shape[0], n_seg_rows, bank.shape[2])
+    )
+    masked = segment & filters[:, None, :]
+    counts = jax.lax.population_count(masked).astype(jnp.int32)
+    return counts.sum(axis=(0, 2), dtype=jnp.int32)

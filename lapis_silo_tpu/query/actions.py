@@ -265,26 +265,32 @@ class Mutations(Action):
         if not self.sequence_names:
             names_to_evaluate = sorted(stores.keys())
 
+        kind = "nuc" if self.alphabet is NUCLEOTIDE else "aa"
+        device_engine = getattr(db, "device_engine", None)
         output: list[dict] = []
         for name in names_to_evaluate:
-            counts = None  # [S, L]
-            reference_ids = None
-            for partition, words in zip(db.partitions, bitmaps):
-                if not words.any():
+            reference_ids = stores[name]
+            if device_engine is not None:
+                # one fused popcount reduction over the device-resident bank
+                counts = device_engine.mutation_counts(kind, name, bitmaps)
+                if not (counts != 0).any():
                     continue
-                segments = (
-                    partition.nuc_sequences
-                    if self.alphabet is NUCLEOTIDE
-                    else partition.aa_sequences
-                )
-                segment = segments[name]
-                reference_ids = segment.reference_ids
-                part_counts = np.bitwise_count(
-                    segment.planes & words[None, None, :]
-                ).sum(axis=-1, dtype=np.int64)
-                counts = part_counts if counts is None else counts + part_counts
-            if counts is None:
-                continue
+            else:
+                counts = None  # [S, L]
+                for partition, words in zip(db.partitions, bitmaps):
+                    if not words.any():
+                        continue
+                    segments = (
+                        partition.nuc_sequences
+                        if self.alphabet is NUCLEOTIDE
+                        else partition.aa_sequences
+                    )
+                    part_counts = np.bitwise_count(
+                        segments[name].planes & words[None, None, :]
+                    ).sum(axis=-1, dtype=np.int64)
+                    counts = part_counts if counts is None else counts + part_counts
+                if counts is None:
+                    continue
             valid_ids = self.alphabet.valid_mutation_ids
             totals = counts[valid_ids].sum(axis=0)  # [L]
             for pos in np.nonzero(totals > 0)[0]:

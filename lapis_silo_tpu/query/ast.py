@@ -33,6 +33,18 @@ def invert_mode(mode: str) -> str:
     return mode
 
 
+def _uniform(db) -> bool:
+    """True while the device engine lowers a query: compilation must then
+    produce the SAME IR structure for every partition (no Empty/Full
+    shortcuts that depend on per-partition data), so one fused device
+    program can be vmapped over the partition axis."""
+    return getattr(db, "uniform_compile", False)
+
+
+def _simplify(db, node):
+    return node if _uniform(db) else ir.simplify(node)
+
+
 def is_unsigned(value) -> bool:
     return isinstance(value, int) and not isinstance(value, bool) and value >= 0
 
@@ -92,7 +104,7 @@ class AndExpr(Expression):
         return cls([parse_expression(c) for c in json["children"]])
 
     def compile(self, db, partition, mode):
-        return ir.simplify(ir.And([c.compile(db, partition, mode) for c in self.children]))
+        return _simplify(db, ir.And([c.compile(db, partition, mode) for c in self.children]))
 
 
 @dataclass
@@ -109,7 +121,7 @@ class OrExpr(Expression):
         return cls([parse_expression(c) for c in json["children"]])
 
     def compile(self, db, partition, mode):
-        return ir.simplify(ir.Or([c.compile(db, partition, mode) for c in self.children]))
+        return _simplify(db, ir.Or([c.compile(db, partition, mode) for c in self.children]))
 
 
 @dataclass
@@ -255,11 +267,12 @@ class NucleotideSymbolEquals(Expression):
                 NucleotideSymbolEquals(name, self.position, s)
                 for s in AMBIGUITY_NUC_SYMBOLS[symbol]
             ]
-            return ir.simplify(ir.Or([c.compile(db, partition, NONE) for c in children]))
+            return _simplify(db, ir.Or([c.compile(db, partition, NONE) for c in children]))
         sym_id = NUCLEOTIDE.to_id(symbol)
         return ir.Plane(
             segment.planes[sym_id, self.position],
             label=f"nuc:{name}:{self.position + 1}{symbol}",
+            static_ref=("nuc", name, sym_id, self.position),
         )
 
 
@@ -315,6 +328,7 @@ class AASymbolEquals(Expression):
         return ir.Plane(
             segment.planes[sym_id, self.position],
             label=f"aa:{self.sequence_name}:{self.position + 1}{symbol}",
+            static_ref=("aa", self.sequence_name, sym_id, self.position),
         )
 
 
@@ -358,7 +372,7 @@ class HasNucleotideMutation(Expression):
             NucleotideSymbolEquals(name, self.position, s).compile(db, partition, NONE)
             for s in symbols
         ]
-        return ir.simplify(ir.Or(children))
+        return _simplify(db, ir.Or(children))
 
 
 @dataclass
@@ -400,7 +414,7 @@ class HasAAMutation(Expression):
             AASymbolEquals(self.sequence_name, self.position, s).compile(db, partition, NONE)
             for s in symbols
         ]
-        return ir.simplify(ir.Or(children))
+        return _simplify(db, ir.Or(children))
 
 
 @dataclass
@@ -493,6 +507,10 @@ class StringEquals(Expression):
         if column.kind == "indexed_string":
             words = column.filter(self.value)
             if words is None or not words.any():
+                if _uniform(db):
+                    from ..ops import bitset as _bs
+                    return ir.Plane(_bs.empty_mask(partition.sequence_count),
+                                    label=f"str:{self.column}=∅")
                 return ir.Empty()
             return ir.Plane(words, label=f"str:{self.column}={self.value}")
         if column.kind == "string":
@@ -544,6 +562,10 @@ class PangoLineageFilter(Expression):
             else column.filter(lineage)
         )
         if words is None:
+            if _uniform(db):
+                from ..ops import bitset as _bs
+                return ir.Plane(_bs.empty_mask(partition.sequence_count),
+                                label=f"pango:{self.column}=∅")
             return ir.Empty()
         return ir.Plane(words, label=f"pango:{self.column}={lineage}")
 
@@ -788,7 +810,7 @@ class InsertionContains(Expression):
         for column_name, column in insertion_columns.items():
             if self.column_names and column_name not in self.column_names:
                 continue
-            if sequence_name in column.insertion_indexes:
+            if sequence_name in column.insertion_indexes or _uniform(db):
                 words = column.search(sequence_name, self.position, self.value)
                 children.append(
                     ir.Plane(words, label=f"ins:{column_name}:{self.position}:{self.value}")

@@ -55,9 +55,17 @@ class QueryEngine:
                     from ..ops.device_engine import DeviceEngine
 
                     self._device_engine = DeviceEngine(db)
+                    db.device_engine = self._device_engine
                 return self._device_engine.evaluate(query.filter)
             except (ImportError, NotImplementedError):
-                self._use_device = False  # fall back to host evaluation
+                self._use_device = False  # no device path for this database
+            except Exception as ex:
+                from ..ops.device_engine import ProgramTooLarge, StructureMismatch
+
+                if isinstance(ex, (ProgramTooLarge, StructureMismatch)):
+                    pass  # host fallback for this query only
+                else:
+                    raise
         results = []
         for partition in db.partitions:
             node = query.filter.compile(db, partition, ast.NONE)

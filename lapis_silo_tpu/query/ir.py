@@ -63,10 +63,16 @@ class Empty(Node):
 class Plane(Node):
     """A borrowed packed bitset row: a (symbol, position) plane row, an
     indexed-column value bitmap, or a precomputed host bitmap (insertion
-    search). `words` is uint32[W] with clear tail bits."""
+    search). `words` is uint32[W] with clear tail bits.
+
+    `static_ref` = (kind, segment_name, symbol_id, position) marks rows that
+    live in the device-resident static plane bank (the same row id in every
+    partition); None means per-partition dynamic data that the device engine
+    uploads per query."""
 
     words: np.ndarray
     label: str = ""
+    static_ref: tuple | None = None
 
 
 @dataclass

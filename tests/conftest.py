@@ -2,11 +2,21 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs the
-# multi-chip path).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# multi-chip path). NOTE: this container's sitecustomize registers an `axon`
+# TPU backend and force-selects it via jax.config (overriding JAX_PLATFORMS
+# env), so we must override back through jax.config before first backend use.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import pytest  # noqa: E402
 

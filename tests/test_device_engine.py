@@ -1,0 +1,51 @@
+"""Device filter VM vs host evaluator: bit-identical results, no fallback."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from .conftest import REFERENCE_ROOT, reference_available
+
+QUERIES_DIR = os.path.join(REFERENCE_ROOT, "endToEndTests/test/queries")
+
+REPRESENTATIVE = [
+    {"type": "True"},
+    {"type": "NucleotideEquals", "position": 25, "symbol": "T"},
+    {"type": "And", "children": [
+        {"type": "StringEquals", "column": "country", "value": "Switzerland"},
+        {"type": "Not", "child": {"type": "NucleotideEquals", "position": 25, "symbol": "T"}},
+    ]},
+    {"type": "N-Of", "numberOfMatchers": 2, "matchExactly": False, "children": [
+        {"type": "NucleotideEquals", "position": 241, "symbol": "T"},
+        {"type": "NucleotideEquals", "position": 3037, "symbol": "T"},
+        {"type": "NucleotideEquals", "position": 14408, "symbol": "T"},
+    ]},
+    {"type": "Maybe", "child": {"type": "NucleotideEquals", "position": 26, "symbol": "A"}},
+    {"type": "IntBetween", "column": "age", "from": 20, "to": 70},
+    {"type": "FloatBetween", "column": "qc_value", "from": 0.9, "to": 0.99},
+    {"type": "DateBetween", "column": "date", "from": "2021-01-01", "to": "2021-03-31"},
+    {"type": "PangoLineage", "column": "pango_lineage", "value": "B.1.1.7",
+     "includeSublineages": True},
+    {"type": "InsertionContains", "column": "nucleotideInsertions",
+     "position": 25701, "value": "CC.*"},
+]
+
+
+@pytest.mark.parametrize("filter_json", REPRESENTATIVE, ids=lambda f: f["type"])
+def test_device_matches_host(example_dataset_db, filter_json):
+    from lapis_silo_tpu.ops.device_engine import DeviceEngine
+    from lapis_silo_tpu.query import ast
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.query.ir import HostEvaluator
+
+    db = example_dataset_db
+    query = Query(json.dumps({"filterExpression": filter_json,
+                              "action": {"type": "Aggregated"}}))
+    engine = DeviceEngine(db)
+    device_words = engine.evaluate(query.filter)  # raises on fallback
+    for partition, words in zip(db.partitions, device_words):
+        node = query.filter.compile(db, partition, ast.NONE)
+        host_words = HostEvaluator(partition.sequence_count).evaluate(node)
+        np.testing.assert_array_equal(words, host_words, err_msg=str(filter_json))
