@@ -1,0 +1,86 @@
+"""Benchmark: mutation-filter count queries/sec on the resident chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra detail goes to stderr. Knobs (env):
+  SILO_BENCH_ROWS        corpus size            (default 65536)
+  SILO_BENCH_LENGTH      genome length          (default 29903)
+  SILO_BENCH_PARTITIONS  partitions             (default 1)
+  SILO_BENCH_QUERIES     measured queries       (default 40)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    n_rows = int(os.environ.get("SILO_BENCH_ROWS", 65536))
+    length = int(os.environ.get("SILO_BENCH_LENGTH", 29903))
+    n_partitions = int(os.environ.get("SILO_BENCH_PARTITIONS", 1))
+    n_queries = int(os.environ.get("SILO_BENCH_QUERIES", 40))
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    from lapis_silo_tpu.ops.device_engine import DeviceEngine
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.testing import sample_count_queries, synthetic_database
+
+    t0 = time.time()
+    db = synthetic_database(n_rows=n_rows, length=length, n_partitions=n_partitions)
+    log(f"synthetic corpus built: {n_rows} rows x {length} positions "
+        f"({n_partitions} partitions) in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    engine = DeviceEngine(db)
+    jax.block_until_ready(engine.bank)
+    bank_gb = engine.bank.nbytes / 1e9
+    log(f"bank resident: {bank_gb:.2f} GB in {time.time() - t0:.1f}s")
+
+    queries = [Query(q) for q in sample_count_queries(db, n_queries=n_queries)]
+
+    # Warm-up: compile every program-shape bucket once.
+    t0 = time.time()
+    seen = set()
+    for query in queries:
+        program, _ = engine.lower(query.filter)
+        key = (len(program.opcodes), max(1, len(program.dyn_rows)))
+        if key not in seen:
+            seen.add(key)
+            engine.count(query.filter)
+    log(f"warm-up ({len(seen)} executables) in {time.time() - t0:.1f}s")
+
+    latencies = []
+    counts = []
+    t_start = time.perf_counter()
+    for query in queries:
+        t0 = time.perf_counter()
+        counts.append(engine.count(query.filter))
+        latencies.append(time.perf_counter() - t0)
+    total = time.perf_counter() - t_start
+
+    latencies.sort()
+    qps = len(queries) / total
+    p50 = latencies[len(latencies) // 2]
+    seqs_per_sec = qps * n_rows
+    log(f"queries: {len(queries)}  qps={qps:.1f}  p50={p50 * 1e3:.2f} ms  "
+        f"filtered seqs/s/chip={seqs_per_sec:.3g}  counts[:5]={counts[:5]}")
+
+    print(json.dumps({
+        "metric": "mutation_filter_count_queries_per_sec",
+        "value": round(qps, 2),
+        "unit": f"queries/s ({n_rows} seqs x {length} pos, 1 chip)",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

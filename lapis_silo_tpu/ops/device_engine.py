@@ -51,7 +51,8 @@ TH_GE = 9
 TH_EQ = 10
 NOP = 11
 
-_LEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+_LEN_BUCKETS = (16, 64, 256, 512)
+_DYN_BUCKETS = (1, 4, 16, 64, 256)
 MAX_STACK = 16
 MAX_COUNT_STACK = 4
 
@@ -152,6 +153,8 @@ class DeviceEngine:
         max_depth = self._emit(irs, program, evaluators)
         if len(program.opcodes) > _LEN_BUCKETS[-1]:
             raise ProgramTooLarge(len(program.opcodes))
+        if len(program.dyn_rows) > _DYN_BUCKETS[-1]:
+            raise ProgramTooLarge(f"dyn rows {len(program.dyn_rows)}")
         if max_depth > MAX_STACK:
             raise ProgramTooLarge(f"stack depth {max_depth}")
         return program, max_depth
@@ -261,7 +264,7 @@ class DeviceEngine:
         operands = np.zeros(bucket, dtype=np.int32)
         opcodes[:n] = program.opcodes
         operands[:n] = program.operands
-        n_dyn = max(1, len(program.dyn_rows))
+        n_dyn = next(b for b in _DYN_BUCKETS if b >= len(program.dyn_rows))
         dyn = np.zeros((self.n_partitions, n_dyn, self.n_words), dtype=np.uint32)
         for di, rows in enumerate(program.dyn_rows):
             for pi, row in enumerate(rows):
@@ -269,6 +272,12 @@ class DeviceEngine:
         run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words)
         return run(jnp.asarray(opcodes), jnp.asarray(operands), self.bank,
                    jax.device_put(dyn), self.full_masks)
+
+    def count(self, filter_expr) -> int:
+        """Fused filter + popcount on device (Aggregated without group-by:
+        nothing but one scalar crosses back to the host)."""
+        words = self.evaluate_device(filter_expr)
+        return int(_popcount_sum_jit(words))
 
     # -- heavy reductions -----------------------------------------------------
 
@@ -287,8 +296,17 @@ class DeviceEngine:
 
 @functools.lru_cache(maxsize=64)
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_words: int):
-    """Build the jitted, partition-vmapped stack-machine interpreter for one
-    shape bucket."""
+    """Jitted, partition-vmapped stack-machine interpreter for one shape
+    bucket."""
+    vmapped = jax.vmap(
+        build_run_one(program_len, n_rows, n_dyn, n_words), in_axes=(None, None, 0, 0, 0)
+    )
+    return jax.jit(vmapped)
+
+
+def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
+    """The single-partition stack-machine body (un-jitted; parallel/ wraps it
+    with mesh shardings)."""
 
     def run_one(opcodes, operands, bank, dyn, full_mask):
         def step(state, instr):
@@ -378,8 +396,12 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_words: int):
         )
         return stack[0]
 
-    vmapped = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0))
-    return jax.jit(vmapped)
+    return run_one
+
+
+@jax.jit
+def _popcount_sum_jit(words):
+    return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

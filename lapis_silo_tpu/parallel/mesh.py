@@ -1,0 +1,88 @@
+"""Multi-chip execution: shard the index over a jax.sharding.Mesh.
+
+The TPU-native generalization of the reference's single-node partition model
+(SURVEY §2.10): the *sequence-id axis* (the packed word axis W) shards across
+devices — every filter-VM op is word-local, so the program runs without any
+communication; only the final reductions (counts, per-position mutation
+histograms) cross chips, as XLA-inserted all-reduces over ICI.
+
+This also covers the partition axis: partitions stay whole (vmapped), words
+shard — so a database with ONE giant partition scales across a pod exactly
+like one with 32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import device_engine as de
+
+
+def make_mesh(devices=None, axis: str = "seq") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+class ShardedQueryStep:
+    """The full query step — filter VM + count + per-position mutation
+    histogram — jitted over a mesh with the word axis sharded.
+
+    This is the 'training step' analog for the driver's multi-chip dry-run:
+    it exercises real shardings (data axis = packed sequence words) and the
+    collective merges (psum-style all-reduces inserted by XLA).
+    """
+
+    def __init__(self, mesh: Mesh, n_partitions: int, n_rows: int, n_dyn: int,
+                 n_words: int, program_len: int, axis: str = "seq"):
+        if n_words % mesh.devices.size != 0:
+            raise ValueError(
+                f"n_words={n_words} must be a multiple of mesh size "
+                f"{mesh.devices.size} (pad the word axis)"
+            )
+        self.mesh = mesh
+        self.axis = axis
+        run_one = de.build_run_one(program_len, n_rows, n_dyn, n_words)
+
+        def step(opcodes, operands, bank, dyn, full_masks, seg_slice):
+            words = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0))(
+                opcodes, operands, bank, dyn, full_masks
+            )  # [P, W]
+            count = jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
+            segment = jax.lax.dynamic_slice(
+                bank, (0, seg_slice, 0), (bank.shape[0], 64, bank.shape[2])
+            )
+            mutation_counts = (
+                jax.lax.population_count(segment & words[:, None, :])
+                .astype(jnp.int32)
+                .sum(axis=(0, 2), dtype=jnp.int32)
+            )
+            return words, count, mutation_counts
+
+        sharded = NamedSharding(mesh, P(None, None, axis))  # [P, R|D, W]
+        words_sharding = NamedSharding(mesh, P(None, axis))
+        replicated = NamedSharding(mesh, P())
+        self.jitted = jax.jit(
+            step,
+            in_shardings=(replicated, replicated, sharded, sharded, words_sharding, None),
+            out_shardings=(words_sharding, replicated, replicated),
+        )
+
+    def __call__(self, opcodes, operands, bank, dyn, full_masks, seg_slice=0):
+        return self.jitted(opcodes, operands, bank, dyn, full_masks, seg_slice)
+
+
+def pad_words_to(mesh_size: int, *arrays):
+    """Pad the trailing word axis of each array to a multiple of mesh_size."""
+    out = []
+    for arr in arrays:
+        w = arr.shape[-1]
+        target = -(-w // mesh_size) * mesh_size
+        if target != w:
+            pad = [(0, 0)] * (arr.ndim - 1) + [(0, target - w)]
+            arr = np.pad(arr, pad)
+        out.append(arr)
+    return out

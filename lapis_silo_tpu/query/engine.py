@@ -76,6 +76,9 @@ class QueryEngine:
     def execute(self, query_string: str) -> dict:
         query = Query(query_string)
         t0 = time.perf_counter()
+        fast = self._try_fast_count(query)
+        if fast is not None:
+            return fast
         bitmaps = self._evaluate_filter(query)
         t1 = time.perf_counter()
         rows = query.action.execute_and_order(self.database, bitmaps)
@@ -86,3 +89,38 @@ class QueryEngine:
             int((t2 - t1) * 1e6),
         )
         return {"queryResult": rows}
+
+    def _try_fast_count(self, query: Query) -> dict | None:
+        """Aggregated without group-by on the device engine: fused filter +
+        popcount, only a scalar crosses the host boundary."""
+        from .actions import Aggregated
+
+        action = query.action
+        if not (
+            self._use_device
+            and isinstance(action, Aggregated)
+            and not action.group_by_fields
+        ):
+            return None
+        try:
+            if self._device_engine is None:
+                from ..ops.device_engine import DeviceEngine
+
+                self._device_engine = DeviceEngine(self.database)
+                self.database.device_engine = self._device_engine
+            count = self._device_engine.count(query.filter)
+        except (ImportError, NotImplementedError):
+            self._use_device = False
+            return None
+        except Exception as ex:
+            from ..ops.device_engine import ProgramTooLarge, StructureMismatch
+
+            if isinstance(ex, (ProgramTooLarge, StructureMismatch)):
+                return None
+            raise
+        action.validate_order_by(self.database)
+        rows = [{"count": count}]
+        if action.offset is not None and action.offset >= 1:
+            return {"queryResult": []}
+        action._apply_sort(rows)
+        return {"queryResult": action._apply_offset_and_limit(rows)}

@@ -1,0 +1,55 @@
+"""Data-directory watcher: 2 s poll, hot-swap on newer valid snapshot.
+
+Parity with reference src/silo_api/database_directory_watcher.cpp: load
+errors are caught and logged, the old snapshot stays live, the server keeps
+serving from an empty/stale database until a valid snapshot appears.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+from ..storage import snapshot
+from .http_server import DatabaseMutex
+
+logger = logging.getLogger(__name__)
+
+
+class DatabaseDirectoryWatcher:
+    def __init__(self, data_directory: str, database_mutex: DatabaseMutex,
+                 poll_seconds: float = 2.0):
+        self.data_directory = data_directory
+        self.database_mutex = database_mutex
+        self.poll_seconds = poll_seconds
+        self._current_version: str | None = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="silo-directory-watcher")
+
+    def start(self):
+        self.check_once()  # synchronous first check so startup is immediate
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+
+    def _run(self):
+        while not self._stop.wait(self.poll_seconds):
+            self.check_once()
+
+    def check_once(self):
+        try:
+            newest = snapshot.find_newest_snapshot(self.data_directory)
+            if newest is None:
+                return
+            version = newest.rstrip("/").rsplit("/", 1)[-1]
+            if self._current_version is not None and version <= self._current_version:
+                return
+            logger.info("loading snapshot %s", newest)
+            database = snapshot.load_database(newest)
+            self.database_mutex.set_database(database)
+            self._current_version = version
+            logger.info("now serving data version %s", version)
+        except Exception:  # parity: never crash the server on a bad snapshot
+            logger.exception("snapshot load failed; keeping current database")

@@ -70,6 +70,10 @@ class StringColumnPartition:
     def values_at(self, rows: np.ndarray) -> list[str | None]:
         return [v if (v := self.dictionary.lookup(int(i))) else None for i in self.ids[rows]]
 
+    def load_ids(self, ids: np.ndarray):
+        self._ids = list(ids)
+        self.finalize()
+
 
 class IndexedStringColumnPartition:
     """Low-cardinality string column: ids + per-value packed bitsets."""
@@ -107,6 +111,10 @@ class IndexedStringColumnPartition:
 
     def values_at(self, rows: np.ndarray) -> list[str | None]:
         return [v if (v := self.dictionary.lookup(int(i))) else None for i in self.ids[rows]]
+
+    def load_ids(self, ids: np.ndarray):
+        self._ids = list(ids)
+        self.finalize()
 
 
 class IntColumnPartition:
@@ -247,6 +255,27 @@ class PangoLineageColumnPartition:
             return None
         return self.sublineage_bitmaps.get(vid)
 
+    def load_ids(self, ids: np.ndarray):
+        """Rebuild from snapshot: per-row unaliased value ids + the shared
+        dictionaries; sublineage closures recomputed from parent prefixes."""
+        self._ids = list(ids)
+        self.ids = np.asarray(self._ids, dtype=np.int32)
+        n = len(self.ids)
+        self._sublineage_rows = {}
+        for vid in np.unique(self.ids):
+            mask = self.ids == vid
+            self.value_bitmaps[int(vid)] = bitset.pack_bool(mask)
+            rows = np.nonzero(mask)[0]
+            unaliased = self.unaliased_dict.lookup(int(vid))
+            for parent in PangoLineageAliasLookup.parent_lineages(unaliased):
+                pid = self.unaliased_dict.get(parent)
+                if pid is not None:
+                    self._sublineage_rows.setdefault(pid, []).extend(rows.tolist())
+        for pid, rows in self._sublineage_rows.items():
+            self.sublineage_bitmaps[pid] = bitset.pack_ids(
+                np.asarray(sorted(rows), dtype=np.int64), n
+            )
+
     def _aliased(self, vid: int) -> str | None:
         value = self.alias_key.alias(self.unaliased_dict.lookup(vid))
         return value if value else None
@@ -328,6 +357,33 @@ class InsertionColumnPartition:
 
     def values_at(self, rows: np.ndarray):
         return [v if (v := self.dictionary.lookup(int(i))) else None for i in self.ids[rows]]
+
+    def load_ids(self, ids: np.ndarray):
+        """Rebuild from snapshot: per-row standardized value ids. The
+        insertion indexes are reconstructed by parsing each distinct value
+        once and fanning its rows out."""
+        self._ids = list(ids)
+        self.ids = np.asarray(self._ids, dtype=np.int32)
+        self.insertion_indexes = {}
+        for vid in np.unique(self.ids):
+            value = self.dictionary.lookup(int(vid))
+            if not value:
+                continue
+            rows = np.nonzero(self.ids == vid)[0]
+            for entry in value.split(","):
+                parts = entry.split(":")
+                if len(parts) == 2:
+                    sequence_name, position, insertion = (
+                        self.default_sequence_name, int(parts[0]), parts[1])
+                else:
+                    sequence_name, position, insertion = parts[0], int(parts[1]), parts[2]
+                index = self.insertion_indexes.setdefault(
+                    sequence_name, self._InsertionIndex(self.alphabet)
+                )
+                for row in rows:
+                    index.add(position, insertion, int(row))
+        for index in self.insertion_indexes.values():
+            index.build(len(self.ids))
 
 
 def _parse_u32(text: str, entry: str) -> int:

@@ -1,0 +1,243 @@
+"""Versioned snapshot persistence: flat arrays + JSON manifest.
+
+The TPU-native replacement for the reference's boost-archive snapshots
+(src/silo/database.cpp:369-601): a directory ``<out>/<unix-ts>/`` holding
+
+- ``manifest.json``        config, alias table, reference genomes, layout
+- ``dictionaries.json``    shared column dictionaries
+- ``P<i>_columns.npz``     per-partition typed column arrays
+- ``P<i>_<kind>_<seg>.npy``  per-partition dense bitplanes (mmap-able,
+  laid out exactly as they will be device_put)
+- ``P<i>_unaligned_<seg>.bin/.idx.npy``  zstd blob store
+- ``data_version.silo``    written LAST — the atomic commit marker, exactly
+  the reference's publication protocol (database_directory_watcher.cpp).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+
+from ..config.database_config import ColumnType, parse_database_config
+from .columns import (
+    DateColumnPartition,
+    Dictionary,
+    FloatColumnPartition,
+    IndexedStringColumnPartition,
+    InsertionColumnPartition,
+    IntColumnPartition,
+    PangoLineageColumnPartition,
+    StringColumnPartition,
+)
+from .database import Database, DataVersion
+from .pango_alias import PangoLineageAliasLookup
+from .partition import DatabasePartition
+from .reference_genomes import ReferenceGenomes
+from .segment import SegmentIndex
+from .unaligned import UnalignedPartitionStore
+
+MANIFEST = "manifest.json"
+DATA_VERSION_FILE = "data_version.silo"
+
+
+def save_database(db: Database, output_directory: str) -> str:
+    """Writes a new versioned snapshot; returns its directory."""
+    version = db.data_version.value or DataVersion.mine().value
+    final_dir = os.path.join(output_directory, version)
+    os.makedirs(output_directory, exist_ok=True)
+    tmp_dir = tempfile.mkdtemp(prefix=f".{version}_", dir=output_directory)
+
+    manifest = {
+        "formatVersion": 1,
+        "databaseConfig": db.config.to_dict(),
+        "aliasKey": db.alias_key.to_dict(),
+        "referenceGenomes": db.reference_genomes.to_dict(),
+        "partitions": [
+            {"id": p.partition_id, "sequenceCount": p.sequence_count}
+            for p in db.partitions
+        ],
+        "unalignedSegments": sorted(db.unaligned_nuc_sequences.keys()),
+    }
+    with open(os.path.join(tmp_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f)
+
+    dictionaries = {}
+    for name, d in db.dictionaries.items():
+        if isinstance(d, tuple):  # pango: (unaliased, aliased)
+            dictionaries[name] = {"unaliased": d[0].values, "aliased": d[1].values}
+        else:
+            dictionaries[name] = {"values": d.values}
+    with open(os.path.join(tmp_dir, "dictionaries.json"), "w") as f:
+        json.dump(dictionaries, f)
+
+    for partition in db.partitions:
+        pid = partition.partition_id
+        column_arrays = {}
+        for name, column in partition.columns.items():
+            if isinstance(column, (IntColumnPartition, FloatColumnPartition,
+                                   DateColumnPartition)):
+                column_arrays[name] = column.values
+            else:
+                column_arrays[name] = column.ids
+        np.savez(os.path.join(tmp_dir, f"P{pid}_columns.npz"), **column_arrays)
+        for kind, segments in (("nuc", partition.nuc_sequences),
+                               ("aa", partition.aa_sequences)):
+            for name, segment in segments.items():
+                np.save(os.path.join(tmp_dir, f"P{pid}_{kind}_{name}.npy"),
+                        segment.planes)
+        for name, stores in db.unaligned_nuc_sequences.items():
+            store = stores[pid]
+            blob = b"".join(b or b"" for b in store.blobs)
+            offsets = np.zeros(len(store.blobs) + 1, dtype=np.int64)
+            present = np.zeros(len(store.blobs), dtype=bool)
+            acc = 0
+            for i, b in enumerate(store.blobs):
+                present[i] = b is not None
+                acc += len(b) if b else 0
+                offsets[i + 1] = acc
+            with open(os.path.join(tmp_dir, f"P{pid}_unaligned_{name}.bin"), "wb") as f:
+                f.write(blob)
+            np.savez(os.path.join(tmp_dir, f"P{pid}_unaligned_{name}.idx.npz"),
+                     offsets=offsets, present=present)
+
+    # Commit: data_version written last, then atomic rename into place.
+    with open(os.path.join(tmp_dir, DATA_VERSION_FILE), "w") as f:
+        f.write(version)
+    os.rename(tmp_dir, final_dir)
+    return final_dir
+
+
+def load_database(snapshot_dir: str) -> Database:
+    with open(os.path.join(snapshot_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    version_path = os.path.join(snapshot_dir, DATA_VERSION_FILE)
+    with open(version_path) as f:
+        version = f.read().strip()
+
+    config = parse_database_config(manifest["databaseConfig"])
+    alias_key = PangoLineageAliasLookup(manifest["aliasKey"])
+    ref = manifest["referenceGenomes"]
+    genomes = ReferenceGenomes(
+        {e["name"]: e["sequence"] for e in ref["nucleotideSequences"]},
+        {e["name"]: e["sequence"] for e in ref["genes"]},
+    )
+    db = Database(config, alias_key, genomes)
+
+    with open(os.path.join(snapshot_dir, "dictionaries.json")) as f:
+        raw_dictionaries = json.load(f)
+
+    def make_dict(values):
+        d = Dictionary()
+        d.values = list(values)
+        d.ids = {v: i for i, v in enumerate(d.values)}
+        return d
+
+    pango_dicts = {}
+    for name, data in raw_dictionaries.items():
+        if "unaliased" in data:
+            pango_dicts[name] = (make_dict(data["unaliased"]), make_dict(data["aliased"]))
+            db.dictionaries[name] = pango_dicts[name]
+        else:
+            db.dictionaries[name] = make_dict(data["values"])
+
+    from ..common.symbols import AMINO_ACID, NUCLEOTIDE
+
+    for meta in manifest["partitions"]:
+        pid, n = meta["id"], meta["sequenceCount"]
+        partition = DatabasePartition(pid, n)
+        columns_npz = np.load(os.path.join(snapshot_dir, f"P{pid}_columns.npz"))
+        for metadata in config.schema.metadata:
+            ct = metadata.column_type()
+            arr = columns_npz[metadata.name]
+            if ct == ColumnType.STRING:
+                col = StringColumnPartition(db.dictionaries[metadata.name])
+                col.load_ids(arr)
+            elif ct == ColumnType.INDEXED_STRING:
+                col = IndexedStringColumnPartition(db.dictionaries[metadata.name])
+                col.load_ids(arr)
+            elif ct == ColumnType.DATE:
+                col = DateColumnPartition(metadata.name == config.schema.date_to_sort_by)
+                col._values = list(arr)
+                col.finalize()
+            elif ct == ColumnType.INT:
+                col = IntColumnPartition()
+                col._values = list(arr)
+                col.finalize()
+            elif ct == ColumnType.FLOAT:
+                col = FloatColumnPartition()
+                col._values = list(arr)
+                col.finalize()
+            elif ct == ColumnType.INDEXED_PANGOLINEAGE:
+                unaliased, aliased = pango_dicts[metadata.name]
+                col = PangoLineageColumnPartition(alias_key, unaliased, aliased)
+                col.load_ids(arr)
+            elif ct == ColumnType.NUC_INSERTION:
+                col = InsertionColumnPartition(
+                    db.dictionaries[metadata.name],
+                    config.default_nucleotide_sequence, NUCLEOTIDE, "nuc_insertion")
+                col.load_ids(arr)
+            elif ct == ColumnType.AA_INSERTION:
+                col = InsertionColumnPartition(
+                    db.dictionaries[metadata.name], None, AMINO_ACID, "aa_insertion")
+                col.load_ids(arr)
+            partition.columns[metadata.name] = col
+
+        for kind, names, alphabet, refs in (
+            ("nuc", genomes.nucleotide_ids, NUCLEOTIDE, genomes.nucleotide_ids),
+            ("aa", genomes.aa_ids, AMINO_ACID, genomes.aa_ids),
+        ):
+            for name in names:
+                path = os.path.join(snapshot_dir, f"P{pid}_{kind}_{name}.npy")
+                planes = np.load(path)
+                segment = SegmentIndex(alphabet, refs[name], n, planes)
+                if kind == "nuc":
+                    partition.nuc_sequences[name] = segment
+                else:
+                    partition.aa_sequences[name] = segment
+        partition.validate()
+        db.partitions.append(partition)
+
+    for name in manifest["unalignedSegments"]:
+        stores = []
+        reference = genomes.raw_nucleotide_sequences[name]
+        for meta in manifest["partitions"]:
+            pid = meta["id"]
+            with open(os.path.join(snapshot_dir, f"P{pid}_unaligned_{name}.bin"), "rb") as f:
+                blob = f.read()
+            idx = np.load(os.path.join(snapshot_dir, f"P{pid}_unaligned_{name}.idx.npz"))
+            store = UnalignedPartitionStore(reference)
+            offsets, present = idx["offsets"], idx["present"]
+            store.blobs = [
+                blob[offsets[i] : offsets[i + 1]] if present[i] else None
+                for i in range(len(present))
+            ]
+            stores.append(store)
+        db.unaligned_nuc_sequences[name] = stores
+
+    db.data_version = DataVersion(version)
+    return db
+
+
+def find_newest_snapshot(data_directory: str) -> str | None:
+    """Newest valid snapshot dir: name is digits, contains a matching
+    data_version.silo (reference database_directory_watcher.cpp:30-111)."""
+    best = None
+    if not os.path.isdir(data_directory):
+        return None
+    for entry in sorted(os.listdir(data_directory)):
+        path = os.path.join(data_directory, entry)
+        if not (entry.isdigit() and os.path.isdir(path)):
+            continue
+        version_file = os.path.join(path, DATA_VERSION_FILE)
+        try:
+            with open(version_file) as f:
+                if f.read().strip() != entry:
+                    continue
+        except OSError:
+            continue
+        if best is None or entry > best[0]:
+            best = (entry, path)
+    return best[1] if best else None
