@@ -58,18 +58,24 @@ def main():
             engine.count(query.filter)
     log(f"warm-up ({len(seen)} executables) in {time.time() - t0:.1f}s")
 
+    # Latency: synchronous round-trips (client-visible p50).
     latencies = []
     counts = []
-    t_start = time.perf_counter()
     for query in queries:
         t0 = time.perf_counter()
         counts.append(engine.count(query.filter))
         latencies.append(time.perf_counter() - t0)
-    total = time.perf_counter() - t_start
-
     latencies.sort()
-    qps = len(queries) / total
     p50 = latencies[len(latencies) // 2]
+
+    # Throughput: pipelined — dispatch everything async, then drain (the
+    # serving path overlaps host lowering with device execution).
+    t_start = time.perf_counter()
+    pending = [engine.count_async(query.filter) for query in queries]
+    pipelined_counts = [int(c) for c in pending]
+    total = time.perf_counter() - t_start
+    assert pipelined_counts == counts
+    qps = len(queries) / total
     seqs_per_sec = qps * n_rows
     log(f"queries: {len(queries)}  qps={qps:.1f}  p50={p50 * 1e3:.2f} ms  "
         f"filtered seqs/s/chip={seqs_per_sec:.3g}  counts[:5]={counts[:5]}")

@@ -1,0 +1,79 @@
+"""ctypes loader for the native host kernels (native/silo_native.cpp).
+
+Auto-builds the shared library on first use if a C++ toolchain is present;
+callers fall back to the numpy implementations when unavailable, so the
+package works (slower) without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libsilo_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception as ex:  # noqa: BLE001
+        logger.info("native build unavailable (%s); using numpy fallbacks", ex)
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO_PATH) and os.path.isdir(_NATIVE_DIR):
+            _build()
+        if not os.path.exists(_SO_PATH):
+            return None
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.silo_pack_batch.restype = None
+        lib.silo_pack_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.silo_chars_to_ids.restype = ctypes.c_int32
+        lib.silo_chars_to_ids.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def pack_batch(ids, planes, row_offset: int, n_threads: int | None = None) -> bool:
+    """Scatter ids[batch, length] into planes[S, length, W] at row_offset.
+    Returns False if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    import numpy as np
+
+    assert ids.dtype == np.uint8 and ids.flags.c_contiguous
+    assert planes.dtype == np.uint32 and planes.flags.c_contiguous
+    batch, length = ids.shape
+    n_symbols, length2, n_words = planes.shape
+    assert length == length2
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
+    lib.silo_pack_batch(
+        ids.ctypes.data, batch, length, planes.ctypes.data,
+        n_symbols, n_words, row_offset, n_threads,
+    )
+    return True

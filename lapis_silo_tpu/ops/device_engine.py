@@ -255,29 +255,51 @@ class DeviceEngine:
             host[pi, : bitset.words_for(n)] for pi, n in enumerate(self.part_rows)
         ]
 
-    def evaluate_device(self, filter_expr) -> jax.Array:
-        """Returns the [P, W] filter bitset on device (cached per query)."""
-        program, depth = self.lower(filter_expr)
+    def _prepare(self, filter_expr):
+        program, _depth = self.lower(filter_expr)
         n = len(program.opcodes)
         bucket = next(b for b in _LEN_BUCKETS if b >= n)
-        opcodes = np.full(bucket, NOP, dtype=np.int32)
-        operands = np.zeros(bucket, dtype=np.int32)
-        opcodes[:n] = program.opcodes
-        operands[:n] = program.operands
+        code = np.zeros((2, bucket), dtype=np.int32)
+        code[0, :] = NOP
+        code[0, :n] = program.opcodes
+        code[1, :n] = program.operands
         n_dyn = next(b for b in _DYN_BUCKETS if b >= len(program.dyn_rows))
-        dyn = np.zeros((self.n_partitions, n_dyn, self.n_words), dtype=np.uint32)
-        for di, rows in enumerate(program.dyn_rows):
-            for pi, row in enumerate(rows):
-                dyn[pi, di] = row
-        run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words)
-        return run(jnp.asarray(opcodes), jnp.asarray(operands), self.bank,
-                   jax.device_put(dyn), self.full_masks)
+        if program.dyn_rows:
+            dyn = np.zeros((self.n_partitions, n_dyn, self.n_words), dtype=np.uint32)
+            for di, rows in enumerate(program.dyn_rows):
+                for pi, row in enumerate(rows):
+                    dyn[pi, di] = row
+            dyn_dev = jax.device_put(dyn)
+        else:
+            # no per-query data: reuse a cached all-zero dynamic bank so the
+            # hot path transfers only the tiny program array
+            key = f"zero_dyn_{n_dyn}"
+            dyn_dev = self._filter_cache.get(key)
+            if dyn_dev is None:
+                dyn_dev = jax.device_put(
+                    np.zeros((self.n_partitions, n_dyn, self.n_words), dtype=np.uint32)
+                )
+                self._filter_cache[key] = dyn_dev
+        return bucket, n_dyn, code, dyn_dev
+
+    def evaluate_device(self, filter_expr) -> jax.Array:
+        """Returns the [P, W] filter bitset on device."""
+        bucket, n_dyn, code, dyn_dev = self._prepare(filter_expr)
+        run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "words")
+        return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
+
+    def count_async(self, filter_expr) -> jax.Array:
+        """Fused filter + popcount in ONE device dispatch; returns the scalar
+        device array without blocking (callers pipeline N queries and then
+        read — the serving throughput path)."""
+        bucket, n_dyn, code, dyn_dev = self._prepare(filter_expr)
+        run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "count")
+        return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
 
     def count(self, filter_expr) -> int:
         """Fused filter + popcount on device (Aggregated without group-by:
         nothing but one scalar crosses back to the host)."""
-        words = self.evaluate_device(filter_expr)
-        return int(_popcount_sum_jit(words))
+        return int(self.count_async(filter_expr))
 
     # -- heavy reductions -----------------------------------------------------
 
@@ -295,13 +317,22 @@ class DeviceEngine:
 
 
 @functools.lru_cache(maxsize=64)
-def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_words: int):
+def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_words: int,
+                 output: str = "words"):
     """Jitted, partition-vmapped stack-machine interpreter for one shape
-    bucket."""
-    vmapped = jax.vmap(
-        build_run_one(program_len, n_rows, n_dyn, n_words), in_axes=(None, None, 0, 0, 0)
-    )
-    return jax.jit(vmapped)
+    bucket. output='words' returns the [P, W] bitset; output='count' fuses
+    the popcount reduction into the same executable (one dispatch)."""
+    run_one = build_run_one(program_len, n_rows, n_dyn, n_words)
+
+    def run(code, bank, dyn, full_masks):
+        words = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0))(
+            code[0], code[1], bank, dyn, full_masks
+        )
+        if output == "count":
+            return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
+        return words
+
+    return jax.jit(run)
 
 
 def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):

@@ -121,15 +121,14 @@ class Preprocessor:
                 # insertion lists -> comma-joined strings (metadata_info.cpp:62-97)
                 nuc_ins = record.get("nucleotideInsertions", {})
                 aa_ins = record.get("aminoAcidInsertions", {})
+                # reference metadata_info.cpp:60-95: insertion lists flatten
+                # to "<sequence>:<pos>:<value>" entries (always prefixed)
                 for field in self.config.schema.metadata:
                     if field.type.value == "insertion" and field.name not in metadata:
                         parts = []
                         for seq_name in nuc_names:
                             for ins in nuc_ins.get(seq_name, []):
-                                if len(nuc_names) > 1:
-                                    parts.append(f"{seq_name}:{ins}")
-                                else:
-                                    parts.append(str(ins))
+                                parts.append(f"{seq_name}:{ins}")
                         metadata[field.name] = ",".join(parts)
                     if field.type.value == "aaInsertion" and field.name not in metadata:
                         parts = []

@@ -58,7 +58,12 @@ class SegmentIndexBuilder:
                     f"length {self.length}"
                 )
             ids[i] = self.alphabet.string_to_ids(genome)
-        # transpose to position-major and scatter into planes word block
+        from .. import native
+
+        if native.pack_batch(ids, self.planes, start):
+            self._row += batch
+            return
+        # numpy fallback: transpose to position-major, pack word block
         ids_t = np.ascontiguousarray(ids.T)  # [L, batch]
         word_lo = start // 32
         # Pack into a bool buffer covering the affected words (the batch may
