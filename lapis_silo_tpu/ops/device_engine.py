@@ -90,6 +90,19 @@ class DeviceEngine:
         self.part_rows = [p.sequence_count for p in partitions]
         self.n_words = max(bitset.words_for(p.sequence_count) for p in partitions)
 
+        # Pallas streaming kernels want lane-aligned words and block-aligned
+        # segment offsets; only worth the padding on large corpora.
+        from . import pallas_kernels as pk
+
+        self.use_pallas = (
+            pk.HAVE_PALLAS
+            and jax.default_backend() != "cpu"
+            and self.n_words >= 512
+        )
+        if self.use_pallas and self.n_words % 128:
+            self.n_words += 128 - self.n_words % 128
+        align = pk.ROW_BLOCK if self.use_pallas else 1
+
         # Row directory: (kind, segment, symbol, position) -> bank row.
         self.row_offsets: dict[tuple[str, str], tuple[int, int, int]] = {}
         offset = 0
@@ -101,6 +114,7 @@ class DeviceEngine:
             seg = first.nuc_sequences[name] if kind == "nuc" else first.aa_sequences[name]
             self.row_offsets[(kind, name)] = (offset, seg.alphabet.count, seg.length)
             offset += seg.alphabet.count * seg.length
+            offset = -(-offset // align) * align
         self.n_rows = offset
 
         # Build bank[P, R, W] (pad each partition's words to the common W).
@@ -256,6 +270,7 @@ class DeviceEngine:
         ]
 
     def _prepare(self, filter_expr):
+        """Lower to (bucket, n_dyn, code[2, bucket], dyn host array | None)."""
         program, _depth = self.lower(filter_expr)
         n = len(program.opcodes)
         bucket = next(b for b in _LEN_BUCKETS if b >= n)
@@ -269,32 +284,62 @@ class DeviceEngine:
             for di, rows in enumerate(program.dyn_rows):
                 for pi, row in enumerate(rows):
                     dyn[pi, di] = row
-            dyn_dev = jax.device_put(dyn)
         else:
-            # no per-query data: reuse a cached all-zero dynamic bank so the
-            # hot path transfers only the tiny program array
-            key = f"zero_dyn_{n_dyn}"
-            dyn_dev = self._filter_cache.get(key)
-            if dyn_dev is None:
-                dyn_dev = jax.device_put(
-                    np.zeros((self.n_partitions, n_dyn, self.n_words), dtype=np.uint32)
-                )
-                self._filter_cache[key] = dyn_dev
-        return bucket, n_dyn, code, dyn_dev
+            dyn = None
+        return bucket, n_dyn, code, dyn
+
+    def _zero_dyn(self, shape) -> jax.Array:
+        """Cached all-zero dynamic bank: the hot path for data-free queries
+        transfers only the tiny program array."""
+        key = ("zero_dyn", shape)
+        cached = self._filter_cache.get(key)
+        if cached is None:
+            cached = jax.device_put(np.zeros(shape, dtype=np.uint32))
+            self._filter_cache[key] = cached
+        return cached
 
     def evaluate_device(self, filter_expr) -> jax.Array:
         """Returns the [P, W] filter bitset on device."""
-        bucket, n_dyn, code, dyn_dev = self._prepare(filter_expr)
+        bucket, n_dyn, code, dyn = self._prepare(filter_expr)
+        shape = (self.n_partitions, n_dyn, self.n_words)
+        dyn_dev = self._zero_dyn(shape) if dyn is None else jax.device_put(dyn)
         run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "words")
         return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
 
     def count_async(self, filter_expr) -> jax.Array:
         """Fused filter + popcount in ONE device dispatch; returns the scalar
-        device array without blocking (callers pipeline N queries and then
-        read — the serving throughput path)."""
-        bucket, n_dyn, code, dyn_dev = self._prepare(filter_expr)
+        device array without blocking."""
+        bucket, n_dyn, code, dyn = self._prepare(filter_expr)
+        shape = (self.n_partitions, n_dyn, self.n_words)
+        dyn_dev = self._zero_dyn(shape) if dyn is None else jax.device_put(dyn)
         run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "count")
         return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
+
+    def count_batch(self, filter_exprs: list) -> list[int]:
+        """Batched counts: MANY queries in ONE device dispatch (vmap over the
+        query axis). The serving throughput path — the per-dispatch
+        round-trip amortizes across the whole batch."""
+        prepared = [self._prepare(f) for f in filter_exprs]
+        bucket = max(p[0] for p in prepared)
+        n_dyn = max(p[1] for p in prepared)
+        q = len(prepared)
+        codes = np.zeros((q, 2, bucket), dtype=np.int32)
+        codes[:, 0, :] = NOP
+        dyns = None
+        for qi, (_b, _nd, code, dyn) in enumerate(prepared):
+            codes[qi, :, : code.shape[1]] = code
+            if dyn is not None:
+                if dyns is None:
+                    dyns = np.zeros((q, self.n_partitions, n_dyn, self.n_words),
+                                    dtype=np.uint32)
+                dyns[qi, :, : dyn.shape[1], :] = dyn
+        if dyns is None:
+            dyns_dev = self._zero_dyn((q, self.n_partitions, n_dyn, self.n_words))
+        else:
+            dyns_dev = jax.device_put(dyns)
+        run = _batch_interpreter(bucket, self.n_rows, n_dyn, self.n_words)
+        counts = run(jnp.asarray(codes), self.bank, dyns_dev, self.full_masks)
+        return [int(c) for c in np.asarray(counts)]
 
     def count(self, filter_expr) -> int:
         """Fused filter + popcount on device (Aggregated without group-by:
@@ -305,14 +350,22 @@ class DeviceEngine:
 
     def mutation_counts(self, kind: str, name: str, filter_words: list[np.ndarray]):
         """counts[S, L]: per (symbol, position) popcount of plane & filter,
-        summed over partitions. THE flagship reduction."""
+        summed over partitions. THE flagship reduction — Pallas streaming
+        kernel on TPU, fused XLA path otherwise."""
         start, count, length = self.row_offsets[(kind, name)]
         dyn = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
         for pi, words in enumerate(filter_words):
             dyn[pi, : len(words)] = words
-        result = _mutation_counts_jit(
-            self.bank, jax.device_put(dyn), start, count * length
-        )
+        filters = jax.device_put(dyn)
+        if self.use_pallas:
+            from . import pallas_kernels as pk
+
+            n_seg_rows = -(-count * length // pk.ROW_BLOCK) * pk.ROW_BLOCK
+            result = pk.mutation_counts_banked(
+                self.bank, filters, start, n_seg_rows, self.n_words
+            )[: count * length]
+        else:
+            result = _mutation_counts_jit(self.bank, filters, start, count * length)
         return np.asarray(result).reshape(count, length)
 
 
@@ -428,6 +481,25 @@ def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
         return stack[0]
 
     return run_one
+
+
+@functools.lru_cache(maxsize=32)
+def _batch_interpreter(program_len: int, n_rows: int, n_dyn: int, n_words: int):
+    """Query-batched count interpreter: vmap over queries, then partitions;
+    executable keyed only by shape buckets (batch size is a leading vmap
+    axis, so distinct batch sizes do recompile — callers pad batches)."""
+    run_one = build_run_one(program_len, n_rows, n_dyn, n_words)
+
+    def run(codes, bank, dyns, full_masks):
+        def one_query(code, dyn):
+            words = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0))(
+                code[0], code[1], bank, dyn, full_masks
+            )
+            return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
+
+        return jax.vmap(one_query, in_axes=(0, 0))(codes, dyns)
+
+    return jax.jit(run)
 
 
 @jax.jit
