@@ -1,0 +1,342 @@
+"""Multi-host serving: partition shards across hosts, query broadcast,
+collective-merged results.
+
+The reference is single-node; SURVEY §2.10/§5.8 defines the TPU-native
+generalization this module provides:
+
+- every host holds a subset of partitions (its local Database + DeviceEngine
+  over its own chips; within a host, words shard over ICI via parallel/mesh);
+- the coordinator broadcasts the query JSON to all hosts (DCN control
+  plane), each host executes its partitions and returns a *partial result*;
+- partials merge exactly like the reference merges per-partition results
+  (sum of cardinalities, hash-map group merges, count-matrix sums, row
+  concatenation in partition order), then ordering/offset/limit apply once
+  at the coordinator.
+
+The control plane is plain HTTP so it works across processes/machines; the
+same merge code paths are exercised in-process by the test harness.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..common.symbols import AMINO_ACID, NUCLEOTIDE
+from ..ops import bitset
+from ..query import actions as actions_mod
+from ..query.engine import Query
+from ..query.errors import QueryParseError
+
+
+# ---------------------------------------------------------------------------
+# Worker side: execute a query on local partitions, return a partial result.
+# ---------------------------------------------------------------------------
+
+
+def execute_partial(database, query_string: str) -> dict:
+    """Run the filter on all local partitions and reduce the action to a
+    mergeable partial."""
+    query = Query(query_string)
+    action = query.action
+    engine = database._engine
+    if engine is None:
+        from ..query.engine import QueryEngine
+
+        engine = database._engine = QueryEngine(database)
+    bitmaps = engine._evaluate_filter(query)
+
+    if isinstance(action, actions_mod.Aggregated):
+        if not action.group_by_fields:
+            return {"kind": "count",
+                    "count": sum(bitset.popcount(w) for w in bitmaps)}
+        rows = action.execute(database, bitmaps)
+        return {"kind": "groups", "rows": rows}
+    if isinstance(action, actions_mod.Mutations):
+        return _mutations_partial(database, action, bitmaps)
+    if isinstance(action, actions_mod.InsertionAggregation):
+        rows = action.execute(database, bitmaps)
+        return {"kind": "insertion_counts", "rows": rows}
+    if isinstance(action, actions_mod.Details):
+        action_no_slice = actions_mod.Details(action.fields)
+        action_no_slice.order_by_fields = action.order_by_fields
+        # workers pre-trim to limit+offset rows when a limit exists
+        if action.limit is not None:
+            action_no_slice.limit = action.limit + (action.offset or 0)
+        rows = action_no_slice.execute_and_order(database, bitmaps)
+        return {"kind": "rows_sorted", "rows": rows}
+    # Fasta / FastaAligned: rows in partition order
+    rows = action.execute(database, bitmaps)
+    return {"kind": "rows", "rows": rows}
+
+
+def _mutations_partial(database, action, bitmaps) -> dict:
+    stores = database.nuc_sequences if action.alphabet is NUCLEOTIDE \
+        else database.aa_sequences
+    names = action.sequence_names or sorted(stores.keys())
+    for name in names:
+        actions_mod.check_query(
+            name in stores,
+            f"Database does not contain the {action.alphabet.name_lower} sequence "
+            f"with name: '{name}'",
+        )
+    kind = "nuc" if action.alphabet is NUCLEOTIDE else "aa"
+    device_engine = getattr(database, "device_engine", None)
+    counts = {}
+    for name in names:
+        if device_engine is not None:
+            matrix = device_engine.mutation_counts(kind, name, bitmaps)
+        else:
+            matrix = None
+            for partition, words in zip(database.partitions, bitmaps):
+                if not words.any():
+                    continue
+                segments = (partition.nuc_sequences if kind == "nuc"
+                            else partition.aa_sequences)
+                part = np.bitwise_count(
+                    segments[name].planes & words[None, None, :]
+                ).sum(axis=-1, dtype=np.int64)
+                matrix = part if matrix is None else matrix + part
+        if matrix is not None:
+            counts[name] = matrix.tolist()
+    return {"kind": "mutation_counts", "alphabet": kind, "counts": counts}
+
+
+# ---------------------------------------------------------------------------
+# Coordinator side: merge partials, apply ordering/slicing once.
+# ---------------------------------------------------------------------------
+
+
+def merge_partials(database, query_string: str, partials: list[dict]) -> dict:
+    """`database` is the coordinator's schema context (config + reference
+    genomes; it may also own local partitions, in which case its own partial
+    is simply one of `partials`)."""
+    query = Query(query_string)
+    action = query.action
+    action.validate_order_by(database)
+    kind = partials[0]["kind"] if partials else "rows"
+
+    if kind == "count":
+        rows = [{"count": sum(p["count"] for p in partials)}]
+    elif kind == "groups":
+        merged: dict[tuple, dict] = {}
+        for partial in partials:
+            for row in partial["rows"]:
+                key = tuple(sorted(
+                    ((k, v) for k, v in row.items() if k != "count"),
+                    key=lambda kv: kv[0],
+                ))
+                if key in merged:
+                    merged[key]["count"] += row["count"]
+                else:
+                    merged[key] = dict(row)
+        rows = list(merged.values())
+    elif kind == "mutation_counts":
+        rows = _merge_mutations(database, action, partials)
+    elif kind == "insertion_counts":
+        merged = {}
+        for partial in partials:
+            for row in partial["rows"]:
+                key = (row["sequenceName"], row["position"], row["insertions"])
+                if key in merged:
+                    merged[key]["count"] += row["count"]
+                else:
+                    merged[key] = dict(row)
+        rows = [merged[k] for k in sorted(merged)]
+    elif kind == "rows_sorted":
+        rows = _merge_sorted_rows(database, action, partials)
+        if action.offset is not None and action.offset >= len(rows):
+            return {"queryResult": []}
+        return {"queryResult": action._apply_offset_and_limit(rows)}
+    else:  # plain rows, partition order == host order
+        rows = [row for partial in partials for row in partial["rows"]]
+        total_limit = {"Fasta": 10000, "FastaAligned": 10000}.get(
+            type(action).__name__)
+        if total_limit is not None and len(rows) > total_limit:
+            raise QueryParseError(
+                f"{type(action).__name__} action currently limited to "
+                f"{total_limit} sequences")
+
+    if action.offset is not None and action.offset >= len(rows):
+        return {"queryResult": []}
+    action._apply_sort(rows)
+    return {"queryResult": action._apply_offset_and_limit(rows)}
+
+
+def _merge_mutations(database, action, partials) -> list[dict]:
+    alphabet = action.alphabet
+    stores = database.nuc_sequences if alphabet is NUCLEOTIDE else database.aa_sequences
+    names = action.sequence_names or sorted(stores.keys())
+    out = []
+    for name in names:
+        total_matrix = None
+        for partial in partials:
+            if name not in partial["counts"]:
+                continue
+            matrix = np.asarray(partial["counts"][name], dtype=np.int64)
+            total_matrix = matrix if total_matrix is None else total_matrix + matrix
+        if total_matrix is None:
+            continue
+        reference_ids = stores[name]
+        valid_ids = alphabet.valid_mutation_ids
+        totals = total_matrix[valid_ids].sum(axis=0)
+        for pos in np.nonzero(totals > 0)[0]:
+            total = int(totals[pos])
+            threshold = 0 if action.min_proportion == 0 else int(
+                math.ceil(total * action.min_proportion) - 1)
+            ref_id = int(reference_ids[pos])
+            for sym_id in valid_ids:
+                if sym_id == ref_id:
+                    continue
+                count = int(total_matrix[sym_id, pos])
+                if count > threshold:
+                    out.append({
+                        "mutation": alphabet.to_char(ref_id) + str(int(pos) + 1)
+                        + alphabet.to_char(sym_id),
+                        "sequenceName": name,
+                        "proportion": count / total,
+                        "count": count,
+                    })
+    return out
+
+
+def _merge_sorted_rows(database, action, partials) -> list[dict]:
+    """k-way merge of per-host typed-sorted Details rows."""
+    metadata = action._field_metadata(database)
+    by_name = {m.name: m for m in metadata}
+
+    def typed_key(row):
+        values = []
+        for fld in action.order_by_fields:
+            value = row.get(fld.name)
+            m = by_name[fld.name]
+            ct = m.column_type().value
+            if ct == "date":
+                from ..common.dates import string_to_date
+
+                values.append(string_to_date(value) if value else 0)
+            elif ct == "int":
+                values.append(value if value is not None else -(2**31))
+            elif ct == "float":
+                values.append(float(value) if value is not None else float("nan"))
+            else:
+                values.append(value if value is not None else "")
+        return actions_mod._TypedKey(
+            tuple(values), tuple(f.ascending for f in action.order_by_fields))
+
+    lists = [p["rows"] for p in partials]
+    if not action.order_by_fields:
+        return [row for rows in lists for row in rows]
+    cursors = [0] * len(lists)
+    merged: list[dict] = []
+    cap = (action.limit + (action.offset or 0)) if action.limit is not None else None
+    while cap is None or len(merged) < cap:
+        best = None
+        for li, rows in enumerate(lists):
+            if cursors[li] >= len(rows):
+                continue
+            key = typed_key(rows[cursors[li]])
+            if best is None or key < best[0]:
+                best = (key, li)
+        if best is None:
+            break
+        merged.append(lists[best[1]][cursors[best[1]]])
+        cursors[best[1]] += 1
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# HTTP plumbing: worker endpoint + coordinator fan-out.
+# ---------------------------------------------------------------------------
+
+
+class WorkerHandler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    database = None
+
+    def log_message(self, *args):
+        pass
+
+    def do_POST(self):
+        if self.path != "/internal/partial":
+            self.send_error(404)
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        query = self.rfile.read(length).decode("utf-8")
+        try:
+            body = json.dumps(execute_partial(self.database, query)).encode()
+            status = 200
+        except QueryParseError as ex:
+            body = json.dumps({"error": "Bad request", "message": str(ex)}).encode()
+            status = 400
+        except Exception as ex:  # noqa: BLE001
+            body = json.dumps({"error": "Internal Server Error",
+                               "message": str(ex)}).encode()
+            status = 500
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def start_worker(database, port: int = 0) -> ThreadingHTTPServer:
+    handler = type("BoundWorkerHandler", (WorkerHandler,), {"database": database})
+    server = ThreadingHTTPServer(("0.0.0.0", port), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+class Coordinator:
+    """Fans a query out to workers (including, optionally, local partitions)
+    and merges partials. Worker errors propagate: a 400 re-raises as
+    QueryParseError so the API layer answers exactly like single-host."""
+
+    def __init__(self, database, worker_urls: list[str], include_local: bool = True):
+        self.database = database
+        self.worker_urls = worker_urls
+        self.include_local = include_local and bool(database.partitions)
+
+    def execute_query(self, query_string: str) -> dict:
+        import urllib.request
+
+        # Coordinator's local partitions are host 0 (first in global
+        # partition order); workers follow in worker_urls order.
+        offset = 1 if self.include_local else 0
+        partials: list[dict | None] = [None] * (len(self.worker_urls) + offset)
+        errors: list[Exception] = []
+
+        def fetch(i, url):
+            try:
+                req = urllib.request.Request(
+                    url + "/internal/partial", data=query_string.encode(),
+                    method="POST")
+                with urllib.request.urlopen(req) as resp:
+                    partials[i] = json.loads(resp.read())
+            except urllib.error.HTTPError as err:
+                payload = json.loads(err.read())
+                if err.code == 400:
+                    errors.append(QueryParseError(payload["message"]))
+                else:
+                    errors.append(RuntimeError(payload.get("message", str(err))))
+            except Exception as ex:  # noqa: BLE001
+                errors.append(ex)
+
+        threads = [
+            threading.Thread(target=fetch, args=(offset + i, url))
+            for i, url in enumerate(self.worker_urls)
+        ]
+        for t in threads:
+            t.start()
+        if self.include_local:
+            partials[0] = execute_partial(self.database, query_string)
+        for t in threads:
+            t.join()
+        for ex in errors:
+            raise ex
+        return merge_partials(self.database, query_string,
+                              [p for p in partials if p is not None])

@@ -1,0 +1,73 @@
+"""Multi-host serving: partitions split over 3 worker hosts + coordinator;
+the full conformance corpus must produce byte-identical results."""
+
+import json
+import os
+
+import pytest
+
+from .conftest import REFERENCE_ROOT, reference_available
+
+QUERIES_DIR = os.path.join(REFERENCE_ROOT, "endToEndTests/test/queries")
+INVALID_DIR = os.path.join(REFERENCE_ROOT, "endToEndTests/test/invalidQueries")
+
+
+def _shard_database(db, partition_ids):
+    """A Database view holding a subset of partitions (same config,
+    dictionaries, reference genomes — exactly what each pod host loads)."""
+    from lapis_silo_tpu.storage.database import Database
+
+    shard = Database(db.config, db.alias_key, db.reference_genomes)
+    shard.dictionaries = db.dictionaries
+    shard.partitions = [db.partitions[i] for i in partition_ids]
+    shard.unaligned_nuc_sequences = {
+        name: [stores[i] for i in partition_ids]
+        for name, stores in db.unaligned_nuc_sequences.items()
+    }
+    shard.data_version = db.data_version
+    return shard
+
+
+@pytest.fixture(scope="session")
+def multihost(example_dataset_db):
+    from lapis_silo_tpu.parallel.multihost import Coordinator, start_worker
+
+    db = example_dataset_db
+    n = len(db.partitions)
+    third = (n + 2) // 3
+    shards = [
+        _shard_database(db, list(range(0, third))),
+        _shard_database(db, list(range(third, 2 * third))),
+        _shard_database(db, list(range(2 * third, n))),
+    ]
+    servers = [start_worker(shard) for shard in shards[1:]]
+    urls = [f"http://127.0.0.1:{s.server_address[1]}" for s in servers]
+    coordinator = Coordinator(shards[0], urls, include_local=True)
+    yield coordinator
+    for server in servers:
+        server.shutdown()
+
+
+def test_multihost_conformance(multihost):
+    if not reference_available():
+        pytest.skip("reference data unavailable")
+    from .test_conformance import deep_equal
+
+    for case_file in sorted(os.listdir(QUERIES_DIR)):
+        with open(os.path.join(QUERIES_DIR, case_file)) as f:
+            case = json.load(f)
+        response = multihost.execute_query(json.dumps(case["query"]))
+        deep_equal({"queryResult": case["expectedQueryResult"]}, response, case_file)
+
+
+def test_multihost_invalid_queries(multihost):
+    if not reference_available():
+        pytest.skip("reference data unavailable")
+    from lapis_silo_tpu.query.errors import QueryParseError
+
+    for case_file in sorted(os.listdir(INVALID_DIR)):
+        with open(os.path.join(INVALID_DIR, case_file)) as f:
+            case = json.load(f)
+        with pytest.raises(QueryParseError) as excinfo:
+            multihost.execute_query(json.dumps(case["query"]))
+        assert str(excinfo.value) == case["expectedError"]["message"], case_file
