@@ -401,12 +401,14 @@ def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
                 return jax.lax.dynamic_update_index_in_dim(stack, value, sp, 0), sp + 1
 
             def do_push_static(_):
-                row = jax.lax.dynamic_slice(bank, (operand, 0), (1, n_words))[0]
+                # gather (not dynamic_slice): its vmap batching rule gathers
+                # per-query rows instead of broadcasting the whole bank
+                row = bank[operand]
                 s, p = push(row)
                 return s, p, counts, csp
 
             def do_push_dyn(_):
-                row = jax.lax.dynamic_slice(dyn, (operand, 0), (1, n_words))[0]
+                row = dyn[operand]
                 s, p = push(row)
                 return s, p, counts, csp
 

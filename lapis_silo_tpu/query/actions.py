@@ -22,6 +22,7 @@ import numpy as np
 
 from ..common.symbols import AMINO_ACID, NUCLEOTIDE
 from ..ops import bitset
+from ..storage.columns import INT_NULL
 from .errors import QueryParseError, check_query
 
 
@@ -183,10 +184,43 @@ class Aggregated(Action):
             rows = bitset.to_ids(words, partition.sequence_count)
             if len(rows) == 0:
                 continue
-            field_values = [partition.columns[m.name].values_at(rows) for m in metadata]
-            for i in range(len(rows)):
-                key = tuple(values[i] for values in field_values)
-                counts[key] = counts.get(key, 0) + 1
+            # Vectorized group-by: per-column integer codes (dict ids or raw
+            # bit patterns — bit-pattern equality matches the reference's
+            # byte-buffer Tuple hashing), combined via np.unique.
+            code_columns = []
+            decoders = []
+            for m in metadata:
+                column = partition.columns[m.name]
+                kind = column.kind
+                if kind in ("string", "indexed_string", "indexed_pango_lineage",
+                            "nuc_insertion", "aa_insertion"):
+                    code_columns.append(column.ids[rows].astype(np.int64))
+                    decoders.append(lambda vid, c=column: c.value_at_id(int(vid)))
+                elif kind == "date":
+                    code_columns.append(column.values[rows].astype(np.int64))
+                    from ..common.dates import date_to_string
+
+                    decoders.append(lambda v: date_to_string(int(v)))
+                elif kind == "int":
+                    code_columns.append(column.values[rows].astype(np.int64))
+                    decoders.append(lambda v: None if v == INT_NULL else int(v))
+                elif kind == "float":
+                    code_columns.append(column.values[rows].view(np.int64))
+                    decoders.append(
+                        lambda v: None
+                        if np.isnan(np.int64(v).view(np.float64))
+                        else float(np.int64(v).view(np.float64))
+                    )
+                else:
+                    raise QueryParseError(f"Cannot group by column {m.name}")
+            stacked = np.stack(code_columns, axis=0)  # [k, nsel]
+            unique_keys, inverse = np.unique(stacked, axis=1, return_inverse=True)
+            group_counts = np.bincount(inverse.ravel())
+            for gi in range(unique_keys.shape[1]):
+                key = tuple(
+                    decoders[ci](unique_keys[ci, gi]) for ci in range(len(metadata))
+                )
+                counts[key] = counts.get(key, 0) + int(group_counts[gi])
         result = []
         for key, count in counts.items():
             row = {m.name: value for m, value in zip(metadata, key)}

@@ -70,6 +70,10 @@ class StringColumnPartition:
     def values_at(self, rows: np.ndarray) -> list[str | None]:
         return [v if (v := self.dictionary.lookup(int(i))) else None for i in self.ids[rows]]
 
+    def value_at_id(self, vid: int) -> str | None:
+        value = self.dictionary.lookup(vid)
+        return value if value else None
+
     def load_ids(self, ids: np.ndarray):
         self._ids = list(ids)
         self.finalize()
@@ -111,6 +115,10 @@ class IndexedStringColumnPartition:
 
     def values_at(self, rows: np.ndarray) -> list[str | None]:
         return [v if (v := self.dictionary.lookup(int(i))) else None for i in self.ids[rows]]
+
+    def value_at_id(self, vid: int) -> str | None:
+        value = self.dictionary.lookup(vid)
+        return value if value else None
 
     def load_ids(self, ids: np.ndarray):
         self._ids = list(ids)
@@ -283,6 +291,9 @@ class PangoLineageColumnPartition:
     def value_at(self, row: int) -> str | None:
         return self._aliased(int(self.ids[row]))
 
+    def value_at_id(self, vid: int) -> str | None:
+        return self._aliased(vid)
+
     def values_at(self, rows: np.ndarray):
         return [self._aliased(int(i)) for i in self.ids[rows]]
 
@@ -357,6 +368,10 @@ class InsertionColumnPartition:
 
     def values_at(self, rows: np.ndarray):
         return [v if (v := self.dictionary.lookup(int(i))) else None for i in self.ids[rows]]
+
+    def value_at_id(self, vid: int) -> str | None:
+        value = self.dictionary.lookup(vid)
+        return value if value else None
 
     def load_ids(self, ids: np.ndarray):
         """Rebuild from snapshot: per-row standardized value ids. The
