@@ -117,6 +117,21 @@ class Preprocessor:
                 if not line:
                     continue
                 record = json.loads(line)
+                if not rows:
+                    # Validate sequence keys vs reference genomes on the first
+                    # record (reference sequence_info.cpp:80-130).
+                    for field_name, expected in (
+                        ("alignedNucleotideSequences", set(nuc_names)),
+                        ("alignedAminoAcidSequences", set(gene_names)),
+                    ):
+                        got = set(record.get(field_name, {}))
+                        missing = expected - got
+                        if missing:
+                            raise PreprocessingError(
+                                f"The field '{field_name}' in the input file does not "
+                                f"contain the sequences {sorted(missing)} required by "
+                                "the reference genomes."
+                            )
                 metadata = dict(record.get("metadata", {}))
                 # insertion lists -> comma-joined strings (metadata_info.cpp:62-97)
                 nuc_ins = record.get("nucleotideInsertions", {})
