@@ -49,10 +49,13 @@ TH_PUSH = 7
 TH_ADD = 8
 TH_GE = 9
 TH_EQ = 10
-NOP = 11
+EMIT_COUNT = 11  # pop top, popcount -> out[operand]; used by batched queries
+NOP = 12
 
 _LEN_BUCKETS = (16, 64, 256, 512)
+_BATCH_LEN_BUCKETS = (64, 256, 1024, 4096)
 _DYN_BUCKETS = (1, 4, 16, 64, 256)
+MAX_BATCH_QUERIES = 128
 MAX_STACK = 16
 MAX_COUNT_STACK = 4
 
@@ -316,30 +319,54 @@ class DeviceEngine:
         return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
 
     def count_batch(self, filter_exprs: list) -> list[int]:
-        """Batched counts: MANY queries in ONE device dispatch (vmap over the
-        query axis). The serving throughput path — the per-dispatch
-        round-trip amortizes across the whole batch."""
-        prepared = [self._prepare(f) for f in filter_exprs]
-        bucket = max(p[0] for p in prepared)
-        n_dyn = max(p[1] for p in prepared)
-        q = len(prepared)
-        codes = np.zeros((q, 2, bucket), dtype=np.int32)
-        codes[:, 0, :] = NOP
-        dyns = None
-        for qi, (_b, _nd, code, dyn) in enumerate(prepared):
-            codes[qi, :, : code.shape[1]] = code
-            if dyn is not None:
-                if dyns is None:
-                    dyns = np.zeros((q, self.n_partitions, n_dyn, self.n_words),
-                                    dtype=np.uint32)
-                dyns[qi, :, : dyn.shape[1], :] = dyn
-        if dyns is None:
-            dyns_dev = self._zero_dyn((q, self.n_partitions, n_dyn, self.n_words))
+        """Batched counts: MANY queries in ONE device dispatch. The query
+        programs concatenate into a single instruction stream (each ends
+        with EMIT_COUNT) — one scan executes them all back-to-back, so the
+        per-dispatch round-trip amortizes across the whole batch."""
+        q = len(filter_exprs)
+        if q > MAX_BATCH_QUERIES:
+            out: list[int] = []
+            for i in range(0, q, MAX_BATCH_QUERIES):
+                out.extend(self.count_batch(filter_exprs[i : i + MAX_BATCH_QUERIES]))
+            return out
+        programs = []
+        all_dyn_rows: list[list[np.ndarray]] = []
+        total_len = 0
+        for filter_expr in filter_exprs:
+            program, _depth = self.lower(filter_expr)
+            dyn_base = len(all_dyn_rows)
+            opcodes, operands = list(program.opcodes), list(program.operands)
+            for i, opcode in enumerate(opcodes):
+                if opcode == PUSH_DYN:
+                    operands[i] += dyn_base
+            all_dyn_rows.extend(program.dyn_rows)
+            programs.append((opcodes, operands))
+            total_len += len(opcodes) + 1
+        if total_len > _BATCH_LEN_BUCKETS[-1]:
+            raise ProgramTooLarge(total_len)
+        bucket = next(b for b in _BATCH_LEN_BUCKETS if b >= total_len)
+        code = np.zeros((2, bucket), dtype=np.int32)
+        code[0, :] = NOP
+        cursor = 0
+        for qi, (opcodes, operands) in enumerate(programs):
+            n = len(opcodes)
+            code[0, cursor : cursor + n] = opcodes
+            code[1, cursor : cursor + n] = operands
+            code[0, cursor + n] = EMIT_COUNT
+            code[1, cursor + n] = qi
+            cursor += n + 1
+        n_dyn = next(b for b in _DYN_BUCKETS if b >= len(all_dyn_rows))
+        if all_dyn_rows:
+            dyn = np.zeros((self.n_partitions, n_dyn, self.n_words), dtype=np.uint32)
+            for di, rows in enumerate(all_dyn_rows):
+                for pi, row in enumerate(rows):
+                    dyn[pi, di] = row
+            dyn_dev = jax.device_put(dyn)
         else:
-            dyns_dev = jax.device_put(dyns)
-        run = _batch_interpreter(bucket, self.n_rows, n_dyn, self.n_words)
-        counts = run(jnp.asarray(codes), self.bank, dyns_dev, self.full_masks)
-        return [int(c) for c in np.asarray(counts)]
+            dyn_dev = self._zero_dyn((self.n_partitions, n_dyn, self.n_words))
+        run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "multi_count")
+        counts = run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
+        return [int(c) for c in np.asarray(counts)[:q]]
 
     def count(self, filter_expr) -> int:
         """Fused filter + popcount on device (Aggregated without group-by:
@@ -375,26 +402,40 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_words: int,
     """Jitted, partition-vmapped stack-machine interpreter for one shape
     bucket. output='words' returns the [P, W] bitset; output='count' fuses
     the popcount reduction into the same executable (one dispatch)."""
-    run_one = build_run_one(program_len, n_rows, n_dyn, n_words)
+    run_one = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words)
 
     def run(code, bank, dyn, full_masks):
-        words = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0))(
+        words, outs = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0))(
             code[0], code[1], bank, dyn, full_masks
         )
         if output == "count":
             return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
+        if output == "multi_count":
+            return outs.sum(axis=0, dtype=jnp.int32)  # [MAX_BATCH_QUERIES]
         return words
 
     return jax.jit(run)
 
 
 def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
-    """The single-partition stack-machine body (un-jitted; parallel/ wraps it
-    with mesh shardings)."""
+    """Single-partition VM body returning only the top-of-stack words (the
+    form parallel/mesh.py and __graft_entry__ jit over a mesh)."""
+    full = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words)
+
+    def run_one(opcodes, operands, bank, dyn, full_mask):
+        words, _outs = full(opcodes, operands, bank, dyn, full_mask)
+        return words
+
+    return run_one
+
+
+def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: int):
+    """The single-partition stack-machine body (un-jitted). Returns
+    (top-of-stack words, EMIT_COUNT output vector)."""
 
     def run_one(opcodes, operands, bank, dyn, full_mask):
         def step(state, instr):
-            stack, sp, counts, csp = state
+            stack, sp, counts, csp, out = state
             opcode, operand = instr
 
             def push(value, stack=stack, sp=sp):
@@ -405,45 +446,46 @@ def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
                 # per-query rows instead of broadcasting the whole bank
                 row = bank[operand]
                 s, p = push(row)
-                return s, p, counts, csp
+                return s, p, counts, csp, out
 
             def do_push_dyn(_):
                 row = dyn[operand]
                 s, p = push(row)
-                return s, p, counts, csp
+                return s, p, counts, csp, out
 
             def do_push_full(_):
                 s, p = push(full_mask)
-                return s, p, counts, csp
+                return s, p, counts, csp, out
 
             def do_push_empty(_):
                 s, p = push(jnp.zeros((n_words,), jnp.uint32))
-                return s, p, counts, csp
+                return s, p, counts, csp, out
 
             def do_not(_):
                 top = stack[sp - 1]
-                return stack.at[sp - 1].set(jnp.bitwise_not(top) & full_mask), sp, counts, csp
+                return (stack.at[sp - 1].set(jnp.bitwise_not(top) & full_mask),
+                        sp, counts, csp, out)
 
             def do_and(_):
                 val = stack[sp - 2] & stack[sp - 1]
-                return stack.at[sp - 2].set(val), sp - 1, counts, csp
+                return stack.at[sp - 2].set(val), sp - 1, counts, csp, out
 
             def do_or(_):
                 val = stack[sp - 2] | stack[sp - 1]
-                return stack.at[sp - 2].set(val), sp - 1, counts, csp
+                return stack.at[sp - 2].set(val), sp - 1, counts, csp, out
 
             def do_th_push(_):
                 new_counts = jax.lax.dynamic_update_index_in_dim(
                     counts, jnp.zeros((n_words, 32), jnp.uint8), csp, 0
                 )
-                return stack, sp, new_counts, csp + 1
+                return stack, sp, new_counts, csp + 1, out
 
             def do_th_add(_):
                 top = stack[sp - 1]
                 bits = ((top[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & 1
                         ).astype(jnp.uint8)
                 new_counts = counts.at[csp - 1].add(bits)
-                return stack, sp - 1, new_counts, csp
+                return stack, sp - 1, new_counts, csp, out
 
             def _pack(mask_bits):
                 weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
@@ -455,53 +497,42 @@ def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
                 k = operand.astype(jnp.uint8)
                 words = _pack(counts[csp - 1] >= k) & full_mask
                 s, p = push(words)
-                return s, p, counts, csp - 1
+                return s, p, counts, csp - 1, out
 
             def do_th_eq(_):
                 k = operand.astype(jnp.uint8)
                 words = _pack(counts[csp - 1] == k) & full_mask
                 s, p = push(words)
-                return s, p, counts, csp - 1
+                return s, p, counts, csp - 1, out
+
+            def do_emit_count(_):
+                count = jax.lax.population_count(stack[sp - 1]).astype(jnp.int32).sum(
+                    dtype=jnp.int32)
+                return stack, sp - 1, counts, csp, out.at[operand].set(count)
 
             def do_nop(_):
-                return stack, sp, counts, csp
+                return stack, sp, counts, csp, out
 
             new_state = jax.lax.switch(
                 opcode,
                 [do_push_static, do_push_dyn, do_push_full, do_push_empty,
                  do_not, do_and, do_or, do_th_push, do_th_add, do_th_ge,
-                 do_th_eq, do_nop],
+                 do_th_eq, do_emit_count, do_nop],
                 None,
             )
             return new_state, None
 
         stack0 = jnp.zeros((MAX_STACK, n_words), jnp.uint32)
         counts0 = jnp.zeros((MAX_COUNT_STACK, n_words, 32), jnp.uint8)
-        (stack, sp, _, _), _ = jax.lax.scan(
-            step, (stack0, jnp.int32(0), counts0, jnp.int32(0)), (opcodes, operands)
+        out0 = jnp.zeros((MAX_BATCH_QUERIES,), jnp.int32)
+        (stack, sp, _, _, out), _ = jax.lax.scan(
+            step,
+            (stack0, jnp.int32(0), counts0, jnp.int32(0), out0),
+            (opcodes, operands),
         )
-        return stack[0]
+        return stack[0], out
 
     return run_one
-
-
-@functools.lru_cache(maxsize=32)
-def _batch_interpreter(program_len: int, n_rows: int, n_dyn: int, n_words: int):
-    """Query-batched count interpreter: vmap over queries, then partitions;
-    executable keyed only by shape buckets (batch size is a leading vmap
-    axis, so distinct batch sizes do recompile — callers pad batches)."""
-    run_one = build_run_one(program_len, n_rows, n_dyn, n_words)
-
-    def run(codes, bank, dyns, full_masks):
-        def one_query(code, dyn):
-            words = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0))(
-                code[0], code[1], bank, dyn, full_masks
-            )
-            return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
-
-        return jax.vmap(one_query, in_axes=(0, 0))(codes, dyns)
-
-    return jax.jit(run)
 
 
 @jax.jit
