@@ -106,19 +106,48 @@ class DeviceEngine:
             self.n_words += 128 - self.n_words % 128
         align = pk.ROW_BLOCK if self.use_pallas else 1
 
-        # Row directory: (kind, segment, symbol, position) -> bank row.
-        self.row_offsets: dict[tuple[str, str], tuple[int, int, int]] = {}
-        offset = 0
+        # COMPACT bank layout (the TPU-native analog of the reference's
+        # majority-symbol deletion, position.cpp:101-127): per segment, keep
+        # only (symbol, position) rows that have any bit in any partition AND
+        # are not the (globally decided) majority symbol at that position.
+        # - empty rows    -> PUSH_EMPTY at compile time
+        # - majority rows -> NOT(OR(stored sibling rows)) at compile time,
+        #   and |filter| - sum(stored counts) in the Mutations reduction.
+        # Global (cross-partition) decisions keep the program structure
+        # partition-uniform.
         segments: list[tuple[str, str]] = [
             ("nuc", name) for name in sorted(database.nuc_sequences)
         ] + [("aa", name) for name in sorted(database.aa_sequences)]
-        first = partitions[0]
+        # per segment: row_map[S, L] (-1 empty, -2 majority, else bank row),
+        # majority[L], stored (sym_ids, pos_ids) in bank-row order, offsets
+        self.segment_meta: dict[tuple[str, str], dict] = {}
+        offset = 0
         for kind, name in segments:
-            seg = first.nuc_sequences[name] if kind == "nuc" else first.aa_sequences[name]
-            self.row_offsets[(kind, name)] = (offset, seg.alphabet.count, seg.length)
-            offset += seg.alphabet.count * seg.length
+            totals = None
+            for partition in partitions:
+                seg = (partition.nuc_sequences[name] if kind == "nuc"
+                       else partition.aa_sequences[name])
+                cnt = np.bitwise_count(seg.planes).sum(axis=-1, dtype=np.int64)
+                totals = cnt if totals is None else totals + cnt
+            majority = np.argmax(totals, axis=0)  # [L]
+            s_count, length = totals.shape
+            present = totals > 0
+            present[majority, np.arange(length)] = False  # majority not stored
+            sym_ids, pos_ids = np.nonzero(present)
+            # pos-major order for cache-friendly sibling lookups
+            order = np.lexsort((sym_ids, pos_ids))
+            sym_ids, pos_ids = sym_ids[order], pos_ids[order]
+            row_map = np.full((s_count, length), -1, dtype=np.int64)
+            row_map[majority, np.arange(length)] = -2
+            row_map[sym_ids, pos_ids] = offset + np.arange(len(sym_ids))
+            self.segment_meta[(kind, name)] = {
+                "offset": offset, "n_stored": len(sym_ids), "length": length,
+                "s_count": s_count, "row_map": row_map, "majority": majority,
+                "sym_ids": sym_ids, "pos_ids": pos_ids,
+            }
+            offset += len(sym_ids)
             offset = -(-offset // align) * align
-        self.n_rows = offset
+        self.n_rows = max(offset, 1)
 
         # Build bank[P, R, W] (pad each partition's words to the common W).
         bank = np.zeros((self.n_partitions, self.n_rows, self.n_words), dtype=np.uint32)
@@ -130,10 +159,11 @@ class DeviceEngine:
                     if kind == "nuc"
                     else partition.aa_sequences[name]
                 )
-                start, count, length = self.row_offsets[(kind, name)]
-                bank[pi, start : start + count * length, :w] = seg.planes.reshape(
-                    count * length, w
-                )
+                meta = self.segment_meta[(kind, name)]
+                start, n_stored = meta["offset"], meta["n_stored"]
+                bank[pi, start : start + n_stored, :w] = seg.planes[
+                    meta["sym_ids"], meta["pos_ids"], :w
+                ]
         self.bank = jax.device_put(bank)
         full = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
         for pi, partition in enumerate(partitions):
@@ -144,10 +174,29 @@ class DeviceEngine:
 
     # -- lowering ---------------------------------------------------------
 
-    def static_row(self, ref: tuple) -> int:
+    def _emit_static_ref(self, program: _Program, ref: tuple) -> int:
+        """Emit instructions for one (kind, name, sym, pos) plane under the
+        compact layout; returns the stack depth used."""
         kind, name, sym, pos = ref
-        start, _count, length = self.row_offsets[(kind, name)]
-        return start + sym * length + pos
+        meta = self.segment_meta[(kind, name)]
+        row = int(meta["row_map"][sym, pos])
+        if row >= 0:
+            program.emit(PUSH_STATIC, row)
+            return 1
+        if row == -1:  # no sequence has this symbol here, in any partition
+            program.emit(PUSH_EMPTY)
+            return 1
+        # majority symbol: reconstruct as NOT(OR(stored sibling rows))
+        siblings = [int(r) for r in meta["row_map"][:, pos] if r >= 0]
+        if not siblings:
+            program.emit(PUSH_FULL)
+            return 1
+        program.emit(PUSH_STATIC, siblings[0])
+        for sibling in siblings[1:]:
+            program.emit(PUSH_STATIC, sibling)
+            program.emit(OP_OR)
+        program.emit(OP_NOT)
+        return 2 if len(siblings) > 1 else 1
 
     def lower(self, filter_expr) -> tuple[_Program, int]:
         """Compile the expression per partition (uniform mode) and flatten
@@ -190,10 +239,9 @@ class DeviceEngine:
         if node_type is ir.Plane:
             refs = {n.static_ref for n in nodes}
             if len(refs) == 1 and node.static_ref is not None:
-                program.emit(PUSH_STATIC, self.static_row(node.static_ref))
-            else:
-                idx = program.add_dyn([self._pad(n.words) for n in nodes])
-                program.emit(PUSH_DYN, idx)
+                return self._emit_static_ref(program, node.static_ref)
+            idx = program.add_dyn([self._pad(n.words) for n in nodes])
+            program.emit(PUSH_DYN, idx)
             return 1
         if node_type is ir.Not:
             depth = self._emit([n.child for n in nodes], program, evaluators, count_depth)
@@ -378,22 +426,38 @@ class DeviceEngine:
     def mutation_counts(self, kind: str, name: str, filter_words: list[np.ndarray]):
         """counts[S, L]: per (symbol, position) popcount of plane & filter,
         summed over partitions. THE flagship reduction — Pallas streaming
-        kernel on TPU, fused XLA path otherwise."""
-        start, count, length = self.row_offsets[(kind, name)]
-        dyn = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
-        for pi, words in enumerate(filter_words):
-            dyn[pi, : len(words)] = words
-        filters = jax.device_put(dyn)
-        if self.use_pallas:
-            from . import pallas_kernels as pk
+        kernel on TPU, fused XLA path otherwise. Majority rows reconstruct as
+        |filter| - sum(stored counts at pos) (reference mutations.cpp:74-96,
+        exact under the one-symbol-per-position invariant)."""
+        meta = self.segment_meta[(kind, name)]
+        start, n_stored = meta["offset"], meta["n_stored"]
+        length, s_count = meta["length"], meta["s_count"]
+        filter_total = sum(bitset.popcount(w) for w in filter_words)
+        counts = np.zeros((s_count, length), dtype=np.int64)
+        if n_stored:
+            dyn = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
+            for pi, words in enumerate(filter_words):
+                dyn[pi, : len(words)] = words
+            filters = jax.device_put(dyn)
+            if self.use_pallas:
+                from . import pallas_kernels as pk
 
-            n_seg_rows = -(-count * length // pk.ROW_BLOCK) * pk.ROW_BLOCK
-            result = pk.mutation_counts_banked(
-                self.bank, filters, start, n_seg_rows, self.n_words
-            )[: count * length]
+                padded = -(-n_stored // pk.ROW_BLOCK) * pk.ROW_BLOCK
+                stored = np.asarray(pk.mutation_counts_banked(
+                    self.bank, filters, start, padded, self.n_words
+                )[:n_stored], dtype=np.int64)
+            else:
+                stored = np.asarray(
+                    _mutation_counts_jit(self.bank, filters, start, n_stored),
+                    dtype=np.int64,
+                )
+            counts[meta["sym_ids"], meta["pos_ids"]] = stored
+            per_pos = np.zeros(length, dtype=np.int64)
+            np.add.at(per_pos, meta["pos_ids"], stored)
         else:
-            result = _mutation_counts_jit(self.bank, filters, start, count * length)
-        return np.asarray(result).reshape(count, length)
+            per_pos = np.zeros(length, dtype=np.int64)
+        counts[meta["majority"], np.arange(length)] = filter_total - per_pos
+        return counts
 
 
 @functools.lru_cache(maxsize=64)
