@@ -1,0 +1,70 @@
+"""CLI end-to-end: --preprocessing writes a snapshot; the api stack loads it
+through the watcher and serves /query (reference e2e docker flow)."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import pytest
+
+from .conftest import REFERENCE_ROOT, reference_available
+
+
+@pytest.fixture(scope="module")
+def cli_output_dir(tmp_path_factory):
+    if not reference_available():
+        pytest.skip("reference data unavailable")
+    import yaml
+
+    base = os.path.join(REFERENCE_ROOT, "testBaseData/exampleDataset/")
+    work = tmp_path_factory.mktemp("cli_run")
+    out = work / "output"
+    pcfg = {
+        "inputDirectory": base,
+        "outputDirectory": str(out),
+        "metadataFilename": "small_metadata_set.tsv",
+        "pangoLineageDefinitionFilename": "pangolineage_alias.json",
+        "referenceGenomeFilename": "reference_genomes.json",
+    }
+    pcfg_path = work / "preprocessing_config.yaml"
+    pcfg_path.write_text(yaml.safe_dump(pcfg))
+
+    from lapis_silo_tpu import cli
+
+    code = cli.main([
+        "--preprocessing",
+        "--preprocessingConfig", str(pcfg_path),
+        "--databaseConfig", os.path.join(base, "database_config.yaml"),
+    ])
+    assert code == 0
+    snapshots = [d for d in os.listdir(out) if d.isdigit()]
+    assert len(snapshots) == 1
+    return str(out)
+
+
+def test_cli_preprocessing_and_serve(cli_output_dir):
+    from lapis_silo_tpu.server.http_server import DatabaseMutex, make_server
+    from lapis_silo_tpu.server.watcher import DatabaseDirectoryWatcher
+
+    mutex = DatabaseMutex()
+    watcher = DatabaseDirectoryWatcher(cli_output_dir, mutex, poll_seconds=3600)
+    watcher.start()
+    server = make_server(mutex, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps({
+            "action": {"type": "Aggregated", "groupByFields": ["country"],
+                       "orderByFields": ["country"]},
+            "filterExpression": {"type": "True"},
+        })
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query", data=body.encode(), method="POST")
+        with urllib.request.urlopen(req) as resp:
+            payload = json.loads(resp.read())
+        assert sum(r["count"] for r in payload["queryResult"]) == 100
+        assert any(r["country"] == "Switzerland" for r in payload["queryResult"])
+    finally:
+        server.shutdown()
+        watcher.stop()
