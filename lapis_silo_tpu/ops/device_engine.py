@@ -84,7 +84,7 @@ class _Program:
 
 
 class DeviceEngine:
-    def __init__(self, database):
+    def __init__(self, database, devices=None):
         self.db = database
         partitions = database.partitions
         if not partitions:
@@ -92,6 +92,23 @@ class DeviceEngine:
         self.n_partitions = len(partitions)
         self.part_rows = [p.sequence_count for p in partitions]
         self.n_words = max(bitset.words_for(p.sequence_count) for p in partitions)
+
+        # Multi-chip: shard the packed sequence-word axis across all local
+        # devices (every VM op is word-local; reductions become ICI
+        # all-reduces inserted by XLA). One device -> plain placement.
+        devices = devices if devices is not None else jax.devices()
+        if len(devices) > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            self.mesh = Mesh(np.asarray(devices), ("seq",))
+            self._bank_sharding = NamedSharding(self.mesh, PartitionSpec(None, None, "seq"))
+            self._words_sharding = NamedSharding(self.mesh, PartitionSpec(None, "seq"))
+            if self.n_words % len(devices):
+                self.n_words += len(devices) - self.n_words % len(devices)
+        else:
+            self.mesh = None
+            self._bank_sharding = None
+            self._words_sharding = None
 
         # Pallas streaming kernels want lane-aligned words and block-aligned
         # segment offsets; only worth the padding on large corpora.
@@ -164,12 +181,12 @@ class DeviceEngine:
                 bank[pi, start : start + n_stored, :w] = seg.planes[
                     meta["sym_ids"], meta["pos_ids"], :w
                 ]
-        self.bank = jax.device_put(bank)
+        self.bank = jax.device_put(bank, self._bank_sharding)
         full = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
         for pi, partition in enumerate(partitions):
             w = bitset.words_for(partition.sequence_count)
             full[pi, :w] = partition.full
-        self.full_masks = jax.device_put(full)
+        self.full_masks = jax.device_put(full, self._words_sharding)
         self._filter_cache: dict[str, jax.Array] = {}
 
     # -- lowering ---------------------------------------------------------
@@ -339,13 +356,24 @@ class DeviceEngine:
             dyn = None
         return bucket, n_dyn, code, dyn
 
+    def _dyn_sharding(self, ndim: int):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = [None] * (ndim - 1) + ["seq"]
+        return NamedSharding(self.mesh, PartitionSpec(*spec))
+
+    def _put_dyn(self, array: np.ndarray) -> jax.Array:
+        return jax.device_put(array, self._dyn_sharding(array.ndim))
+
     def _zero_dyn(self, shape) -> jax.Array:
         """Cached all-zero dynamic bank: the hot path for data-free queries
         transfers only the tiny program array."""
         key = ("zero_dyn", shape)
         cached = self._filter_cache.get(key)
         if cached is None:
-            cached = jax.device_put(np.zeros(shape, dtype=np.uint32))
+            cached = self._put_dyn(np.zeros(shape, dtype=np.uint32))
             self._filter_cache[key] = cached
         return cached
 
@@ -353,7 +381,7 @@ class DeviceEngine:
         """Returns the [P, W] filter bitset on device."""
         bucket, n_dyn, code, dyn = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
-        dyn_dev = self._zero_dyn(shape) if dyn is None else jax.device_put(dyn)
+        dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
         run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "words")
         return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
 
@@ -362,7 +390,7 @@ class DeviceEngine:
         device array without blocking."""
         bucket, n_dyn, code, dyn = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
-        dyn_dev = self._zero_dyn(shape) if dyn is None else jax.device_put(dyn)
+        dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
         run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "count")
         return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
 
@@ -409,7 +437,7 @@ class DeviceEngine:
             for di, rows in enumerate(all_dyn_rows):
                 for pi, row in enumerate(rows):
                     dyn[pi, di] = row
-            dyn_dev = jax.device_put(dyn)
+            dyn_dev = self._put_dyn(dyn)
         else:
             dyn_dev = self._zero_dyn((self.n_partitions, n_dyn, self.n_words))
         run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "multi_count")
@@ -438,7 +466,7 @@ class DeviceEngine:
             dyn = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
             for pi, words in enumerate(filter_words):
                 dyn[pi, : len(words)] = words
-            filters = jax.device_put(dyn)
+            filters = self._put_dyn(dyn)
             if self.use_pallas:
                 from . import pallas_kernels as pk
 
