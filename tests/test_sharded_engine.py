@@ -1,0 +1,35 @@
+"""DeviceEngine with the word axis sharded over 8 virtual CPU devices must
+be bit-identical to the single-device engine."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_engine_matches_single_device():
+    from lapis_silo_tpu.ops.device_engine import DeviceEngine
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.testing import sample_count_queries, synthetic_database
+
+    db = synthetic_database(n_rows=2048, length=256, n_partitions=3)
+    single = DeviceEngine(db, devices=jax.devices()[:1])
+    sharded = DeviceEngine(db, devices=jax.devices()[:8])
+    assert sharded.mesh is not None
+    queries = [Query(q) for q in sample_count_queries(db, 16)]
+    for query in queries:
+        assert single.count(query.filter) == sharded.count(query.filter)
+    batch = [q.filter for q in queries]
+    assert single.count_batch(batch) == sharded.count_batch(batch)
+    # mutation histogram across the mesh
+    filt = Query(json.dumps({"action": {"type": "Aggregated"},
+                             "filterExpression": {"type": "True"}})).filter
+    words_single = single.evaluate(filt)
+    words_sharded = sharded.evaluate(filt)
+    for a, b in zip(words_single, words_sharded):
+        np.testing.assert_array_equal(a, b)
+    m1 = single.mutation_counts("nuc", "main", words_single)
+    m2 = sharded.mutation_counts("nuc", "main", words_sharded)
+    np.testing.assert_array_equal(m1, m2)
