@@ -78,6 +78,23 @@ def main():
     latencies.sort()
     p50 = latencies[len(latencies) // 2]
 
+    # Mutations action (the HBM-bound reduction; Pallas kernel on TPU).
+    mutations_query = Query(json.dumps({
+        "action": {"type": "Mutations", "minProportion": 0.05},
+        "filterExpression": {"type": "True"},
+    }))
+    words = engine.evaluate(mutations_query.filter)
+    engine.mutation_counts("nuc", "main", words)  # warm
+    t0 = time.perf_counter()
+    matrix = engine.mutation_counts("nuc", "main", words)
+    mutations_s = time.perf_counter() - t0
+    seg_bytes = engine.segment_meta[("nuc", "main")]["n_stored"] * engine.n_words * 4 \
+        * n_partitions
+    log(f"mutations reduction: {mutations_s * 1e3:.1f} ms over "
+        f"{seg_bytes / 1e9:.2f} GB stored rows -> "
+        f"{seg_bytes / mutations_s / 1e9:.0f} GB/s effective "
+        f"(pallas={engine.use_pallas}); nonzero cells={int((matrix > 0).sum())}")
+
     # Throughput: batched — the whole query batch executes as ONE device
     # dispatch (vmap over the query axis), amortizing the dispatch
     # round-trip. Warm the batch executable, then measure repeated batches.
