@@ -68,6 +68,10 @@ def main():
             engine.count(query.filter)
     log(f"warm-up ({len(seen)} executables) in {time.time() - t0:.1f}s")
 
+    profile_dir = os.environ.get("SILO_BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     # Latency: synchronous round-trips (client-visible p50).
     latencies = []
     counts = []
@@ -106,6 +110,9 @@ def main():
         engine.count_batch([q.filter for q in queries])
     total = time.perf_counter() - t_start
     qps = repeats * len(queries) / total
+    if profile_dir:
+        jax.profiler.stop_trace()
+        log(f"profiler trace written to {profile_dir}")
     seqs_per_sec = qps * n_rows
     log(f"queries: {len(queries)}  qps={qps:.1f}  p50={p50 * 1e3:.2f} ms  "
         f"filtered seqs/s/chip={seqs_per_sec:.3g}  counts[:5]={counts[:5]}")
