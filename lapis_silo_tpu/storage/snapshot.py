@@ -42,6 +42,44 @@ from .unaligned import UnalignedPartitionStore
 MANIFEST = "manifest.json"
 DATA_VERSION_FILE = "data_version.silo"
 
+# Plane tensors compress extremely well (majority rows are all-ones runs,
+# mutation rows mostly zero); chunked zstd keeps save/load streaming.
+_PLANES_CHUNK = 64 << 20
+
+
+def _save_planes(path_no_ext: str, planes: np.ndarray):
+    from ..common import zstd
+
+    raw = planes.reshape(-1).view(np.uint8)
+    with open(path_no_ext + ".planes.zst", "wb") as f:
+        header = json.dumps({"shape": list(planes.shape), "dtype": "uint32"})
+        f.write(len(header).to_bytes(4, "little"))
+        f.write(header.encode())
+        for start in range(0, len(raw), _PLANES_CHUNK):
+            chunk = zstd.compress(raw[start : start + _PLANES_CHUNK].tobytes(), level=1)
+            f.write(len(chunk).to_bytes(8, "little"))
+            f.write(chunk)
+
+
+def _load_planes(path_no_ext: str) -> np.ndarray:
+    from ..common import zstd
+
+    legacy = path_no_ext + ".npy"
+    if os.path.exists(legacy):
+        return np.load(legacy)
+    with open(path_no_ext + ".planes.zst", "rb") as f:
+        header_len = int.from_bytes(f.read(4), "little")
+        header = json.loads(f.read(header_len))
+        parts = []
+        while True:
+            size_bytes = f.read(8)
+            if not size_bytes:
+                break
+            size = int.from_bytes(size_bytes, "little")
+            parts.append(zstd.decompress(f.read(size)))
+    flat = np.frombuffer(b"".join(parts), dtype=np.uint32)
+    return flat.reshape(header["shape"]).copy()
+
 
 def save_database(db: Database, output_directory: str) -> str:
     """Writes a new versioned snapshot; returns its directory."""
@@ -86,8 +124,9 @@ def save_database(db: Database, output_directory: str) -> str:
         for kind, segments in (("nuc", partition.nuc_sequences),
                                ("aa", partition.aa_sequences)):
             for name, segment in segments.items():
-                np.save(os.path.join(tmp_dir, f"P{pid}_{kind}_{name}.npy"),
-                        segment.planes)
+                _save_planes(
+                    os.path.join(tmp_dir, f"P{pid}_{kind}_{name}"), segment.planes
+                )
         for name, stores in db.unaligned_nuc_sequences.items():
             store = stores[pid]
             blob = b"".join(b or b"" for b in store.blobs)
@@ -190,8 +229,7 @@ def load_database(snapshot_dir: str) -> Database:
             ("aa", genomes.aa_ids, AMINO_ACID, genomes.aa_ids),
         ):
             for name in names:
-                path = os.path.join(snapshot_dir, f"P{pid}_{kind}_{name}.npy")
-                planes = np.load(path)
+                planes = _load_planes(os.path.join(snapshot_dir, f"P{pid}_{kind}_{name}"))
                 segment = SegmentIndex(alphabet, refs[name], n, planes)
                 if kind == "nuc":
                     partition.nuc_sequences[name] = segment
