@@ -100,31 +100,66 @@ class Database:
         }
 
     def detailed_info(self) -> dict:
-        """Index introspection (analog of /info?details=true,
-        reference database.cpp:122-323): per-symbol plane bytes and
-        per-partition shapes."""
+        """Index introspection: same JSON structure as the reference's
+        /info?details=true (info_handler.cpp:18-71, database.cpp:122-323),
+        with dense-plane analogs of the Roaring container statistics:
+        every stored row is one 'bitset container'; sizes are packed-word
+        bytes; per-section sizes count set-bit bytes per 500-position slice
+        of the default nucleotide sequence."""
+        import numpy as np
+
+        section_length = 500
+        default = self.config.default_nucleotide_sequence
         per_symbol: dict[str, int] = {}
+        per_section: dict[str, list] = {}
+        total_bytes = 0
+        total_set_bits = 0
+        n_rows_nonzero = 0
         for partition in self.partitions:
-            for seg in partition.nuc_sequences.values():
-                for sym_id, char in enumerate(seg.alphabet.chars):
-                    per_symbol[char] = per_symbol.get(char, 0) + int(
-                        seg.planes[sym_id].nbytes
-                    )
-        info = self.info()
+            seg = partition.nuc_sequences.get(default)
+            if seg is None:
+                continue
+            alphabet = seg.alphabet
+            set_bits = np.bitwise_count(seg.planes).sum(axis=-1, dtype=np.int64)
+            n_sections = -(-seg.length // section_length)
+            pad = n_sections * section_length - seg.length
+            padded = np.pad(set_bits, ((0, 0), (0, pad)))
+            sections = padded.reshape(alphabet.count, n_sections, section_length).sum(
+                axis=-1
+            )
+            gap_id, missing_id = 0, alphabet.missing_id
+            other_ids = [i for i in range(alphabet.count)
+                         if i not in (gap_id, missing_id)]
+            for key, ids in (("-", [gap_id]), ("N", [missing_id]),
+                             ("NOT_N_NOT_GAP", other_ids)):
+                arr = (sections[ids].sum(axis=0) // 8).tolist()
+                if key in per_section:
+                    per_section[key] = [a + b for a, b in zip(per_section[key], arr)]
+                else:
+                    per_section[key] = arr
+            for sym_id, char in enumerate(alphabet.chars):
+                per_symbol[char] = per_symbol.get(char, 0) + int(
+                    seg.planes[sym_id].nbytes)
+            total_bytes += int(seg.planes.nbytes)
+            total_set_bits += int(set_bits.sum())
+            n_rows_nonzero += int((set_bits > 0).sum())
         return {
-            "bitmapSizePerSymbol": {"sizeInBytes": per_symbol},
+            "bitmapSizePerSymbol": per_symbol,
             "bitmapContainerSizePerGenomeSection": {
-                "sectionLength": 500,
-                "bitmapContainerSizeStatistic": {},
-                "totalBitmapSizeComputed": info["totalSize"],
-                "totalBitmapSizeFrozen": info["totalSize"],
+                "sectionLength": section_length,
+                "sizePerGenomeSymbolAndSection": per_section,
+                "bitmapContainerSizeStatistic": {
+                    "numberOfArrayContainers": 0,
+                    "numberOfRunContainers": 0,
+                    "numberOfBitsetContainers": n_rows_nonzero,
+                    "numberOfValuesStoredInArrayContainers": 0,
+                    "numberOfValuesStoredInRunContainers": 0,
+                    "numberOfValuesStoredInBitsetContainers": total_set_bits,
+                    "totalBitmapSizeArrayContainers": 0,
+                    "totalBitmapSizeRunContainers": 0,
+                    "totalBitmapSizeBitsetContainers": total_bytes,
+                },
+                "totalBitmapSizeFrozen": total_bytes,
+                "totalBitmapSizeComputed": total_bytes,
             },
-            "partitions": [
-                {
-                    "partitionId": p.partition_id,
-                    "sequenceCount": p.sequence_count,
-                    "words": p.n_words,
-                }
-                for p in self.partitions
-            ],
         }

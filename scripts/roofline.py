@@ -44,13 +44,20 @@ def main():
 
     # warm (compile)
     repeat(bank_dev, filters).block_until_ready()
-    t0 = time.perf_counter()
-    result = repeat(bank_dev, filters).block_until_ready()
-    elapsed = time.perf_counter() - t0
-    per_iter = elapsed / iters
+    # distinct inputs per timed call (the execution relay memoizes repeats)
+    reps = 4
+    times = []
+    for k in range(reps):
+        f_k = jax.device_put(
+            rng.integers(0, 2**32, size=(1, n_words), dtype=np.uint32))
+        t0 = time.perf_counter()
+        result = repeat(bank_dev, f_k).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    per_iter = best / iters
     bw = bank.nbytes / per_iter / 1e9
-    print(f"total {elapsed * 1e3:.1f} ms, per-iter {per_iter * 1e3:.2f} ms, "
-          f"effective {bw:.0f} GB/s (result={int(result)})")
+    print(f"times {['%.1f' % (t * 1e3) for t in times]} ms; best per-iter "
+          f"{per_iter * 1e3:.2f} ms, effective {bw:.0f} GB/s (result={int(result)})")
 
 
 if __name__ == "__main__":
