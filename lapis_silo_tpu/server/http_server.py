@@ -74,6 +74,19 @@ class SiloRequestHandler(BaseHTTPRequestHandler):
             },
         )
 
+    # Any method other than GET/POST: 405 (reference rest_resource.cpp)
+    def do_PUT(self):
+        self._method_not_allowed()
+
+    def do_DELETE(self):
+        self._method_not_allowed()
+
+    def do_PATCH(self):
+        self._method_not_allowed()
+
+    def do_HEAD(self):
+        self._method_not_allowed()
+
     def do_GET(self):
         parsed = urlparse(self.path)
         if parsed.path == "/info":

@@ -51,7 +51,7 @@ def main():
         f_k = jax.device_put(
             rng.integers(0, 2**32, size=(1, n_words), dtype=np.uint32))
         t0 = time.perf_counter()
-        result = repeat(bank_dev, f_k).block_until_ready()
+        result = int(repeat(bank_dev, f_k))  # force the value to the host
         times.append(time.perf_counter() - t0)
     best = min(times)
     per_iter = best / iters
