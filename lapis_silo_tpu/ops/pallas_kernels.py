@@ -75,22 +75,24 @@ def popcount_rows_and_filter(rows, filter_words, interpret=False):
     return out[:, 0]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: int,
+                           row_block: int = ROW_BLOCK, word_block: int | None = None):
     """counts[n_seg_rows]: sum over partitions of popcount(bank_row & filter).
 
-    bank [P, R, W] stays in HBM; the kernel streams ROW_BLOCK x word-block
+    bank [P, R, W] stays in HBM; the kernel streams row_block x word_block
     tiles through VMEM against the per-partition filter. `start` must be
-    ROW_BLOCK-aligned (DeviceEngine aligns segment offsets), W must be a
+    row_block-aligned (DeviceEngine aligns segment offsets), W must be a
     lane multiple.
     """
     n_partitions = bank.shape[0]
-    start_block = start // ROW_BLOCK
-    assert start % ROW_BLOCK == 0
-    word_block = min(WORD_BLOCK, n_words)
+    start_block = start // row_block
+    assert start % row_block == 0 and n_seg_rows % row_block == 0
+    if word_block is None:
+        word_block = min(WORD_BLOCK, n_words)
     # reduction axes (partition, word-block) innermost so each output block's
     # revisits are consecutive
-    grid = (n_seg_rows // ROW_BLOCK, n_partitions, n_words // word_block)
+    grid = (n_seg_rows // row_block, n_partitions, n_words // word_block)
 
     def kernel(filter_ref, rows_ref, out_ref):
         masked = rows_ref[0] & filter_ref[0]
@@ -104,16 +106,22 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
 
         out_ref[:] += counts
 
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"))
+    except Exception:  # noqa: BLE001
+        compiler_params = None
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, word_block), lambda i, p, j: (p, 0, j)),
-            pl.BlockSpec((1, ROW_BLOCK, word_block),
+            pl.BlockSpec((1, row_block, word_block),
                          lambda i, p, j: (p, start_block + i, j)),
         ],
-        out_specs=pl.BlockSpec((ROW_BLOCK, 1), lambda i, p, j: (i, 0)),
+        out_specs=pl.BlockSpec((row_block, 1), lambda i, p, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_seg_rows, 1), jnp.int32),
+        compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_partitions * n_seg_rows * n_words,
             bytes_accessed=n_partitions * n_seg_rows * n_words * 4,

@@ -102,7 +102,12 @@ class Preprocessor:
 
         from ..common import zstd as zstd_mod
 
-        if os.path.exists(path):
+        if os.path.exists(path) and path.endswith(".zst"):
+            with open(path, "rb") as fh:
+                f = io.StringIO(zstd_mod.decompress(fh.read()).decode("utf-8"))
+        elif os.path.exists(path) and path.endswith(".xz"):
+            f = lzma.open(path, "rt", encoding="utf-8")
+        elif os.path.exists(path):
             f = open(path, encoding="utf-8")
         elif os.path.exists(path + ".zst"):
             with open(path + ".zst", "rb") as fh:

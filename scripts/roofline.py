@@ -4,6 +4,7 @@ jit so the per-dispatch relay RTT amortizes away.
   python scripts/roofline.py [rows] [n_stored_rows] [iters]
 """
 
+import functools
 import os
 import sys
 import time
@@ -32,32 +33,37 @@ def main():
     filters = jax.device_put(
         rng.integers(0, 2**32, size=(1, n_words), dtype=np.uint32))
 
-    @jax.jit
-    def repeat(bank, filters):
-        def body(i, acc):
-            # vary the filter per iteration so XLA cannot CSE the calls
-            f = filters ^ i.astype(jnp.uint32)
-            counts = pk.mutation_counts_banked(bank, f, 0, n_stored, n_words)
-            return acc + counts.sum(dtype=jnp.int32)
+    sweep = [(256, None), (512, None), (1024, 512), (512, 1024), (256, 512),
+             (1024, None)]
+    for row_block, word_block in sweep:
+        if n_stored % row_block or (word_block and n_words % word_block):
+            continue
 
-        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+        @functools.partial(jax.jit, static_argnums=())
+        def repeat(bank, filters, rb=row_block, wb=word_block):
+            def body(i, acc):
+                # vary the filter per iteration so XLA cannot CSE the calls
+                f = filters ^ i.astype(jnp.uint32)
+                counts = pk.mutation_counts_banked(bank, f, 0, n_stored, n_words,
+                                                   rb, wb)
+                return acc + counts.sum(dtype=jnp.int32)
 
-    # warm (compile)
-    repeat(bank_dev, filters).block_until_ready()
-    # distinct inputs per timed call (the execution relay memoizes repeats)
-    reps = 4
-    times = []
-    for k in range(reps):
-        f_k = jax.device_put(
-            rng.integers(0, 2**32, size=(1, n_words), dtype=np.uint32))
-        t0 = time.perf_counter()
-        result = int(repeat(bank_dev, f_k))  # force the value to the host
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    per_iter = best / iters
-    bw = bank.nbytes / per_iter / 1e9
-    print(f"times {['%.1f' % (t * 1e3) for t in times]} ms; best per-iter "
-          f"{per_iter * 1e3:.2f} ms, effective {bw:.0f} GB/s (result={int(result)})")
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        times = []
+        result = 0
+        for k in range(4):
+            f_k = jax.device_put(
+                rng.integers(0, 2**32, size=(1, n_words), dtype=np.uint32))
+            t0 = time.perf_counter()
+            result = int(repeat(bank_dev, f_k))  # force the value to the host
+            times.append(time.perf_counter() - t0)
+        best = min(times[1:])
+        per_iter = best / iters
+        bw = bank.nbytes / per_iter / 1e9
+        print(f"rb={row_block} wb={word_block}: best per-iter "
+              f"{per_iter * 1e3:.2f} ms, effective {bw:.0f} GB/s "
+              f"(result={result})", flush=True)
 
 
 if __name__ == "__main__":
