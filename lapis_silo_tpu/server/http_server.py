@@ -25,12 +25,10 @@ class DatabaseMutex:
 
     def __init__(self, database: Database | None = None):
         self._lock = threading.Lock()
-        self._database = database
+        self._database = database if database is not None else Database.empty()
 
     def get_database(self) -> Database:
         with self._lock:
-            if self._database is None:
-                raise RuntimeError("Database not initialized yet")
             return self._database
 
     def set_database(self, database: Database):

@@ -54,6 +54,16 @@ class Database:
         self.data_version: DataVersion = DataVersion("")
         self._engine = None  # lazily created query engine
 
+    @classmethod
+    def empty(cls) -> "Database":
+        """A database with no partitions — what the API serves before the
+        first snapshot loads (reference api.cpp:178: the server starts with
+        a default-constructed Database and keeps serving)."""
+        from ..config.database_config import DatabaseSchema
+
+        config = DatabaseConfig(schema=DatabaseSchema(instance_name="", primary_key=""))
+        return cls(config, PangoLineageAliasLookup(), ReferenceGenomes({}, {}))
+
     # -- schema helpers -----------------------------------------------------
 
     def column_type(self, name: str) -> ColumnType | None:
