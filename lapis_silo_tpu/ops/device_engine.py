@@ -144,7 +144,14 @@ class DeviceEngine:
             for partition in partitions:
                 seg = (partition.nuc_sequences[name] if kind == "nuc"
                        else partition.aa_sequences[name])
-                cnt = np.bitwise_count(seg.planes).sum(axis=-1, dtype=np.int64)
+                # chunk over positions: bitwise_count would otherwise allocate
+                # a full u8 copy of the (possibly tens of GB) plane tensor
+                cnt = np.zeros(seg.planes.shape[:2], dtype=np.int64)
+                chunk = max(1, (64 << 20) // max(1, seg.planes.shape[2] * 4 * 16))
+                for lo in range(0, seg.planes.shape[1], chunk):
+                    cnt[:, lo : lo + chunk] = np.bitwise_count(
+                        seg.planes[:, lo : lo + chunk]
+                    ).sum(axis=-1, dtype=np.int64)
                 totals = cnt if totals is None else totals + cnt
             majority = np.argmax(totals, axis=0)  # [L]
             s_count, length = totals.shape
