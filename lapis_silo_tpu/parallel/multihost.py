@@ -261,6 +261,17 @@ class WorkerHandler(BaseHTTPRequestHandler):
     def log_message(self, *args):
         pass
 
+    def do_GET(self):
+        if self.path != "/internal/info":
+            self.send_error(404)
+            return
+        body = json.dumps(self.database.info()).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_POST(self):
         if self.path != "/internal/partial":
             self.send_error(404)
@@ -340,3 +351,15 @@ class Coordinator:
             raise ex
         return merge_partials(self.database, query_string,
                               [p for p in partials if p is not None])
+
+    def info(self) -> dict:
+        import urllib.request
+
+        total = self.database.info() if self.include_local else {
+            "sequenceCount": 0, "totalSize": 0, "nBitmapsSize": 0}
+        for url in self.worker_urls:
+            with urllib.request.urlopen(url + "/internal/info") as resp:
+                info = json.loads(resp.read())
+            for key in total:
+                total[key] += info.get(key, 0)
+        return total

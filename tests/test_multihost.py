@@ -60,6 +60,12 @@ def test_multihost_conformance(multihost):
         deep_equal({"queryResult": case["expectedQueryResult"]}, response, case_file)
 
 
+def test_multihost_info(multihost):
+    info = multihost.info()
+    assert info["sequenceCount"] == 100
+    assert info["totalSize"] > 0
+
+
 def test_multihost_invalid_queries(multihost):
     if not reference_available():
         pytest.skip("reference data unavailable")
