@@ -117,11 +117,31 @@ def main():
     log(f"queries: {len(queries)}  qps={qps:.1f}  p50={p50 * 1e3:.2f} ms  "
         f"filtered seqs/s/chip={seqs_per_sec:.3g}  counts[:5]={counts[:5]}")
 
+    # vs_baseline: ratio against the newest recorded round (BENCH_r{N}.json);
+    # the reference publishes no numbers (BASELINE.md), so round 1 is null.
+    vs_baseline = None
+    try:
+        import glob
+        import re
+
+        records = []
+        for path in glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")):
+            match = re.search(r"BENCH_r(\d+)\.json$", path)
+            if match:
+                records.append((int(match.group(1)), path))
+        if records:
+            with open(max(records)[1]) as f:
+                previous = json.load(f)
+            if previous.get("value"):
+                vs_baseline = round(qps / float(previous["value"]), 3)
+    except Exception as ex:  # noqa: BLE001
+        log(f"vs_baseline unavailable: {ex}")
+
     print(json.dumps({
         "metric": "mutation_filter_count_queries_per_sec",
         "value": round(qps, 2),
         "unit": f"queries/s ({n_rows} seqs x {length} pos, 1 chip)",
-        "vs_baseline": None,
+        "vs_baseline": vs_baseline,
     }))
 
 
