@@ -48,8 +48,33 @@ class DatabaseDirectoryWatcher:
                 return
             logger.info("loading snapshot %s", newest)
             database = snapshot.load_database(newest)
+            self._warmup(database)
             self.database_mutex.set_database(database)
             self._current_version = version
             logger.info("now serving data version %s", version)
         except Exception:  # parity: never crash the server on a bad snapshot
             logger.exception("snapshot load failed; keeping current database")
+
+    @staticmethod
+    def _warmup(database):
+        """Compile the common filter-VM executables BEFORE the snapshot goes
+        live (XLA compiles can take minutes on remote-compile TPU setups;
+        queries served meanwhile keep hitting the old database)."""
+        import json
+        import time
+
+        t0 = time.time()
+        try:
+            seg = next(iter(database.nuc_sequences), None)
+            filt = (
+                {"type": "HasNucleotideMutation", "position": 1, "sequenceName": seg}
+                if seg is not None
+                else {"type": "True"}
+            )
+            database.execute_query(json.dumps(
+                {"action": {"type": "Aggregated"}, "filterExpression": filt}))
+            database.execute_query(json.dumps(
+                {"action": {"type": "Aggregated"}, "filterExpression": {"type": "True"}}))
+            logger.info("device warm-up done in %.1f s", time.time() - t0)
+        except Exception:  # noqa: BLE001 — warm-up must never block serving
+            logger.exception("device warm-up failed (serving anyway)")
