@@ -57,16 +57,13 @@ def main():
 
     queries = [Query(q) for q in sample_count_queries(db, n_queries=n_queries)]
 
-    # Warm-up: compile every program-shape bucket once.
+    # One shared executable for both latency and throughput measurements:
+    # everything runs through the batch interpreter at a fixed bucket.
+    total_len = sum(len(engine.lower(q.filter)[0].opcodes) + 1 for q in queries)
+    bucket = next(b for b in (64, 256, 1024, 4096) if b >= total_len)
     t0 = time.time()
-    seen = set()
-    for query in queries:
-        program, _ = engine.lower(query.filter)
-        key = (len(program.opcodes), max(1, len(program.dyn_rows)))
-        if key not in seen:
-            seen.add(key)
-            engine.count(query.filter)
-    log(f"warm-up ({len(seen)} executables) in {time.time() - t0:.1f}s")
+    engine.count_batch([queries[0].filter], min_bucket=bucket)
+    log(f"warm-up (1 executable, bucket {bucket}) in {time.time() - t0:.1f}s")
 
     profile_dir = os.environ.get("SILO_BENCH_PROFILE")
     if profile_dir:
@@ -77,7 +74,7 @@ def main():
     counts = []
     for query in queries:
         t0 = time.perf_counter()
-        counts.append(engine.count(query.filter))
+        counts.append(engine.count_batch([query.filter], min_bucket=bucket)[0])
         latencies.append(time.perf_counter() - t0)
     latencies.sort()
     p50 = latencies[len(latencies) // 2]
@@ -102,12 +99,12 @@ def main():
     # Throughput: batched — the whole query batch executes as ONE device
     # dispatch (vmap over the query axis), amortizing the dispatch
     # round-trip. Warm the batch executable, then measure repeated batches.
-    batch_counts = engine.count_batch([q.filter for q in queries])
+    batch_counts = engine.count_batch([q.filter for q in queries], min_bucket=bucket)
     assert batch_counts == counts
     repeats = 5
     t_start = time.perf_counter()
     for _ in range(repeats):
-        engine.count_batch([q.filter for q in queries])
+        engine.count_batch([q.filter for q in queries], min_bucket=bucket)
     total = time.perf_counter() - t_start
     qps = repeats * len(queries) / total
     if profile_dir:

@@ -401,16 +401,21 @@ class DeviceEngine:
         run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "count")
         return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
 
-    def count_batch(self, filter_exprs: list) -> list[int]:
+    def count_batch(self, filter_exprs: list, min_bucket: int = 0) -> list[int]:
         """Batched counts: MANY queries in ONE device dispatch. The query
         programs concatenate into a single instruction stream (each ends
         with EMIT_COUNT) — one scan executes them all back-to-back, so the
-        per-dispatch round-trip amortizes across the whole batch."""
+        per-dispatch round-trip amortizes across the whole batch.
+
+        `min_bucket` floors the program-length bucket so callers can share
+        one compiled executable across batch sizes (each XLA compile is
+        minutes on remote-compile TPU environments)."""
         q = len(filter_exprs)
         if q > MAX_BATCH_QUERIES:
             out: list[int] = []
             for i in range(0, q, MAX_BATCH_QUERIES):
-                out.extend(self.count_batch(filter_exprs[i : i + MAX_BATCH_QUERIES]))
+                out.extend(self.count_batch(filter_exprs[i : i + MAX_BATCH_QUERIES],
+                                            min_bucket))
             return out
         programs = []
         all_dyn_rows: list[list[np.ndarray]] = []
@@ -427,7 +432,7 @@ class DeviceEngine:
             total_len += len(opcodes) + 1
         if total_len > _BATCH_LEN_BUCKETS[-1]:
             raise ProgramTooLarge(total_len)
-        bucket = next(b for b in _BATCH_LEN_BUCKETS if b >= total_len)
+        bucket = next(b for b in _BATCH_LEN_BUCKETS if b >= max(total_len, min_bucket))
         code = np.zeros((2, bucket), dtype=np.int32)
         code[0, :] = NOP
         cursor = 0
