@@ -639,11 +639,6 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
     return run_one
 
 
-@jax.jit
-def _popcount_sum_jit(words):
-    return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
-
-
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _mutation_counts_jit(bank, filters, start, n_seg_rows):
     segment = jax.lax.dynamic_slice(

@@ -73,16 +73,3 @@ class ShardedQueryStep:
 
     def __call__(self, opcodes, operands, bank, dyn, full_masks, seg_slice=0):
         return self.jitted(opcodes, operands, bank, dyn, full_masks, seg_slice)
-
-
-def pad_words_to(mesh_size: int, *arrays):
-    """Pad the trailing word axis of each array to a multiple of mesh_size."""
-    out = []
-    for arr in arrays:
-        w = arr.shape[-1]
-        target = -(-w // mesh_size) * mesh_size
-        if target != w:
-            pad = [(0, 0)] * (arr.ndim - 1) + [(0, target - w)]
-            arr = np.pad(arr, pad)
-        out.append(arr)
-    return out

@@ -26,7 +26,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from ..common.symbols import AMINO_ACID, NUCLEOTIDE
+from ..common.symbols import NUCLEOTIDE
 from ..ops import bitset
 from ..query import actions as actions_mod
 from ..query.engine import Query

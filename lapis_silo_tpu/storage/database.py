@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import time
 
-from ..common.symbols import AMINO_ACID, NUCLEOTIDE
+from ..common.symbols import NUCLEOTIDE
 from ..config.database_config import ColumnType, DatabaseConfig
 from .pango_alias import PangoLineageAliasLookup
 from .partition import DatabasePartition

@@ -8,7 +8,6 @@ each host/device holds a subset of partitions and queries broadcast.
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..ops import bitset
 from .segment import SegmentIndex
