@@ -361,7 +361,7 @@ class DeviceEngine:
                     dyn[pi, di] = row
         else:
             dyn = None
-        return bucket, n_dyn, code, dyn
+        return bucket, n_dyn, code, dyn, n
 
     def _dyn_sharding(self, ndim: int):
         if self.mesh is None:
@@ -386,20 +386,22 @@ class DeviceEngine:
 
     def evaluate_device(self, filter_expr) -> jax.Array:
         """Returns the [P, W] filter bitset on device."""
-        bucket, n_dyn, code, dyn = self._prepare(filter_expr)
+        bucket, n_dyn, code, dyn, n_instr = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
         run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "words")
-        return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
+        return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks,
+                   jnp.int32(n_instr))
 
     def count_async(self, filter_expr) -> jax.Array:
         """Fused filter + popcount in ONE device dispatch; returns the scalar
         device array without blocking."""
-        bucket, n_dyn, code, dyn = self._prepare(filter_expr)
+        bucket, n_dyn, code, dyn, n_instr = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
         run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "count")
-        return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
+        return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks,
+                   jnp.int32(n_instr))
 
     def count_batch(self, filter_exprs: list, min_bucket: int = 0) -> list[int]:
         """Batched counts: MANY queries in ONE device dispatch. The query
@@ -453,7 +455,8 @@ class DeviceEngine:
         else:
             dyn_dev = self._zero_dyn((self.n_partitions, n_dyn, self.n_words))
         run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "multi_count")
-        counts = run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks)
+        counts = run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks,
+                     jnp.int32(cursor))
         return [int(c) for c in np.asarray(counts)[:q]]
 
     def count(self, filter_expr) -> int:
@@ -508,9 +511,9 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_words: int,
     the popcount reduction into the same executable (one dispatch)."""
     run_one = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words)
 
-    def run(code, bank, dyn, full_masks):
-        words, outs = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0))(
-            code[0], code[1], bank, dyn, full_masks
+    def run(code, bank, dyn, full_masks, n_instr):
+        words, outs = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0, None))(
+            code[0], code[1], bank, dyn, full_masks, n_instr
         )
         if output == "count":
             return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
@@ -523,11 +526,13 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_words: int,
 
 def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
     """Single-partition VM body returning only the top-of-stack words (the
-    form parallel/mesh.py and __graft_entry__ jit over a mesh)."""
+    form parallel/mesh.py and __graft_entry__ jit over a mesh); executes the
+    full padded program (NOPs are cheap no-ops)."""
     full = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words)
 
     def run_one(opcodes, operands, bank, dyn, full_mask):
-        words, _outs = full(opcodes, operands, bank, dyn, full_mask)
+        words, _outs = full(opcodes, operands, bank, dyn, full_mask,
+                            opcodes.shape[0])
         return words
 
     return run_one
@@ -535,12 +540,16 @@ def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
 
 def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: int):
     """The single-partition stack-machine body (un-jitted). Returns
-    (top-of-stack words, EMIT_COUNT output vector)."""
+    (top-of-stack words, EMIT_COUNT output vector). `n_instr` is a traced
+    scalar: the while_loop executes only the real instructions, so one
+    compiled executable serves every program length up to `program_len`
+    with no NOP-padding cost."""
 
-    def run_one(opcodes, operands, bank, dyn, full_mask):
-        def step(state, instr):
-            stack, sp, counts, csp, out = state
-            opcode, operand = instr
+    def run_one(opcodes, operands, bank, dyn, full_mask, n_instr):
+        def step(state):
+            ip, stack, sp, counts, csp, out = state
+            opcode = opcodes[ip]
+            operand = operands[ip]
 
             def push(value, stack=stack, sp=sp):
                 return jax.lax.dynamic_update_index_in_dim(stack, value, sp, 0), sp + 1
@@ -617,22 +626,22 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
             def do_nop(_):
                 return stack, sp, counts, csp, out
 
-            new_state = jax.lax.switch(
+            stack, sp, counts, csp, out = jax.lax.switch(
                 opcode,
                 [do_push_static, do_push_dyn, do_push_full, do_push_empty,
                  do_not, do_and, do_or, do_th_push, do_th_add, do_th_ge,
                  do_th_eq, do_emit_count, do_nop],
                 None,
             )
-            return new_state, None
+            return ip + 1, stack, sp, counts, csp, out
 
         stack0 = jnp.zeros((MAX_STACK, n_words), jnp.uint32)
         counts0 = jnp.zeros((MAX_COUNT_STACK, n_words, 32), jnp.uint8)
         out0 = jnp.zeros((MAX_BATCH_QUERIES,), jnp.int32)
-        (stack, sp, _, _, out), _ = jax.lax.scan(
+        _, stack, sp, _, _, out = jax.lax.while_loop(
+            lambda state: state[0] < n_instr,
             step,
-            (stack0, jnp.int32(0), counts0, jnp.int32(0), out0),
-            (opcodes, operands),
+            (jnp.int32(0), stack0, jnp.int32(0), counts0, jnp.int32(0), out0),
         )
         return stack[0], out
 
