@@ -45,6 +45,19 @@ def _simplify(db, node):
     return node if _uniform(db) else ir.simplify(node)
 
 
+def _lower_or(db, children: list[ir.Node]) -> ir.Node:
+    """Or lowering incl. the reference's De Morgan rewrite (or.cpp:41-95):
+    when any child compiled to a Complement, the union becomes
+    NOT(AND(negated children)) — and negation of a single-predicate
+    Selection flips its comparator, which differs from a true complement for
+    float NaN nulls. The corpus pins the reference behavior, so we replicate
+    the rewrite exactly."""
+    node = _simplify(db, ir.Or(children))
+    if isinstance(node, ir.Or) and any(isinstance(c, ir.Not) for c in node.children):
+        return ir.Not(ir.And([c.negate() for c in node.children]))
+    return node
+
+
 def is_unsigned(value) -> bool:
     return isinstance(value, int) and not isinstance(value, bool) and value >= 0
 
@@ -121,7 +134,7 @@ class OrExpr(Expression):
         return cls([parse_expression(c) for c in json["children"]])
 
     def compile(self, db, partition, mode):
-        return _simplify(db, ir.Or([c.compile(db, partition, mode) for c in self.children]))
+        return _lower_or(db, [c.compile(db, partition, mode) for c in self.children])
 
 
 @dataclass
@@ -267,7 +280,7 @@ class NucleotideSymbolEquals(Expression):
                 NucleotideSymbolEquals(name, self.position, s)
                 for s in AMBIGUITY_NUC_SYMBOLS[symbol]
             ]
-            return _simplify(db, ir.Or([c.compile(db, partition, NONE) for c in children]))
+            return _lower_or(db, [c.compile(db, partition, NONE) for c in children])
         sym_id = NUCLEOTIDE.to_id(symbol)
         return ir.Plane(
             segment.planes[sym_id, self.position],
@@ -372,7 +385,7 @@ class HasNucleotideMutation(Expression):
             NucleotideSymbolEquals(name, self.position, s).compile(db, partition, NONE)
             for s in symbols
         ]
-        return _simplify(db, ir.Or(children))
+        return _lower_or(db, children)
 
 
 @dataclass
@@ -414,7 +427,7 @@ class HasAAMutation(Expression):
             AASymbolEquals(self.sequence_name, self.position, s).compile(db, partition, NONE)
             for s in symbols
         ]
-        return _simplify(db, ir.Or(children))
+        return _lower_or(db, children)
 
 
 @dataclass
