@@ -24,7 +24,7 @@ def main():
     n_rows = int(os.environ.get("SILO_BENCH_ROWS", 65536))
     length = int(os.environ.get("SILO_BENCH_LENGTH", 29903))
     n_partitions = int(os.environ.get("SILO_BENCH_PARTITIONS", 1))
-    n_queries = int(os.environ.get("SILO_BENCH_QUERIES", 40))
+    n_queries = int(os.environ.get("SILO_BENCH_QUERIES", 128))
 
     import jax
 
