@@ -5,7 +5,7 @@ Extra detail goes to stderr. Knobs (env):
   SILO_BENCH_ROWS        corpus size            (default 65536)
   SILO_BENCH_LENGTH      genome length          (default 29903)
   SILO_BENCH_PARTITIONS  partitions             (default 1)
-  SILO_BENCH_QUERIES     measured queries       (default 40)
+  SILO_BENCH_QUERIES     measured queries       (default 128)
 """
 
 from __future__ import annotations
@@ -137,7 +137,7 @@ def main():
     print(json.dumps({
         "metric": "mutation_filter_count_queries_per_sec",
         "value": round(qps, 2),
-        "unit": f"queries/s ({n_rows} seqs x {length} pos, 1 chip)",
+        "unit": f"queries/s ({n_rows} seqs x {length} pos, batch {len(queries)}, 1 chip)",
         "vs_baseline": vs_baseline,
     }))
 
