@@ -10,6 +10,20 @@ from __future__ import annotations
 NULL_DATE = 0
 
 
+import re
+
+_STOI = re.compile(r"\s*([+-]?\d+)")
+
+
+def _stoi(text: str) -> int:
+    """std::stoi semantics: parse the leading integer, ignore trailing
+    junk, raise if none (so '03T00:00:00' parses as 3)."""
+    match = _STOI.match(text)
+    if not match:
+        raise ValueError(text)
+    return int(match.group(1))
+
+
 def string_to_date(value: str) -> int:
     if not value:
         return NULL_DATE
@@ -17,9 +31,9 @@ def string_to_date(value: str) -> int:
     if len(parts) < 3:
         return NULL_DATE
     try:
-        year = int(parts[0])
-        month = int(parts[1])
-        day = int(parts[2])
+        year = _stoi(parts[0])
+        month = _stoi(parts[1])
+        day = _stoi(parts[2])
     except ValueError:
         return NULL_DATE
     if month == 0 or month > 12:

@@ -48,6 +48,8 @@ _lib.ZSTD_decompress_usingDict.argtypes = [
 _lib.ZSTD_createDStream.restype = ctypes.c_void_p
 _lib.ZSTD_initDStream.restype = ctypes.c_size_t
 _lib.ZSTD_initDStream.argtypes = [ctypes.c_void_p]
+_lib.ZSTD_freeDStream.restype = ctypes.c_size_t
+_lib.ZSTD_freeDStream.argtypes = [ctypes.c_void_p]
 _lib.ZSTD_DStreamInSize.restype = ctypes.c_size_t
 _lib.ZSTD_DStreamOutSize.restype = ctypes.c_size_t
 
@@ -95,10 +97,14 @@ def decompress_stream(data: bytes) -> bytes:
     in_buf = _Buffer(ctypes.cast(src, ctypes.c_void_p), len(data), 0)
     chunks = []
     dst = ctypes.create_string_buffer(out_chunk)
-    while in_buf.pos < in_buf.size:
+    while True:
         out_buf = _Buffer(ctypes.cast(dst, ctypes.c_void_p), out_chunk, 0)
         _check(_lib.ZSTD_decompressStream(ds, ctypes.byref(out_buf), ctypes.byref(in_buf)))
         chunks.append(dst.raw[: out_buf.pos])
+        # done only when ALL input is consumed AND zstd flushed everything
+        # it had buffered (an exactly-full output buffer means "call again")
+        if in_buf.pos >= in_buf.size and out_buf.pos < out_chunk:
+            break
     _lib.ZSTD_freeDStream(ds)
     return b"".join(chunks)
 

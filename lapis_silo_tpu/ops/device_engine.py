@@ -194,7 +194,10 @@ class DeviceEngine:
             w = bitset.words_for(partition.sequence_count)
             full[pi, :w] = partition.full
         self.full_masks = jax.device_put(full, self._words_sharding)
-        self._filter_cache: dict[str, jax.Array] = {}
+        self._filter_cache: dict = {}
+        import threading
+
+        self._lower_lock = threading.Lock()
 
     # -- lowering ---------------------------------------------------------
 
@@ -224,19 +227,21 @@ class DeviceEngine:
 
     def lower(self, filter_expr) -> tuple[_Program, int]:
         """Compile the expression per partition (uniform mode) and flatten
-        the synchronized IRs into one program."""
+        the synchronized IRs into one program. Serialized: uniform_compile is
+        shared database state and the HTTP server lowers concurrently."""
         from ..query import ast
         from ..query.ir import HostEvaluator
 
         db = self.db
-        db.uniform_compile = True
-        try:
-            irs = [
-                filter_expr.compile(db, partition, ast.NONE)
-                for partition in db.partitions
-            ]
-        finally:
-            db.uniform_compile = False
+        with self._lower_lock:
+            db.uniform_compile = True
+            try:
+                irs = [
+                    filter_expr.compile(db, partition, ast.NONE)
+                    for partition in db.partitions
+                ]
+            finally:
+                db.uniform_compile = False
 
         program = _Program()
         evaluators = [HostEvaluator(n) for n in self.part_rows]
@@ -275,6 +280,11 @@ class DeviceEngine:
             arity = len(node.children)
             if any(len(n.children) != arity for n in nodes):
                 raise StructureMismatch("boolean arity")
+            if arity == 0:
+                # uniform mode skips ir.simplify, so empty And/Or reach here:
+                # And identity = Full, Or identity = Empty
+                program.emit(PUSH_FULL if node_type is ir.And else PUSH_EMPTY)
+                return 1
             opcode = OP_AND if node_type is ir.And else OP_OR
             depth = self._emit([n.children[0] for n in nodes], program, evaluators,
                                count_depth)
@@ -607,14 +617,14 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
                 )
 
             def do_th_ge(_):
-                k = operand.astype(jnp.uint8)
-                words = _pack(counts[csp - 1] >= k) & full_mask
+                # compare in int32: counts are u8 (arity <= 255 enforced at
+                # lowering) but k may exceed 255 and must not wrap
+                words = _pack(counts[csp - 1].astype(jnp.int32) >= operand) & full_mask
                 s, p = push(words)
                 return s, p, counts, csp - 1, out
 
             def do_th_eq(_):
-                k = operand.astype(jnp.uint8)
-                words = _pack(counts[csp - 1] == k) & full_mask
+                words = _pack(counts[csp - 1].astype(jnp.int32) == operand) & full_mask
                 s, p = push(words)
                 return s, p, counts, csp - 1, out
 

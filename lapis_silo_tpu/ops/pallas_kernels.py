@@ -89,7 +89,12 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
     start_block = start // row_block
     assert start % row_block == 0 and n_seg_rows % row_block == 0
     if word_block is None:
-        word_block = min(WORD_BLOCK, n_words)
+        # largest block <= WORD_BLOCK that divides n_words exactly — a floor
+        # grid would silently drop trailing words (and sequences)
+        word_block = next(
+            b for b in range(min(WORD_BLOCK, n_words), 0, -1) if n_words % b == 0
+        )
+    assert n_words % word_block == 0, (n_words, word_block)
     # reduction axes (partition, word-block) innermost so each output block's
     # revisits are consecutive
     grid = (n_seg_rows // row_block, n_partitions, n_words // word_block)

@@ -329,7 +329,11 @@ class Coordinator:
                 with urllib.request.urlopen(req) as resp:
                     partials[i] = json.loads(resp.read())
             except urllib.error.HTTPError as err:
-                payload = json.loads(err.read())
+                raw = err.read()
+                try:
+                    payload = json.loads(raw)
+                except Exception:  # non-JSON error body (proxy, send_error)
+                    payload = {"message": raw.decode(errors="replace")[:500]}
                 if err.code == 400:
                     errors.append(QueryParseError(payload["message"]))
                 else:
@@ -349,8 +353,11 @@ class Coordinator:
             t.join()
         for ex in errors:
             raise ex
-        return merge_partials(self.database, query_string,
-                              [p for p in partials if p is not None])
+        if any(p is None for p in partials):
+            # never silently undercount: a missing partial with no recorded
+            # error is still a failed host
+            raise RuntimeError("worker returned no partial result")
+        return merge_partials(self.database, query_string, partials)
 
     def info(self) -> dict:
         import urllib.request

@@ -373,6 +373,10 @@ class HasNucleotideMutation(Expression):
             name in db.nuc_sequences,
             f"Database does not contain the nucleotide sequence with name: '{name}'",
         )
+        if self.position < 0:
+            # reference: position 0 underflows uint32 and .at() throws
+            # out_of_range -> HTTP 500 (has_mutation.cpp:49)
+            raise IndexError("HasNucleotideMutation position underflow")
         ref_symbol = NUCLEOTIDE.to_char(int(db.nuc_sequences[name][self.position]))
         if mode == UPPER_BOUND:
             return (
@@ -380,7 +384,12 @@ class HasNucleotideMutation(Expression):
                 .compile(db, partition, NONE)
                 .negate()
             )
+        # std::remove-without-erase quirk (has_mutation.cpp:65): the stale
+        # trailing element keeps 'T' in the vector, so for ref=T the Or still
+        # contains T (the corpus pins reference behavior, bug included).
         symbols = [s for s in ["A", "C", "G", "T"] if s != ref_symbol]
+        if ref_symbol in ("A", "C", "G", "T"):
+            symbols.append("T")
         children = [
             NucleotideSymbolEquals(name, self.position, s).compile(db, partition, NONE)
             for s in symbols
@@ -411,6 +420,8 @@ class HasAAMutation(Expression):
         return cls(json["sequenceName"], json["position"] - 1)
 
     def compile(self, db, partition, mode):
+        if self.position < 0:
+            raise IndexError("HasAminoAcidMutation position underflow")  # -> 500
         ref_symbol = AMINO_ACID.to_char(int(db.aa_sequences[self.sequence_name][self.position]))
         if mode == UPPER_BOUND:
             return (
@@ -423,6 +434,11 @@ class HasAAMutation(Expression):
             for c in AMINO_ACID.iteration_chars
             if c != AMINO_ACID.missing_char and c != ref_symbol
         ]
+        if ref_symbol == "*":
+            # double std::remove-without-erase (has_aa_mutation.cpp:49-52):
+            # removing X then STOP leaves a stale '*' in the vector, so for
+            # ref=STOP the Or still contains STOP.
+            symbols.append("*")
         children = [
             AASymbolEquals(self.sequence_name, self.position, s).compile(db, partition, NONE)
             for s in symbols

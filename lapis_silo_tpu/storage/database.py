@@ -53,6 +53,9 @@ class Database:
         self.unaligned_nuc_sequences: dict[str, list] = {}
         self.data_version: DataVersion = DataVersion("")
         self._engine = None  # lazily created query engine
+        import threading
+
+        self._engine_lock = threading.Lock()
 
     @classmethod
     def empty(cls) -> "Database":
@@ -85,8 +88,9 @@ class Database:
     def execute_query(self, query_string: str) -> dict:
         from ..query.engine import QueryEngine
 
-        if self._engine is None:
-            self._engine = QueryEngine(self)
+        with self._engine_lock:
+            if self._engine is None:
+                self._engine = QueryEngine(self)
         return self._engine.execute(query_string)
 
     # -- info ---------------------------------------------------------------
