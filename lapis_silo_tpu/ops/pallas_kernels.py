@@ -89,12 +89,14 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
     start_block = start // row_block
     assert start % row_block == 0 and n_seg_rows % row_block == 0
     if word_block is None:
-        # largest block <= WORD_BLOCK that divides n_words exactly — a floor
-        # grid would silently drop trailing words (and sequences)
+        # largest lane-aligned block <= WORD_BLOCK that divides n_words
+        # exactly — a floor grid would silently drop trailing words (and
+        # sequences), and Mosaic requires 128-lane multiples
         word_block = next(
-            b for b in range(min(WORD_BLOCK, n_words), 0, -1) if n_words % b == 0
+            b for b in range(min(WORD_BLOCK, n_words), 0, -128)
+            if b % 128 == 0 and n_words % b == 0
         )
-    assert n_words % word_block == 0, (n_words, word_block)
+    assert n_words % word_block == 0 and word_block % 128 == 0, (n_words, word_block)
     # reduction axes (partition, word-block) innermost so each output block's
     # revisits are consecutive
     grid = (n_seg_rows // row_block, n_partitions, n_words // word_block)
