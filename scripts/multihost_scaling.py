@@ -1,0 +1,101 @@
+"""Multi-host scaling demo: the same corpus served by 1 vs N worker
+processes; Mutations queries (CPU/HBM-bound per host) should speed up
+~linearly because each host reduces only its own partitions.
+
+  python scripts/multihost_scaling.py [total_rows] [length] [n_hosts]
+
+Runs on the CPU backend (real process parallelism; on a TPU pod the same
+split runs per-host device reductions).
+
+NOTE: on this dev box (2 cores, XLA-CPU already multithreaded) no speedup is
+observable — a single host saturates both cores. The harness exists to
+exercise the full fan-out/merge path end-to-end across real processes; the
+scaling claim needs >= 2 real hosts (BASELINE target: >=80% linear).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORKER_SNIPPET = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from lapis_silo_tpu.testing import synthetic_database
+from lapis_silo_tpu.parallel.multihost import start_worker
+db = synthetic_database(n_rows={rows}, length={length}, n_partitions=2, seed={seed})
+server = start_worker(db)
+print(server.server_address[1], flush=True)
+import threading
+threading.Event().wait()
+"""
+
+
+def measure(coordinator, n_queries=6):
+    query = json.dumps({"action": {"type": "Mutations", "minProportion": 0.001},
+                        "filterExpression": {"type": "True"}})
+    coordinator.execute_query(query)  # warm
+    t0 = time.perf_counter()
+    for _ in range(n_queries):
+        result = coordinator.execute_query(query)
+    elapsed = (time.perf_counter() - t0) / n_queries
+    return elapsed, len(result["queryResult"])
+
+
+def main():
+    total_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    length = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    n_hosts = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from lapis_silo_tpu.parallel.multihost import Coordinator
+    from lapis_silo_tpu.testing import synthetic_database
+
+    # single host: everything local
+    single_db = synthetic_database(n_rows=total_rows, length=length,
+                                   n_partitions=2, seed=100)
+    single = Coordinator(single_db, [], include_local=True)
+    t_single, rows_single = measure(single)
+    print(f"1 host : {t_single * 1e3:.0f} ms/Mutations query ({rows_single} rows)")
+
+    # N hosts: same total rows split across worker processes
+    per_host = total_rows // n_hosts
+    workers = []
+    urls = []
+    try:
+        for i in range(n_hosts - 1):
+            proc = subprocess.Popen(
+                [sys.executable, "-c", WORKER_SNIPPET.format(
+                    repo=repo, rows=per_host, length=length, seed=200 + i)],
+                stdout=subprocess.PIPE, text=True)
+            workers.append(proc)
+        for proc in workers:
+            port = int(proc.stdout.readline())
+            urls.append(f"http://127.0.0.1:{port}")
+        local_db = synthetic_database(
+            n_rows=total_rows - per_host * (n_hosts - 1), length=length,
+            n_partitions=2, seed=199)
+        sharded = Coordinator(local_db, urls, include_local=True)
+        t_sharded, rows_sharded = measure(sharded)
+        print(f"{n_hosts} hosts: {t_sharded * 1e3:.0f} ms/Mutations query "
+              f"({rows_sharded} rows)")
+        speedup = t_single / t_sharded
+        print(f"speedup {speedup:.2f}x over {n_hosts} hosts "
+              f"({speedup / n_hosts:.0%} of linear)")
+    finally:
+        for proc in workers:
+            proc.kill()
+
+
+if __name__ == "__main__":
+    main()
