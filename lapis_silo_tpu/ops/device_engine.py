@@ -198,6 +198,7 @@ class DeviceEngine:
         import threading
 
         self._lower_lock = threading.Lock()
+        self._batcher: _MicroBatcher | None = None
 
     # -- lowering ---------------------------------------------------------
 
@@ -422,18 +423,40 @@ class DeviceEngine:
         `min_bucket` floors the program-length bucket so callers can share
         one compiled executable across batch sizes (each XLA compile is
         minutes on remote-compile TPU environments)."""
-        q = len(filter_exprs)
+        return self.count_programs(
+            [self.lower(f)[0] for f in filter_exprs], min_bucket
+        )
+
+    def count_programs(self, lowered: list[_Program], min_bucket: int = 0) -> list[int]:
+        """count_batch over already-lowered programs (the micro-batcher
+        lowers per query so one bad query can't poison a whole batch)."""
+        q = len(lowered)
         if q > MAX_BATCH_QUERIES:
             out: list[int] = []
             for i in range(0, q, MAX_BATCH_QUERIES):
-                out.extend(self.count_batch(filter_exprs[i : i + MAX_BATCH_QUERIES],
-                                            min_bucket))
+                out.extend(self.count_programs(lowered[i : i + MAX_BATCH_QUERIES],
+                                               min_bucket))
             return out
+        # Split greedily if the concatenated stream or dyn-row count would
+        # overflow the largest bucket (each program alone always fits:
+        # lower() enforces the single-program limits).
+        total = sum(len(p.opcodes) + 1 for p in lowered)
+        total_dyn = sum(len(p.dyn_rows) for p in lowered)
+        if q > 1 and (total > _BATCH_LEN_BUCKETS[-1] or total_dyn > _DYN_BUCKETS[-1]):
+            acc_len = acc_dyn = 0
+            split = q
+            for i, p in enumerate(lowered):
+                acc_len += len(p.opcodes) + 1
+                acc_dyn += len(p.dyn_rows)
+                if i and (acc_len > _BATCH_LEN_BUCKETS[-1] or acc_dyn > _DYN_BUCKETS[-1]):
+                    split = i
+                    break
+            return self.count_programs(lowered[:split], min_bucket) + \
+                self.count_programs(lowered[split:], min_bucket)
         programs = []
         all_dyn_rows: list[list[np.ndarray]] = []
         total_len = 0
-        for filter_expr in filter_exprs:
-            program, _depth = self.lower(filter_expr)
+        for program in lowered:
             dyn_base = len(all_dyn_rows)
             opcodes, operands = list(program.opcodes), list(program.operands)
             for i, opcode in enumerate(opcodes):
@@ -474,6 +497,19 @@ class DeviceEngine:
         nothing but one scalar crosses back to the host)."""
         return int(self.count_async(filter_expr))
 
+    def count_coalesced(self, filter_expr) -> int:
+        """Count through the serving micro-batcher: concurrent callers are
+        coalesced into ONE device dispatch (EMIT_COUNT program concat).
+
+        Batches form naturally: while one dispatch is in flight (~25 ms RTT
+        on relayed TPU), arriving queries queue up and the dispatcher drains
+        them all at once — no artificial batching delay is added."""
+        with self._lower_lock:
+            if self._batcher is None:
+                self._batcher = _MicroBatcher(self)
+            batcher = self._batcher
+        return batcher.count(filter_expr)
+
     # -- heavy reductions -----------------------------------------------------
 
     def mutation_counts(self, kind: str, name: str, filter_words: list[np.ndarray]):
@@ -511,6 +547,81 @@ class DeviceEngine:
             per_pos = np.zeros(length, dtype=np.int64)
         counts[meta["majority"], np.arange(length)] = filter_total - per_pos
         return counts
+
+
+class _MicroBatcher:
+    """Coalesces concurrent count() callers into single-dispatch batches.
+
+    The dispatcher thread loops: drain everything queued (up to
+    MAX_BATCH_QUERIES), lower each query individually (so a ProgramTooLarge
+    / StructureMismatch fails only its own caller), execute the batch in one
+    device dispatch, deliver results. Queries arriving while a dispatch is
+    in flight form the next batch — throughput scales with concurrency while
+    a lone query still sees single-dispatch latency.
+
+    Holds only a weakref to the engine so a snapshot swap that drops the
+    engine also ends the thread.
+    """
+
+    def __init__(self, engine: "DeviceEngine"):
+        import threading
+        import weakref
+
+        self._engine_ref = weakref.ref(engine)
+        self._cv = threading.Condition()
+        self._queue: list[dict] = []
+        self._thread = threading.Thread(
+            target=self._loop, name="silo-microbatch", daemon=True
+        )
+        self._thread.start()
+
+    def count(self, filter_expr) -> int:
+        import threading
+
+        item = {"filter": filter_expr, "done": threading.Event(),
+                "result": None, "error": None}
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    if not self._cv.wait(timeout=1.0) and self._engine_ref() is None:
+                        return
+                batch = self._queue[:MAX_BATCH_QUERIES]
+                del self._queue[: len(batch)]
+            engine = self._engine_ref()
+            if engine is None:
+                for item in batch:
+                    item["error"] = RuntimeError("device engine was dropped")
+                    item["done"].set()
+                return
+            ready = []
+            for item in batch:
+                try:
+                    item["program"] = engine.lower(item["filter"])[0]
+                    ready.append(item)
+                except Exception as ex:  # noqa: BLE001 — per-query isolation
+                    item["error"] = ex
+                    item["done"].set()
+            if not ready:
+                continue
+            try:
+                counts = engine.count_programs([item["program"] for item in ready])
+                for item, count in zip(ready, counts):
+                    item["result"] = count
+            except Exception as ex:  # noqa: BLE001
+                for item in ready:
+                    item["error"] = ex
+            for item in ready:
+                item["done"].set()
+            del engine
 
 
 @functools.lru_cache(maxsize=64)

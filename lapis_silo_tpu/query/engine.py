@@ -108,7 +108,7 @@ class QueryEngine:
 
                 self._device_engine = DeviceEngine(self.database)
                 self.database.device_engine = self._device_engine
-            count = self._device_engine.count(query.filter)
+            count = self._device_engine.count_coalesced(query.filter)
         except (ImportError, NotImplementedError):
             self._use_device = False
             return None

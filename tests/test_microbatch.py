@@ -1,0 +1,118 @@
+"""Serving micro-batcher: concurrent count queries coalesce into batched
+device dispatches with per-query results identical to the unbatched path."""
+
+import json
+import threading
+
+import pytest
+
+from .conftest import reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference test data not available"
+)
+
+FILTERS = [
+    {"type": "True"},
+    {"type": "False"},
+    {"type": "NucleotideEquals", "position": 25, "symbol": "T"},
+    {"type": "StringEquals", "column": "country", "value": "Switzerland"},
+    {"type": "And", "children": [
+        {"type": "NucleotideEquals", "position": 241, "symbol": "T"},
+        {"type": "Not", "child": {"type": "NucleotideEquals", "position": 25, "symbol": "T"}},
+    ]},
+    {"type": "DateBetween", "column": "date", "from": "2021-01-01", "to": "2021-03-31"},
+    {"type": "HasNucleotideMutation", "position": 25},
+    {"type": "IntBetween", "column": "age", "from": 20, "to": 70},
+]
+
+
+def _expected_counts(db):
+    from lapis_silo_tpu.ops.device_engine import DeviceEngine
+    from lapis_silo_tpu.query.engine import Query
+
+    engine = DeviceEngine(db)
+    out = []
+    for f in FILTERS:
+        q = Query(json.dumps({"filterExpression": f, "action": {"type": "Aggregated"}}))
+        out.append(engine.count(q.filter))
+    return engine, out
+
+
+def test_coalesced_counts_match_unbatched(example_dataset_db):
+    from lapis_silo_tpu.query.engine import Query
+
+    engine, expected = _expected_counts(example_dataset_db)
+    results = [None] * (len(FILTERS) * 4)
+    errors = []
+
+    def worker(i):
+        f = FILTERS[i % len(FILTERS)]
+        q = Query(json.dumps({"filterExpression": f, "action": {"type": "Aggregated"}}))
+        try:
+            results[i] = engine.count_coalesced(q.filter)
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(results))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for i, got in enumerate(results):
+        assert got == expected[i % len(FILTERS)], FILTERS[i % len(FILTERS)]
+
+
+def test_coalesced_error_isolation(example_dataset_db):
+    """A query that can't lower to the device VM fails only its own caller;
+    valid queries in the same batch still succeed."""
+    from lapis_silo_tpu.query.engine import Query
+
+    engine, expected = _expected_counts(example_dataset_db)
+
+    # Build a program over the length limit: a 600-wide Or
+    bad = {"type": "Or", "children": [
+        {"type": "NucleotideEquals", "position": 25 + i, "symbol": "T"}
+        for i in range(600)
+    ]}
+    bad_q = Query(json.dumps({"filterExpression": bad, "action": {"type": "Aggregated"}}))
+    good_q = Query(json.dumps({"filterExpression": FILTERS[2],
+                               "action": {"type": "Aggregated"}}))
+
+    outcome = {}
+
+    def run_bad():
+        try:
+            outcome["bad"] = engine.count_coalesced(bad_q.filter)
+        except Exception as ex:  # noqa: BLE001
+            outcome["bad_error"] = ex
+
+    def run_good():
+        outcome["good"] = engine.count_coalesced(good_q.filter)
+
+    threads = [threading.Thread(target=run_bad), threading.Thread(target=run_good)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcome["good"] == expected[2]
+    assert "bad_error" in outcome or isinstance(outcome.get("bad"), int)
+
+
+def test_fast_count_path_still_exact(example_dataset_db):
+    """QueryEngine's Aggregated fast path (now through the micro-batcher)
+    matches the host action path."""
+    import os
+
+    from lapis_silo_tpu.query.engine import QueryEngine
+
+    for f in FILTERS:
+        q = json.dumps({"filterExpression": f, "action": {"type": "Aggregated"}})
+        dev = QueryEngine(example_dataset_db, use_device=True).execute(q)
+        os.environ["SILO_TPU_HOST_ONLY"] = "1"
+        try:
+            host = QueryEngine(example_dataset_db, use_device=False).execute(q)
+        finally:
+            os.environ.pop("SILO_TPU_HOST_ONLY", None)
+        assert dev == host, f
