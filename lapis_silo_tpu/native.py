@@ -39,16 +39,25 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH) and os.path.isdir(_NATIVE_DIR):
-            _build()
+        if os.path.isdir(_NATIVE_DIR):
+            _build()  # make is a no-op when the .so is fresh
         if not os.path.exists(_SO_PATH):
             return None
         lib = ctypes.CDLL(_SO_PATH)
-        lib.silo_pack_batch.restype = None
-        lib.silo_pack_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-        ]
+        try:
+            lib.silo_pack_batch_compact.restype = None
+            lib.silo_pack_batch_compact.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ]
+            lib.silo_presence.restype = None
+            lib.silo_presence.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
+        except AttributeError:
+            logger.info("stale libsilo_native.so without compact kernels; "
+                        "using numpy fallbacks")
+            return None
         lib.silo_chars_to_ids.restype = ctypes.c_int32
         lib.silo_chars_to_ids.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -57,23 +66,40 @@ def get_lib():
         return _lib
 
 
-def pack_batch(ids, planes, row_offset: int, n_threads: int | None = None) -> bool:
-    """Scatter ids[batch, length] into planes[S, length, W] at row_offset.
-    Returns False if the native library is unavailable."""
+def pack_batch_compact(ids, rows, row_map, row_offset: int,
+                       n_threads: int | None = None) -> bool:
+    """Scatter ids[batch, length] into compact rows[cap, W] through
+    row_map[S, length] (negatives = implicit, no write). Returns False if
+    the native library is unavailable."""
     lib = get_lib()
     if lib is None:
         return False
     import numpy as np
 
     assert ids.dtype == np.uint8 and ids.flags.c_contiguous
-    assert planes.dtype == np.uint32 and planes.flags.c_contiguous
+    assert rows.dtype == np.uint32 and rows.flags.c_contiguous
+    assert row_map.dtype == np.int32 and row_map.flags.c_contiguous
     batch, length = ids.shape
-    n_symbols, length2, n_words = planes.shape
-    assert length == length2
+    assert row_map.shape[1] == length
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 8)
-    lib.silo_pack_batch(
-        ids.ctypes.data, batch, length, planes.ctypes.data,
-        n_symbols, n_words, row_offset, n_threads,
+    lib.silo_pack_batch_compact(
+        ids.ctypes.data, batch, length, rows.ctypes.data,
+        rows.shape[1], row_map.ctypes.data, row_offset, n_threads,
     )
     return True
+
+
+def presence(ids, n_symbols: int):
+    """uint8[S*L] presence marks for a batch, or None if native is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    assert ids.dtype == np.uint8 and ids.flags.c_contiguous
+    batch, length = ids.shape
+    out = np.zeros(n_symbols * length, dtype=np.uint8)
+    lib.silo_presence(ids.ctypes.data, batch, length, out.ctypes.data)
+    return out

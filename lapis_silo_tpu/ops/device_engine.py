@@ -144,14 +144,7 @@ class DeviceEngine:
             for partition in partitions:
                 seg = (partition.nuc_sequences[name] if kind == "nuc"
                        else partition.aa_sequences[name])
-                # chunk over positions: bitwise_count would otherwise allocate
-                # a full u8 copy of the (possibly tens of GB) plane tensor
-                cnt = np.zeros(seg.planes.shape[:2], dtype=np.int64)
-                chunk = max(1, (64 << 20) // max(1, seg.planes.shape[2] * 4 * 16))
-                for lo in range(0, seg.planes.shape[1], chunk):
-                    cnt[:, lo : lo + chunk] = np.bitwise_count(
-                        seg.planes[:, lo : lo + chunk]
-                    ).sum(axis=-1, dtype=np.int64)
+                cnt = seg.set_bits_matrix()  # cheap: stored counts + implicit
                 totals = cnt if totals is None else totals + cnt
             majority = np.argmax(totals, axis=0)  # [L]
             s_count, length = totals.shape
@@ -185,9 +178,19 @@ class DeviceEngine:
                 )
                 meta = self.segment_meta[(kind, name)]
                 start, n_stored = meta["offset"], meta["n_stored"]
-                bank[pi, start : start + n_stored, :w] = seg.planes[
-                    meta["sym_ids"], meta["pos_ids"], :w
-                ]
+                if not n_stored:
+                    continue
+                # The host segment is compact too: gather its stored rows;
+                # where the global row is this partition's implicit majority,
+                # reconstruct (rare: per-partition majority disagreeing with
+                # the global pick); elsewhere the row is empty here.
+                idx = seg.row_map[meta["sym_ids"], meta["pos_ids"]]  # [n_stored]
+                stored = np.nonzero(idx >= 0)[0]
+                bank[pi, start + stored, :w] = seg.rows[idx[stored]]
+                for j in np.nonzero(idx == -2)[0]:
+                    bank[pi, start + j, :w] = seg.plane(
+                        int(meta["sym_ids"][j]), int(meta["pos_ids"][j])
+                    )
         self.bank = jax.device_put(bank, self._bank_sharding)
         full = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
         for pi, partition in enumerate(partitions):

@@ -97,9 +97,7 @@ def _mutations_partial(database, action, bitmaps) -> dict:
                     continue
                 segments = (partition.nuc_sequences if kind == "nuc"
                             else partition.aa_sequences)
-                part = np.bitwise_count(
-                    segments[name].planes & words[None, None, :]
-                ).sum(axis=-1, dtype=np.int64)
+                part = segments[name].mutation_counts(words)
                 matrix = part if matrix is None else matrix + part
         if matrix is not None:
             counts[name] = matrix.tolist()

@@ -319,9 +319,7 @@ class Mutations(Action):
                         if self.alphabet is NUCLEOTIDE
                         else partition.aa_sequences
                     )
-                    part_counts = np.bitwise_count(
-                        segments[name].planes & words[None, None, :]
-                    ).sum(axis=-1, dtype=np.int64)
+                    part_counts = segments[name].mutation_counts(words)
                     counts = part_counts if counts is None else counts + part_counts
                 if counts is None:
                     continue

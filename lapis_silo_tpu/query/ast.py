@@ -283,7 +283,7 @@ class NucleotideSymbolEquals(Expression):
             return _lower_or(db, [c.compile(db, partition, NONE) for c in children])
         sym_id = NUCLEOTIDE.to_id(symbol)
         return ir.Plane(
-            segment.planes[sym_id, self.position],
+            segment.plane(sym_id, self.position),
             label=f"nuc:{name}:{self.position + 1}{symbol}",
             static_ref=("nuc", name, sym_id, self.position),
         )
@@ -339,7 +339,7 @@ class AASymbolEquals(Expression):
             symbol = AMINO_ACID.to_char(int(segment.reference_ids[self.position]))
         sym_id = AMINO_ACID.to_id(symbol)
         return ir.Plane(
-            segment.planes[sym_id, self.position],
+            segment.plane(sym_id, self.position),
             label=f"aa:{self.sequence_name}:{self.position + 1}{symbol}",
             static_ref=("aa", self.sequence_name, sym_id, self.position),
         )

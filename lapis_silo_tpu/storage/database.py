@@ -105,8 +105,8 @@ class Database:
             ):
                 total_size += seg.size_in_bytes()
                 # the missing-symbol plane is the analog of the reference's
-                # per-sequence N bitmaps
-                n_bitmaps_size += seg.planes[seg.alphabet.missing_id].nbytes
+                # per-sequence N bitmaps (dense-analog bytes: [L, W])
+                n_bitmaps_size += seg.plane_nbytes()
         return {
             "sequenceCount": sequence_count,
             "totalSize": total_size,
@@ -134,7 +134,7 @@ class Database:
             if seg is None:
                 continue
             alphabet = seg.alphabet
-            set_bits = np.bitwise_count(seg.planes).sum(axis=-1, dtype=np.int64)
+            set_bits = seg.set_bits_matrix()
             n_sections = -(-seg.length // section_length)
             pad = n_sections * section_length - seg.length
             padded = np.pad(set_bits, ((0, 0), (0, pad)))
@@ -151,10 +151,9 @@ class Database:
                     per_section[key] = [a + b for a, b in zip(per_section[key], arr)]
                 else:
                     per_section[key] = arr
-            for sym_id, char in enumerate(alphabet.chars):
-                per_symbol[char] = per_symbol.get(char, 0) + int(
-                    seg.planes[sym_id].nbytes)
-            total_bytes += int(seg.planes.nbytes)
+            for char in alphabet.chars:
+                per_symbol[char] = per_symbol.get(char, 0) + seg.plane_nbytes()
+            total_bytes += seg.size_in_bytes()
             total_set_bits += int(set_bits.sum())
             n_rows_nonzero += int((set_bits > 0).sum())
         return {

@@ -47,12 +47,13 @@ DATA_VERSION_FILE = "data_version.silo"
 _PLANES_CHUNK = 64 << 20
 
 
-def _save_planes(path_no_ext: str, planes: np.ndarray):
+def _save_words(path: str, array: np.ndarray):
+    """Chunked-zstd u32 tensor (shape in a JSON header)."""
     from ..common import zstd
 
-    raw = planes.reshape(-1).view(np.uint8)
-    with open(path_no_ext + ".planes.zst", "wb") as f:
-        header = json.dumps({"shape": list(planes.shape), "dtype": "uint32"})
+    raw = array.reshape(-1).view(np.uint8)
+    with open(path, "wb") as f:
+        header = json.dumps({"shape": list(array.shape), "dtype": "uint32"})
         f.write(len(header).to_bytes(4, "little"))
         f.write(header.encode())
         for start in range(0, len(raw), _PLANES_CHUNK):
@@ -61,13 +62,10 @@ def _save_planes(path_no_ext: str, planes: np.ndarray):
             f.write(chunk)
 
 
-def _load_planes(path_no_ext: str) -> np.ndarray:
+def _load_words(path: str) -> np.ndarray:
     from ..common import zstd
 
-    legacy = path_no_ext + ".npy"
-    if os.path.exists(legacy):
-        return np.load(legacy)
-    with open(path_no_ext + ".planes.zst", "rb") as f:
+    with open(path, "rb") as f:
         header_len = int.from_bytes(f.read(4), "little")
         header = json.loads(f.read(header_len))
         parts = []
@@ -81,6 +79,31 @@ def _load_planes(path_no_ext: str) -> np.ndarray:
     return flat.reshape(header["shape"]).copy()
 
 
+def _save_segment(path_no_ext: str, segment: SegmentIndex):
+    _save_words(path_no_ext + ".rows.zst", segment.rows)
+    np.savez(path_no_ext + ".meta.npz", sym_ids=segment.sym_ids,
+             pos_ids=segment.pos_ids, majority=segment.majority,
+             counts=segment.counts)
+
+
+def _load_segment(path_no_ext: str, alphabet, reference_ids,
+                  n_rows: int) -> SegmentIndex:
+    meta_path = path_no_ext + ".meta.npz"
+    if os.path.exists(meta_path):
+        meta = np.load(meta_path)
+        rows = _load_words(path_no_ext + ".rows.zst")
+        return SegmentIndex(alphabet, reference_ids, n_rows, meta["majority"],
+                            meta["sym_ids"], meta["pos_ids"], rows,
+                            counts=meta["counts"])
+    # legacy dense formats (v1 snapshots)
+    legacy_npy = path_no_ext + ".npy"
+    if os.path.exists(legacy_npy):
+        planes = np.load(legacy_npy)
+    else:
+        planes = _load_words(path_no_ext + ".planes.zst")
+    return SegmentIndex.from_dense(alphabet, reference_ids, n_rows, planes)
+
+
 def save_database(db: Database, output_directory: str) -> str:
     """Writes a new versioned snapshot; returns its directory."""
     version = db.data_version.value or DataVersion.mine().value
@@ -89,7 +112,7 @@ def save_database(db: Database, output_directory: str) -> str:
     tmp_dir = tempfile.mkdtemp(prefix=f".{version}_", dir=output_directory)
 
     manifest = {
-        "formatVersion": 1,
+        "formatVersion": 2,
         "databaseConfig": db.config.to_dict(),
         "aliasKey": db.alias_key.to_dict(),
         "referenceGenomes": db.reference_genomes.to_dict(),
@@ -124,8 +147,8 @@ def save_database(db: Database, output_directory: str) -> str:
         for kind, segments in (("nuc", partition.nuc_sequences),
                                ("aa", partition.aa_sequences)):
             for name, segment in segments.items():
-                _save_planes(
-                    os.path.join(tmp_dir, f"P{pid}_{kind}_{name}"), segment.planes
+                _save_segment(
+                    os.path.join(tmp_dir, f"P{pid}_{kind}_{name}"), segment
                 )
         for name, stores in db.unaligned_nuc_sequences.items():
             store = stores[pid]
@@ -229,8 +252,10 @@ def load_database(snapshot_dir: str) -> Database:
             ("aa", genomes.aa_ids, AMINO_ACID, genomes.aa_ids),
         ):
             for name in names:
-                planes = _load_planes(os.path.join(snapshot_dir, f"P{pid}_{kind}_{name}"))
-                segment = SegmentIndex(alphabet, refs[name], n, planes)
+                segment = _load_segment(
+                    os.path.join(snapshot_dir, f"P{pid}_{kind}_{name}"),
+                    alphabet, refs[name], n,
+                )
                 if kind == "nuc":
                     partition.nuc_sequences[name] = segment
                 else:

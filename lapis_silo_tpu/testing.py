@@ -88,11 +88,7 @@ def synthetic_database(
             "key": key_col, "date": date_col, "country": country_col, "age": age_col,
         }
 
-        # --- dense bitplanes: reference-dense + sparse mutations ---
-        planes = np.zeros((NUCLEOTIDE.count, length, n_words), dtype=np.uint32)
-        full = bitset.full_mask(part_rows)
-        for sym in range(1, 5):
-            planes[sym, reference_ids == sym, :] = full[None, :]
+        # --- compact bitplanes: reference implicit, mutations stored ---
         n_mut = part_rows * mutations_per_genome
         rows = rng.integers(0, part_rows, size=n_mut).astype(np.int64)
         positions = rng.integers(0, length, size=n_mut).astype(np.int64)
@@ -100,21 +96,25 @@ def synthetic_database(
         flat = rows * length + positions
         flat, unique_idx = np.unique(flat, return_index=True)
         rows, positions = rows[unique_idx], positions[unique_idx]
-        # mutate to a symbol != reference: shift 1..3 within {1..4}, or GAP
+        # mutate to a symbol != reference: shift 1..3 within {1..4}
         shift = rng.integers(1, 4, size=len(rows)).astype(np.uint8)
         syms = ((reference_ids[positions] - 1 + shift) % 4 + 1).astype(np.int64)
-        words, bits = rows >> 5, (rows & 31).astype(np.uint32)
-        flat_planes = planes.reshape(-1)
-        set_idx = syms * (length * n_words) + positions * n_words + words
-        np.bitwise_or.at(flat_planes, set_idx, np.uint32(1) << bits)
-        clear_idx = (
-            reference_ids[positions].astype(np.int64) * (length * n_words)
-            + positions * n_words
-            + words
+        # group mutations by (symbol, position) -> one stored row each; the
+        # reference symbol stays implicit (majority), so memory is compact
+        # from the start (no dense [S, L, W] tensor is ever allocated)
+        pair = syms * length + positions
+        unique_pairs, pair_idx = np.unique(pair, return_inverse=True)
+        sym_ids = (unique_pairs // length).astype(np.int32)
+        pos_ids = (unique_pairs % length).astype(np.int32)
+        stored = np.zeros((len(unique_pairs), n_words), dtype=np.uint32)
+        flat_idx = pair_idx * n_words + (rows >> 5)
+        np.bitwise_or.at(
+            stored.reshape(-1), flat_idx, np.uint32(1) << (rows & 31).astype(np.uint32)
         )
-        np.bitwise_and.at(flat_planes, clear_idx, ~(np.uint32(1) << bits))
+        counts = np.bincount(pair_idx, minlength=len(unique_pairs)).astype(np.int64)
         partition.nuc_sequences["main"] = SegmentIndex(
-            NUCLEOTIDE, reference_ids, part_rows, planes
+            NUCLEOTIDE, reference_ids, part_rows, reference_ids,
+            sym_ids, pos_ids, stored, counts=counts,
         )
         partition.validate()
         db.partitions.append(partition)

@@ -67,6 +67,71 @@ void silo_pack_batch(
     for (auto& th : threads) th.join();
 }
 
+// Compact-row variant of the ingest scatter: rows are allocated lazily by
+// the host (storage/segment.py) and addressed through row_map.
+//
+// ids:     [batch, length] u8 symbol ids
+// rows:    [capacity, n_words] u32 stored-row words
+// row_map: [n_symbols, length] i32; >=0 stored row index, <0 implicit
+//          (majority/empty) -> no write.
+void silo_pack_batch_compact(
+    const uint8_t* ids,
+    int64_t batch,
+    int64_t length,
+    uint32_t* rows,
+    int64_t n_words,
+    const int32_t* row_map,
+    int64_t row_offset,
+    int32_t n_threads
+) {
+    if (n_threads < 1) n_threads = 1;
+    std::vector<std::thread> threads;
+    const int64_t rows_per_thread = ((batch / n_threads + 31) / 32) * 32;
+
+    auto work = [&](int64_t row_begin, int64_t row_end) {
+        for (int64_t i = row_begin; i < row_end; ++i) {
+            const uint8_t* row = ids + i * length;
+            const int64_t global_row = row_offset + i;
+            const int64_t word = global_row >> 5;
+            const uint32_t bit = 1u << (global_row & 31);
+            for (int64_t pos = 0; pos < length; ++pos) {
+                const int32_t r = row_map[static_cast<int64_t>(row[pos]) * length + pos];
+                if (r < 0) continue;
+                rows[static_cast<int64_t>(r) * n_words + word] |= bit;
+            }
+        }
+    };
+
+    int64_t begin = 0;
+    for (int32_t t = 0; t < n_threads && begin < batch; ++t) {
+        int64_t end = (t == n_threads - 1) ? batch : begin + rows_per_thread;
+        if (end < batch) {
+            const int64_t global_end = row_offset + end;
+            end += (32 - (global_end & 31)) & 31;
+        }
+        if (end > batch) end = batch;
+        threads.emplace_back(work, begin, end);
+        begin = end;
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Marks (symbol, position) pairs appearing in a batch: out[sym*length+pos]=1.
+// Single-threaded on purpose (plain byte stores; ~30 M ops is a few ms).
+void silo_presence(
+    const uint8_t* ids,
+    int64_t batch,
+    int64_t length,
+    uint8_t* out
+) {
+    for (int64_t i = 0; i < batch; ++i) {
+        const uint8_t* row = ids + i * length;
+        for (int64_t pos = 0; pos < length; ++pos) {
+            out[static_cast<int64_t>(row[pos]) * length + pos] = 1;
+        }
+    }
+}
+
 // chars:   [batch, length] raw ASCII genome characters
 // lut:     [256] u8 char -> symbol id (255 = illegal)
 // out_ids: [batch, length] u8
