@@ -186,7 +186,7 @@ class DeviceEngine:
                 # the global pick); elsewhere the row is empty here.
                 idx = seg.row_map[meta["sym_ids"], meta["pos_ids"]]  # [n_stored]
                 stored = np.nonzero(idx >= 0)[0]
-                bank[pi, start + stored, :w] = seg.rows[idx[stored]]
+                bank[pi, start + stored, :w] = seg.store.materialize(idx[stored])
                 for j in np.nonzero(idx == -2)[0]:
                     bank[pi, start + j, :w] = seg.plane(
                         int(meta["sym_ids"][j]), int(meta["pos_ids"][j])

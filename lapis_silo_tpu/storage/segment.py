@@ -14,10 +14,11 @@ ops/device_engine.py:
   row is implicit (every sequence has exactly one symbol per position, so
   majority = full & ~OR(stored siblings)); empty rows are implicit zeros.
   This is the analog of the reference's deleted-most-numerous-bitmap
-  optimization (position.cpp:101-127) — for real viral corpora it stores
-  ~2-4 rows/position instead of 16/25 (~5x less RAM than dense, and it is
-  exactly the layout the device bank wants, so snapshot load ≈ device
-  upload).
+  optimization (position.cpp:101-127).
+- Stored rows live in a RowStore (storage/rowstore.py): dense [ns, W] for
+  small corpora, CSR-of-words above CSR_MIN_WORDS — mutation rows touch a
+  tiny fraction of the packed words at millions-of-sequences scale, so CSR
+  is what takes one host/chip to 10M+ sequences.
 
 Sequences ingested as NULL are all-missing: the reference skips them in
 fillIndexes but marks every position in their missing-symbol bitmap
@@ -37,8 +38,9 @@ import numpy as np
 
 from ..common.symbols import Alphabet
 from ..ops import bitset
+from .rowstore import CSR_MIN_WORDS, CsrRowStore, DenseRowStore
 
-_ROW_CHUNK = 1024  # growth granularity for the builder's row store
+_ROW_CHUNK = 1024  # growth granularity for the dense builder's row store
 
 
 class SegmentIndex:
@@ -48,34 +50,38 @@ class SegmentIndex:
       majority    uint8[L]   per-position implicit symbol
       sym_ids     int32[ns]  stored-row symbols (pos-major order)
       pos_ids     int32[ns]  stored-row positions (ascending)
-      rows        uint32[ns, W] stored-row packed words
+      store       RowStore   stored-row packed words (dense or CSR)
       counts      int64[ns]  popcount per stored row
       row_map     int32[S, L]  -1 = empty, -2 = majority, else row index
       pos_offsets int64[L+1] CSR offsets: rows at position p are
-                  rows[pos_offsets[p]:pos_offsets[p+1]]
+                  store rows [pos_offsets[p]:pos_offsets[p+1]]
     """
 
     def __init__(self, alphabet: Alphabet, reference_ids: np.ndarray, n_rows: int,
                  majority: np.ndarray, sym_ids: np.ndarray, pos_ids: np.ndarray,
-                 rows: np.ndarray, counts: np.ndarray | None = None):
+                 store, counts: np.ndarray | None = None):
         self.alphabet = alphabet
         self.reference_ids = reference_ids
         self.length = len(reference_ids)
         self.n_rows = n_rows
         self.n_words = bitset.words_for(n_rows)
-        assert rows.shape == (len(sym_ids), self.n_words), (rows.shape, len(sym_ids))
+        if isinstance(store, np.ndarray):
+            store = DenseRowStore(store)
+        assert store.n_stored == len(sym_ids), (store.n_stored, len(sym_ids))
+        assert store.n_words == self.n_words, (store.n_words, self.n_words)
         # enforce pos-major order (contiguous per-position slices)
         if len(pos_ids) and not (np.diff(pos_ids) >= 0).all():
             order = np.lexsort((sym_ids, pos_ids))
-            sym_ids, pos_ids, rows = sym_ids[order], pos_ids[order], rows[order]
+            sym_ids, pos_ids = sym_ids[order], pos_ids[order]
+            store = store.reorder(order)
             if counts is not None:
                 counts = counts[order]
         self.majority = majority.astype(np.uint8)
         self.sym_ids = sym_ids.astype(np.int32)
         self.pos_ids = pos_ids.astype(np.int32)
-        self.rows = rows
+        self.store = store
         if counts is None:
-            counts = _chunked_row_popcounts(rows)
+            counts = store.popcounts()
         self.counts = counts.astype(np.int64)
         self.row_map = np.full((alphabet.count, self.length), -1, dtype=np.int32)
         self.row_map[self.majority, np.arange(self.length)] = -2
@@ -100,26 +106,28 @@ class SegmentIndex:
         sym_ids, pos_ids = sym_ids[order], pos_ids[order]
         rows = np.ascontiguousarray(planes[sym_ids, pos_ids])
         return cls(alphabet, reference_ids, n_rows, majority,
-                   sym_ids, pos_ids, rows, counts=set_bits[sym_ids, pos_ids])
+                   sym_ids, pos_ids, DenseRowStore(rows),
+                   counts=set_bits[sym_ids, pos_ids])
 
     # -- row access --------------------------------------------------------
 
-    def stored_at(self, position: int) -> slice:
-        return slice(int(self.pos_offsets[position]), int(self.pos_offsets[position + 1]))
+    def stored_at(self, position: int) -> np.ndarray:
+        return np.arange(int(self.pos_offsets[position]),
+                         int(self.pos_offsets[position + 1]))
 
     def plane(self, symbol_id: int, position: int) -> np.ndarray:
-        """The packed words of one (symbol, position) row. Stored rows are
-        returned as views (callers must not mutate); implicit rows are
+        """The packed words of one (symbol, position) row. Stored rows may
+        be returned as views (callers must not mutate); implicit rows are
         reconstructed fresh."""
         idx = int(self.row_map[symbol_id, position])
         if idx >= 0:
-            return self.rows[idx]
+            return self.store.row(idx)
         if idx == -1:
             return np.zeros(self.n_words, dtype=np.uint32)
-        sl = self.stored_at(position)
-        if sl.start == sl.stop:
+        members = self.stored_at(position)
+        if len(members) == 0:
             return self.full.copy()
-        return self.full & ~np.bitwise_or.reduce(self.rows[sl], axis=0)
+        return self.full & ~self.store.or_rows(members)
 
     def set_bits_matrix(self) -> np.ndarray:
         """Dense [S, L] matrix of per-row popcounts (majority reconstructed
@@ -137,12 +145,7 @@ class SegmentIndex:
         ops/device_engine.mutation_counts)."""
         out = np.zeros((self.alphabet.count, self.length), dtype=np.int64)
         filter_total = bitset.popcount(filter_words)
-        stored = np.empty(len(self.sym_ids), dtype=np.int64)
-        chunk = max(1, (64 << 20) // max(1, self.rows.shape[1] * 4))
-        for lo in range(0, len(stored), chunk):
-            stored[lo : lo + chunk] = np.bitwise_count(
-                self.rows[lo : lo + chunk] & filter_words
-            ).sum(axis=-1, dtype=np.int64)
+        stored = self.store.masked_popcounts(filter_words)
         out[self.sym_ids, self.pos_ids] = stored
         per_pos = np.zeros(self.length, dtype=np.int64)
         np.add.at(per_pos, self.pos_ids, stored)
@@ -163,32 +166,26 @@ class SegmentIndex:
 
     def stored_nbytes(self) -> int:
         """Actual compact memory."""
-        return int(self.rows.nbytes)
+        return self.store.nbytes()
 
     def reconstruct_rows(self, rows: np.ndarray) -> list[str]:
         """Rebuild aligned sequence strings for the given sequence ids
         (FastaAligned action): start from the per-position majority symbol,
-        override from stored rows containing the sequence's bit."""
-        out = []
+        override from stored rows containing the sequence's bit. Sequences
+        sharing a packed word share one store scan."""
+        out_by_request = {}
         chars = np.array([ord(c) for c in self.alphabet.chars], dtype=np.uint8)
-        for row in rows:
-            word, bit = divmod(int(row), 32)
-            hits = (self.rows[:, word] >> np.uint32(bit)) & np.uint32(1)  # [ns]
-            sym = self.majority.copy()
-            nz = np.nonzero(hits)[0]
-            sym[self.pos_ids[nz]] = self.sym_ids[nz]
-            out.append(bytes(chars[sym]).decode("ascii"))
-        return out
-
-
-def _chunked_row_popcounts(rows: np.ndarray) -> np.ndarray:
-    counts = np.empty(rows.shape[0], dtype=np.int64)
-    chunk = max(1, (64 << 20) // max(1, rows.shape[1] * 4))
-    for lo in range(0, rows.shape[0], chunk):
-        counts[lo : lo + chunk] = np.bitwise_count(rows[lo : lo + chunk]).sum(
-            axis=-1, dtype=np.int64
-        )
-    return counts
+        rows = np.asarray(rows, dtype=np.int64)
+        for word in np.unique(rows >> 5):
+            members = rows[(rows >> 5) == word]
+            column = self.store.word_column(int(word))  # uint32[ns]
+            for row in members:
+                bit = int(row) & 31
+                hits = np.nonzero((column >> np.uint32(bit)) & np.uint32(1))[0]
+                sym = self.majority.copy()
+                sym[self.pos_ids[hits]] = self.sym_ids[hits]
+                out_by_request[int(row)] = bytes(chars[sym]).decode("ascii")
+        return [out_by_request[int(r)] for r in rows]
 
 
 class SegmentIndexBuilder:
@@ -199,19 +196,27 @@ class SegmentIndexBuilder:
     appearance. finish() re-picks the exact per-position majority and swaps
     rows where the reference lost (e.g. fixed mutations), so the final
     index is as small as a two-pass build — but peak host memory stays
-    ~compact-sized, unlocking corpora far beyond dense-plane RAM limits."""
+    ~compact-sized throughout.
 
-    def __init__(self, alphabet: Alphabet, reference_ids: np.ndarray, n_rows: int):
+    Large corpora (W >= CSR_MIN_WORDS, i.e. 256k+ sequences) accumulate
+    COO-of-words chunks per batch and finish into a CsrRowStore; small ones
+    scatter directly into dense [ns, W] rows."""
+
+    def __init__(self, alphabet: Alphabet, reference_ids: np.ndarray, n_rows: int,
+                 force_csr: bool | None = None):
         self.alphabet = alphabet
         self.reference_ids = np.asarray(reference_ids, dtype=np.uint8)
         self.length = len(reference_ids)
         self.n_rows = n_rows
         self.n_words = bitset.words_for(n_rows)
+        self.use_csr = (self.n_words >= CSR_MIN_WORDS if force_csr is None
+                        else force_csr)
         self.row_map = np.full((alphabet.count, self.length), -1, dtype=np.int32)
         self.row_map[self.reference_ids, np.arange(self.length)] = -2
-        self.rows = np.zeros((0, self.n_words), dtype=np.uint32)
+        self.rows = np.zeros((0, 0 if self.use_csr else self.n_words), dtype=np.uint32)
         self.sym_ids: list[int] = []
         self.pos_ids: list[int] = []
+        self._coo: list[tuple] = []  # csr mode: (row_ids, word_idx, words) chunks
         self._n_stored = 0
         self._row = 0
 
@@ -220,7 +225,7 @@ class SegmentIndexBuilder:
         if needed <= cap:
             return
         new_cap = max(needed, cap + (cap >> 1), _ROW_CHUNK)
-        grown = np.zeros((new_cap, self.n_words), dtype=np.uint32)
+        grown = np.zeros((new_cap, self.rows.shape[1]), dtype=np.uint32)
         grown[: self._n_stored] = self.rows[: self._n_stored]
         self.rows = grown
 
@@ -244,13 +249,33 @@ class SegmentIndexBuilder:
             return
         new_syms, new_positions = np.nonzero(new)
         n_new = len(new_syms)
-        self._ensure_capacity(self._n_stored + n_new)
+        if not self.use_csr:
+            self._ensure_capacity(self._n_stored + n_new)
         self.row_map[new_syms, new_positions] = self._n_stored + np.arange(
             n_new, dtype=np.int32
         )
         self.sym_ids.extend(new_syms.tolist())
         self.pos_ids.extend(new_positions.tolist())
         self._n_stored += n_new
+
+    def _scatter(self, ids: np.ndarray, target: np.ndarray, row_offset: int):
+        """Scatter one batch into `target` rows (native or numpy)."""
+        from .. import native
+
+        if native.pack_batch_compact(ids, target, self.row_map, row_offset):
+            return
+        batch = ids.shape[0]
+        n_words = target.shape[1]
+        row_idx = self.row_map[ids, np.arange(self.length, dtype=np.intp)]
+        seq_ids = row_offset + np.arange(batch, dtype=np.int64)[:, None]
+        words = seq_ids >> 5
+        bits = (np.uint32(1) << (seq_ids & 31).astype(np.uint32))
+        stored = row_idx >= 0
+        flat = row_idx.astype(np.int64) * n_words + words
+        np.bitwise_or.at(
+            target.reshape(-1), flat[stored],
+            np.broadcast_to(bits, flat.shape)[stored],
+        )
 
     def add_batch(self, genomes: list[str | None]):
         """Add a batch of genomes (row-aligned with metadata order)."""
@@ -270,31 +295,42 @@ class SegmentIndexBuilder:
                 )
             ids[i] = self.alphabet.string_to_ids(genome)
         self._allocate_rows(ids)
-        from .. import native
-
-        if native.pack_batch_compact(ids, self.rows, self.row_map, start):
-            self._row += batch
-            return
-        # numpy fallback: scatter bit-by-row via flat bitwise_or.at
-        row_idx = self.row_map[ids, np.arange(self.length, dtype=np.intp)]  # [batch, L]
-        seq_ids = start + np.arange(batch, dtype=np.int64)[:, None]
-        words = seq_ids >> 5
-        bits = (np.uint32(1) << (seq_ids & 31).astype(np.uint32))
-        stored = row_idx >= 0
-        flat = row_idx.astype(np.int64) * self.n_words + words
-        np.bitwise_or.at(
-            self.rows.reshape(-1), flat[stored],
-            np.broadcast_to(bits, flat.shape)[stored],
-        )
+        if self.use_csr:
+            # scatter into a word-window scratch, then keep only the
+            # non-zero words as a COO chunk
+            word_lo = start >> 5
+            span = bitset.words_for(start + batch) - word_lo
+            scratch = np.zeros((self._n_stored, span), dtype=np.uint32)
+            self._scatter(ids, scratch, start - (word_lo << 5))
+            rnz, wnz = np.nonzero(scratch)
+            self._coo.append((
+                rnz.astype(np.int32),
+                (wnz + word_lo).astype(np.int32),
+                scratch[rnz, wnz],
+            ))
+        else:
+            self._scatter(ids, self.rows, start)
         self._row += batch
 
     def finish(self) -> SegmentIndex:
         assert self._row == self.n_rows, (self._row, self.n_rows)
         ns = self._n_stored
-        rows = self.rows[:ns]
         sym_ids = np.asarray(self.sym_ids, dtype=np.int32)
         pos_ids = np.asarray(self.pos_ids, dtype=np.int32)
-        counts = _chunked_row_popcounts(rows)
+        if self.use_csr:
+            if self._coo:
+                row_ids = np.concatenate([c[0] for c in self._coo])
+                word_idx = np.concatenate([c[1] for c in self._coo])
+                words = np.concatenate([c[2] for c in self._coo])
+            else:
+                row_ids = np.zeros(0, dtype=np.int32)
+                word_idx = np.zeros(0, dtype=np.int32)
+                words = np.zeros(0, dtype=np.uint32)
+            self._coo.clear()
+            store = CsrRowStore.from_coo(self.n_words, ns, row_ids, word_idx, words)
+        else:
+            store = DenseRowStore(self.rows[:ns])
+        counts = store.popcounts()
         majority = self.reference_ids.copy()
         # Re-pick the true majority where a stored row beats the implicit
         # reference row (exact, per position).
@@ -304,27 +340,26 @@ class SegmentIndexBuilder:
         best = np.zeros(self.length, dtype=np.int64)
         np.maximum.at(best, pos_ids, counts)
         full = bitset.full_mask(self.n_rows)
-        for pos in np.nonzero(best > implicit)[0]:
+        swaps = np.nonzero(best > implicit)[0]
+        for pos in swaps:
             members = np.nonzero(pos_ids == pos)[0]
             winner = members[np.argmax(counts[members])]
             # old implicit (reference) row, computed before the swap
-            ref_row = full & ~np.bitwise_or.reduce(rows[members], axis=0)
+            ref_row = full & ~store.or_rows(members)
             majority[pos] = sym_ids[winner]
-            rows[winner] = ref_row
+            store = store.replace_row(winner, ref_row)
             sym_ids[winner] = self.reference_ids[pos]
             counts[winner] = implicit[pos]
         # drop rows that became empty in the swap (implicit count was 0)
         keep = counts > 0
-        if not keep.all():
-            rows, sym_ids, pos_ids, counts = (
-                rows[keep], sym_ids[keep], pos_ids[keep], counts[keep]
-            )
-        order = np.lexsort((sym_ids, pos_ids))
+        order = np.nonzero(keep)[0][
+            np.lexsort((sym_ids[keep], pos_ids[keep]))
+        ]
         index = SegmentIndex(
             self.alphabet, self.reference_ids, self.n_rows, majority,
-            sym_ids[order], pos_ids[order],
-            np.ascontiguousarray(rows[order]), counts=counts[order],
+            sym_ids[order], pos_ids[order], store.reorder(order),
+            counts=counts[order],
         )
         # release builder memory
-        self.rows = np.zeros((0, self.n_words), dtype=np.uint32)
+        self.rows = np.zeros((0, 0), dtype=np.uint32)
         return index

@@ -36,6 +36,7 @@ from .database import Database, DataVersion
 from .pango_alias import PangoLineageAliasLookup
 from .partition import DatabasePartition
 from .reference_genomes import ReferenceGenomes
+from ..ops.bitset import words_for as bitset_words_for
 from .segment import SegmentIndex
 from .unaligned import UnalignedPartitionStore
 
@@ -80,20 +81,33 @@ def _load_words(path: str) -> np.ndarray:
 
 
 def _save_segment(path_no_ext: str, segment: SegmentIndex):
-    _save_words(path_no_ext + ".rows.zst", segment.rows)
-    np.savez(path_no_ext + ".meta.npz", sym_ids=segment.sym_ids,
-             pos_ids=segment.pos_ids, majority=segment.majority,
-             counts=segment.counts)
+    store = segment.store
+    meta = {"sym_ids": segment.sym_ids, "pos_ids": segment.pos_ids,
+            "majority": segment.majority, "counts": segment.counts}
+    if store.kind == "csr":
+        meta["csr_idx"] = store.idx
+        meta["csr_offsets"] = store.offsets
+        _save_words(path_no_ext + ".rows.zst", store.words)
+    else:
+        _save_words(path_no_ext + ".rows.zst", store.rows)
+    np.savez(path_no_ext + ".meta.npz", **meta)
 
 
 def _load_segment(path_no_ext: str, alphabet, reference_ids,
                   n_rows: int) -> SegmentIndex:
+    from .rowstore import CsrRowStore, DenseRowStore
+
     meta_path = path_no_ext + ".meta.npz"
     if os.path.exists(meta_path):
         meta = np.load(meta_path)
-        rows = _load_words(path_no_ext + ".rows.zst")
+        words = _load_words(path_no_ext + ".rows.zst")
+        if "csr_idx" in meta:
+            store = CsrRowStore(bitset_words_for(n_rows), meta["csr_idx"],
+                                words, meta["csr_offsets"])
+        else:
+            store = DenseRowStore(words)
         return SegmentIndex(alphabet, reference_ids, n_rows, meta["majority"],
-                            meta["sym_ids"], meta["pos_ids"], rows,
+                            meta["sym_ids"], meta["pos_ids"], store,
                             counts=meta["counts"])
     # legacy dense formats (v1 snapshots)
     legacy_npy = path_no_ext + ".npy"

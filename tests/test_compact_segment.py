@@ -45,17 +45,19 @@ def _random_genomes(rng, reference_ids, n, majority_flip_positions=()):
     return genomes
 
 
+@pytest.mark.parametrize("force_csr", [False, True])
 @pytest.mark.parametrize("batch_size", [1, 7, 32, 64])
-def test_streaming_builder_matches_dense(batch_size):
+def test_streaming_builder_matches_dense(batch_size, force_csr):
     rng = np.random.default_rng(0)
     length, n = 40, 50
     reference_ids = rng.integers(1, 5, size=length).astype(np.uint8)
     genomes = _random_genomes(rng, reference_ids, n, majority_flip_positions=(5, 17))
 
-    builder = SegmentIndexBuilder(NUCLEOTIDE, reference_ids, n)
+    builder = SegmentIndexBuilder(NUCLEOTIDE, reference_ids, n, force_csr=force_csr)
     for lo in range(0, n, batch_size):
         builder.add_batch(genomes[lo : lo + batch_size])
     compact = builder.finish()
+    assert compact.store.kind == ("csr" if force_csr else "dense")
 
     dense = _dense_from_genomes(reference_ids, genomes)
     oracle = SegmentIndex.from_dense(NUCLEOTIDE, reference_ids, n, dense)
@@ -76,12 +78,13 @@ def test_streaming_builder_matches_dense(batch_size):
     assert len(compact.sym_ids) == len(oracle.sym_ids)
 
 
-def test_mutation_counts_matches_dense_and():
+@pytest.mark.parametrize("force_csr", [False, True])
+def test_mutation_counts_matches_dense_and(force_csr):
     rng = np.random.default_rng(1)
     length, n = 30, 70
     reference_ids = rng.integers(1, 5, size=length).astype(np.uint8)
     genomes = _random_genomes(rng, reference_ids, n)
-    builder = SegmentIndexBuilder(NUCLEOTIDE, reference_ids, n)
+    builder = SegmentIndexBuilder(NUCLEOTIDE, reference_ids, n, force_csr=force_csr)
     builder.add_batch(genomes)
     compact = builder.finish()
     dense = _dense_from_genomes(reference_ids, genomes)
@@ -94,12 +97,13 @@ def test_mutation_counts_matches_dense_and():
     np.testing.assert_array_equal(compact.mutation_counts(words), expected)
 
 
-def test_reconstruct_rows_roundtrip():
+@pytest.mark.parametrize("force_csr", [False, True])
+def test_reconstruct_rows_roundtrip(force_csr):
     rng = np.random.default_rng(2)
     length, n = 25, 40
     reference_ids = rng.integers(1, 5, size=length).astype(np.uint8)
     genomes = _random_genomes(rng, reference_ids, n, majority_flip_positions=(3,))
-    builder = SegmentIndexBuilder(NUCLEOTIDE, reference_ids, n)
+    builder = SegmentIndexBuilder(NUCLEOTIDE, reference_ids, n, force_csr=force_csr)
     builder.add_batch(genomes)
     compact = builder.finish()
     missing = NUCLEOTIDE.chars[NUCLEOTIDE.missing_id] * length
@@ -129,4 +133,4 @@ def test_numpy_fallback_matches_native(monkeypatch):
 
     np.testing.assert_array_equal(native_index.majority, np_index.majority)
     np.testing.assert_array_equal(native_index.sym_ids, np_index.sym_ids)
-    np.testing.assert_array_equal(native_index.rows, np_index.rows)
+    np.testing.assert_array_equal(native_index.store.rows, np_index.store.rows)
