@@ -51,13 +51,23 @@ TH_GE = 9
 TH_EQ = 10
 EMIT_COUNT = 11  # pop top, popcount -> out[operand]; used by batched queries
 NOP = 12
+PUSH_SPARSE = 13  # push a sparse-tier row densified by the pre-VM scatter
 
 _LEN_BUCKETS = (16, 64, 256, 512)
 _BATCH_LEN_BUCKETS = (64, 256, 1024, 4096)
 _DYN_BUCKETS = (1, 4, 16, 64, 256)
+# sparse-leaf count per dispatch and flat CSR-entry budget per partition
+_SPARSE_K_BUCKETS = (0, 4, 16, 64, 256)
+_SPARSE_J_BUCKETS = (0, 4096, 65536, 1 << 19, 1 << 22)
 MAX_BATCH_QUERIES = 128
 MAX_STACK = 16
 MAX_COUNT_STACK = 4
+
+# Rows whose word-level density (nnz words / W, totalled over partitions)
+# is below 1/SPARSE_DENSITY_CUTOFF move to the sparse tier; the tier only
+# activates at all for corpora with >= SPARSE_MIN_WORDS packed words.
+SPARSE_DENSITY_CUTOFF = 8
+SPARSE_MIN_WORDS = 8192
 
 
 class StructureMismatch(Exception):
@@ -73,6 +83,10 @@ class _Program:
         self.opcodes: list[int] = []
         self.operands: list[int] = []
         self.dyn_rows: list[list[np.ndarray]] = []  # per dyn leaf: per partition words
+        # per sparse leaf: per partition (word_idx int32[], words u32[]) —
+        # densified on device by one batched scatter before the VM runs
+        self.sparse_leaves: list[list[tuple[np.ndarray, np.ndarray]]] = []
+        self._sparse_cache: dict = {}
 
     def emit(self, opcode: int, operand: int = 0):
         self.opcodes.append(opcode)
@@ -82,9 +96,18 @@ class _Program:
         self.dyn_rows.append(rows_per_partition)
         return len(self.dyn_rows) - 1
 
+    def add_sparse(self, key, segments_per_partition) -> int:
+        cached = self._sparse_cache.get(key)
+        if cached is not None:
+            return cached
+        self.sparse_leaves.append(segments_per_partition)
+        leaf = len(self.sparse_leaves) - 1
+        self._sparse_cache[key] = leaf
+        return leaf
+
 
 class DeviceEngine:
-    def __init__(self, database, devices=None):
+    def __init__(self, database, devices=None, sparse_min_words: int | None = None):
         self.db = database
         partitions = database.partitions
         if not partitions:
@@ -135,10 +158,23 @@ class DeviceEngine:
         segments: list[tuple[str, str]] = [
             ("nuc", name) for name in sorted(database.nuc_sequences)
         ] + [("aa", name) for name in sorted(database.aa_sequences)]
-        # per segment: row_map[S, L] (-1 empty, -2 majority, else bank row),
-        # majority[L], stored (sym_ids, pos_ids) in bank-row order, offsets
+        # TWO-TIER split (the CSR-of-words scale design): stored rows with
+        # low word-level density move out of the dense bank into a flat CSR
+        # stream — filter leaves densify them with one batched scatter
+        # inside the dispatch (PUSH_SPARSE), Mutations reduces them with a
+        # segment-sum. Rows that are some partition's implicit majority stay
+        # dense (their content is a word-dense complement).
+        if sparse_min_words is None:
+            sparse_min_words = SPARSE_MIN_WORDS
+        self.sparse_enabled = self.n_words >= sparse_min_words
+
+        # per segment: row_map[S, L] (-1 empty/sparse, -2 majority, else
+        # dense bank row), sparse_map[S, L] (-1 or global sparse row id),
+        # majority[L], dense (sym_ids, pos_ids) in bank-row order,
+        # sparse (sparse_sym_ids, sparse_pos_ids) with sparse_base.
         self.segment_meta: dict[tuple[str, str], dict] = {}
         offset = 0
+        n_sparse = 0
         for kind, name in segments:
             totals = None
             for partition in partitions:
@@ -154,17 +190,47 @@ class DeviceEngine:
             # pos-major order for cache-friendly sibling lookups
             order = np.lexsort((sym_ids, pos_ids))
             sym_ids, pos_ids = sym_ids[order], pos_ids[order]
+            if self.sparse_enabled and len(sym_ids):
+                total_nnz = np.zeros(len(sym_ids), dtype=np.int64)
+                is_majority_somewhere = np.zeros(len(sym_ids), dtype=bool)
+                for partition in partitions:
+                    seg = (partition.nuc_sequences[name] if kind == "nuc"
+                           else partition.aa_sequences[name])
+                    local = seg.row_map[sym_ids, pos_ids]
+                    is_majority_somewhere |= local == -2
+                    stored_mask = local >= 0
+                    nnz = seg.store.row_nnz()
+                    total_nnz[stored_mask] += nnz[local[stored_mask]]
+                sparse_mask = (~is_majority_somewhere) & (
+                    total_nnz * SPARSE_DENSITY_CUTOFF
+                    <= self.n_partitions * self.n_words
+                )
+            else:
+                sparse_mask = np.zeros(len(sym_ids), dtype=bool)
+            dense_sel = ~sparse_mask
             row_map = np.full((s_count, length), -1, dtype=np.int64)
             row_map[majority, np.arange(length)] = -2
-            row_map[sym_ids, pos_ids] = offset + np.arange(len(sym_ids))
+            row_map[sym_ids[dense_sel], pos_ids[dense_sel]] = offset + np.arange(
+                int(dense_sel.sum())
+            )
+            sparse_map = np.full((s_count, length), -1, dtype=np.int64)
+            sparse_map[sym_ids[sparse_mask], pos_ids[sparse_mask]] = (
+                n_sparse + np.arange(int(sparse_mask.sum()))
+            )
             self.segment_meta[(kind, name)] = {
-                "offset": offset, "n_stored": len(sym_ids), "length": length,
-                "s_count": s_count, "row_map": row_map, "majority": majority,
-                "sym_ids": sym_ids, "pos_ids": pos_ids,
+                "offset": offset, "n_stored": int(dense_sel.sum()),
+                "length": length, "s_count": s_count, "row_map": row_map,
+                "majority": majority,
+                "sym_ids": sym_ids[dense_sel], "pos_ids": pos_ids[dense_sel],
+                "sparse_map": sparse_map, "sparse_base": n_sparse,
+                "sparse_sym_ids": sym_ids[sparse_mask],
+                "sparse_pos_ids": pos_ids[sparse_mask],
             }
-            offset += len(sym_ids)
+            offset += int(dense_sel.sum())
             offset = -(-offset // align) * align
+            n_sparse += int(sparse_mask.sum())
         self.n_rows = max(offset, 1)
+        self.n_sparse = n_sparse
 
         # Build bank[P, R, W] (pad each partition's words to the common W).
         bank = np.zeros((self.n_partitions, self.n_rows, self.n_words), dtype=np.uint32)
@@ -197,6 +263,52 @@ class DeviceEngine:
             w = bitset.words_for(partition.sequence_count)
             full[pi, :w] = partition.full
         self.full_masks = jax.device_put(full, self._words_sharding)
+
+        # Flat sparse-tier CSR stream per partition (for the Mutations
+        # segment-sum reduction): entries (global sparse row, word idx, word),
+        # padded across partitions; pad rows point at segment n_sparse.
+        if n_sparse:
+            per_partition = []
+            for pi, partition in enumerate(partitions):
+                chunks = []
+                for kind, name in segments:
+                    meta = self.segment_meta[(kind, name)]
+                    if not len(meta["sparse_sym_ids"]):
+                        continue
+                    seg = (partition.nuc_sequences[name] if kind == "nuc"
+                           else partition.aa_sequences[name])
+                    local = seg.row_map[meta["sparse_sym_ids"],
+                                        meta["sparse_pos_ids"]]
+                    stored = np.nonzero(local >= 0)[0]
+                    if not len(stored):
+                        continue
+                    idx_arr, words_arr, lengths = seg.store.gather_rows_csr(
+                        local[stored]
+                    )
+                    g_ids = (meta["sparse_base"] + stored).astype(np.int64)
+                    chunks.append((np.repeat(g_ids, lengths), idx_arr, words_arr))
+                if chunks:
+                    per_partition.append(tuple(
+                        np.concatenate([c[i] for c in chunks]) for i in range(3)
+                    ))
+                else:
+                    per_partition.append((np.zeros(0, np.int64),
+                                          np.zeros(0, np.int32),
+                                          np.zeros(0, np.uint32)))
+            nnz_pad = max(1, max(len(c[0]) for c in per_partition))
+            sp_row = np.full((self.n_partitions, nnz_pad), n_sparse, dtype=np.int32)
+            sp_idx = np.zeros((self.n_partitions, nnz_pad), dtype=np.int32)
+            sp_words = np.zeros((self.n_partitions, nnz_pad), dtype=np.uint32)
+            for pi, (g, i, w) in enumerate(per_partition):
+                sp_row[pi, : len(g)] = g
+                sp_idx[pi, : len(g)] = i
+                sp_words[pi, : len(g)] = w
+            self.sparse_stream = (jax.device_put(sp_row), jax.device_put(sp_idx),
+                                  jax.device_put(sp_words))
+        else:
+            self.sparse_stream = None
+        self._sparse_counts_memo: tuple | None = None
+        self._filters_memo: tuple | None = None
         self._filter_cache: dict = {}
         import threading
 
@@ -205,29 +317,60 @@ class DeviceEngine:
 
     # -- lowering ---------------------------------------------------------
 
+    def _emit_sparse_leaf(self, program: _Program, kind: str, name: str,
+                          sym: int, pos: int):
+        """PUSH_SPARSE for a sparse-tier row: collect its per-partition CSR
+        word segments (scattered to dense on device, pre-VM)."""
+        segments_per_partition = []
+        for partition in self.db.partitions:
+            seg = (partition.nuc_sequences[name] if kind == "nuc"
+                   else partition.aa_sequences[name])
+            local = int(seg.row_map[sym, pos])
+            if local >= 0:
+                segments_per_partition.append(seg.store.row_words(local))
+            else:  # -1 (cannot be -2: majority-anywhere rows stay dense-tier)
+                segments_per_partition.append(
+                    (np.zeros(0, np.int32), np.zeros(0, np.uint32))
+                )
+        leaf = program.add_sparse((kind, name, sym, pos), segments_per_partition)
+        program.emit(PUSH_SPARSE, leaf)
+
     def _emit_static_ref(self, program: _Program, ref: tuple) -> int:
         """Emit instructions for one (kind, name, sym, pos) plane under the
-        compact layout; returns the stack depth used."""
+        compact two-tier layout; returns the stack depth used."""
         kind, name, sym, pos = ref
         meta = self.segment_meta[(kind, name)]
         row = int(meta["row_map"][sym, pos])
         if row >= 0:
             program.emit(PUSH_STATIC, row)
             return 1
-        if row == -1:  # no sequence has this symbol here, in any partition
+        if row == -1:
+            sparse_id = int(meta["sparse_map"][sym, pos])
+            if sparse_id >= 0:
+                self._emit_sparse_leaf(program, kind, name, sym, pos)
+                return 1
+            # no sequence has this symbol here, in any partition
             program.emit(PUSH_EMPTY)
             return 1
-        # majority symbol: reconstruct as NOT(OR(stored sibling rows))
-        siblings = [int(r) for r in meta["row_map"][:, pos] if r >= 0]
-        if not siblings:
+        # majority symbol: reconstruct as NOT(OR(stored sibling rows)),
+        # siblings drawn from both tiers
+        emitted = 0
+        for sibling_sym in range(meta["s_count"]):
+            srow = int(meta["row_map"][sibling_sym, pos])
+            if srow >= 0:
+                program.emit(PUSH_STATIC, srow)
+            elif int(meta["sparse_map"][sibling_sym, pos]) >= 0:
+                self._emit_sparse_leaf(program, kind, name, sibling_sym, pos)
+            else:
+                continue
+            emitted += 1
+            if emitted > 1:
+                program.emit(OP_OR)
+        if not emitted:
             program.emit(PUSH_FULL)
             return 1
-        program.emit(PUSH_STATIC, siblings[0])
-        for sibling in siblings[1:]:
-            program.emit(PUSH_STATIC, sibling)
-            program.emit(OP_OR)
         program.emit(OP_NOT)
-        return 2 if len(siblings) > 1 else 1
+        return 2 if emitted > 1 else 1
 
     def lower(self, filter_expr) -> tuple[_Program, int]:
         """Compile the expression per partition (uniform mode) and flatten
@@ -254,6 +397,8 @@ class DeviceEngine:
             raise ProgramTooLarge(len(program.opcodes))
         if len(program.dyn_rows) > _DYN_BUCKETS[-1]:
             raise ProgramTooLarge(f"dyn rows {len(program.dyn_rows)}")
+        if len(program.sparse_leaves) > _SPARSE_K_BUCKETS[-1]:
+            raise ProgramTooLarge(f"sparse leaves {len(program.sparse_leaves)}")
         if max_depth > MAX_STACK:
             raise ProgramTooLarge(f"stack depth {max_depth}")
         return program, max_depth
@@ -359,7 +504,8 @@ class DeviceEngine:
         ]
 
     def _prepare(self, filter_expr):
-        """Lower to (bucket, n_dyn, code[2, bucket], dyn host array | None)."""
+        """Lower to (bucket, n_dyn, code[2, bucket], dyn host array | None,
+        n_instr, sparse_k, sparse arrays)."""
         program, _depth = self.lower(filter_expr)
         n = len(program.opcodes)
         bucket = next(b for b in _LEN_BUCKETS if b >= n)
@@ -375,7 +521,50 @@ class DeviceEngine:
                     dyn[pi, di] = row
         else:
             dyn = None
-        return bucket, n_dyn, code, dyn, n
+        sparse_k, sparse_arrays = self._assemble_sparse(program.sparse_leaves)
+        return bucket, n_dyn, code, dyn, n, sparse_k, sparse_arrays
+
+    def _assemble_sparse(self, sparse_leaves):
+        """Per-query sparse-leaf upload: flat (leaf, word_idx, word) triples
+        per partition, bucketed. Returns (K_bucket, (leaf, idx, words) numpy
+        [P, J] arrays). Padding entries carry leaf == K (dropped by the
+        device scatter's OOB mode)."""
+        k_bucket = next(b for b in _SPARSE_K_BUCKETS if b >= len(sparse_leaves))
+        if k_bucket == 0:
+            return 0, self._zero_sparse()
+        per_len = [
+            sum(len(leaf[pi][0]) for leaf in sparse_leaves)
+            for pi in range(self.n_partitions)
+        ]
+        j_needed = max(per_len)
+        try:
+            j_bucket = next(b for b in _SPARSE_J_BUCKETS if b >= j_needed)
+        except StopIteration:
+            raise ProgramTooLarge(f"sparse entries {j_needed}") from None
+        leaf_arr = np.full((self.n_partitions, j_bucket), k_bucket, dtype=np.int32)
+        idx_arr = np.zeros((self.n_partitions, j_bucket), dtype=np.int32)
+        words_arr = np.zeros((self.n_partitions, j_bucket), dtype=np.uint32)
+        for pi in range(self.n_partitions):
+            cursor = 0
+            for k, leaf in enumerate(sparse_leaves):
+                idx_k, words_k = leaf[pi]
+                n_k = len(idx_k)
+                leaf_arr[pi, cursor : cursor + n_k] = k
+                idx_arr[pi, cursor : cursor + n_k] = idx_k
+                words_arr[pi, cursor : cursor + n_k] = words_k
+                cursor += n_k
+        return k_bucket, (leaf_arr, idx_arr, words_arr)
+
+    def _zero_sparse(self):
+        """Cached zero-size sparse arrays for queries with no sparse leaves."""
+        key = "zero_sparse"
+        cached = self._filter_cache.get(key)
+        if cached is None:
+            z = np.zeros((self.n_partitions, 0), dtype=np.int32)
+            cached = (jax.device_put(z), jax.device_put(z),
+                      jax.device_put(z.astype(np.uint32)))
+            self._filter_cache[key] = cached
+        return cached
 
     def _dyn_sharding(self, ndim: int):
         if self.mesh is None:
@@ -398,24 +587,29 @@ class DeviceEngine:
             self._filter_cache[key] = cached
         return cached
 
+    def _sparse_dev(self, sparse_arrays):
+        if isinstance(sparse_arrays[0], np.ndarray):
+            return tuple(jax.device_put(a) for a in sparse_arrays)
+        return sparse_arrays
+
     def evaluate_device(self, filter_expr) -> jax.Array:
         """Returns the [P, W] filter bitset on device."""
-        bucket, n_dyn, code, dyn, n_instr = self._prepare(filter_expr)
+        bucket, n_dyn, code, dyn, n_instr, k, sp = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
-        run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "words")
-        return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks,
-                   jnp.int32(n_instr))
+        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "words")
+        return run(jnp.asarray(code), self.bank, dyn_dev,
+                   *self._sparse_dev(sp), self.full_masks, jnp.int32(n_instr))
 
     def count_async(self, filter_expr) -> jax.Array:
         """Fused filter + popcount in ONE device dispatch; returns the scalar
         device array without blocking."""
-        bucket, n_dyn, code, dyn, n_instr = self._prepare(filter_expr)
+        bucket, n_dyn, code, dyn, n_instr, k, sp = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
-        run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "count")
-        return run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks,
-                   jnp.int32(n_instr))
+        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "count")
+        return run(jnp.asarray(code), self.bank, dyn_dev,
+                   *self._sparse_dev(sp), self.full_masks, jnp.int32(n_instr))
 
     def count_batch(self, filter_exprs: list, min_bucket: int = 0) -> list[int]:
         """Batched counts: MANY queries in ONE device dispatch. The query
@@ -445,27 +639,37 @@ class DeviceEngine:
         # lower() enforces the single-program limits).
         total = sum(len(p.opcodes) + 1 for p in lowered)
         total_dyn = sum(len(p.dyn_rows) for p in lowered)
-        if q > 1 and (total > _BATCH_LEN_BUCKETS[-1] or total_dyn > _DYN_BUCKETS[-1]):
-            acc_len = acc_dyn = 0
+        total_sparse = sum(len(p.sparse_leaves) for p in lowered)
+        if q > 1 and (total > _BATCH_LEN_BUCKETS[-1] or total_dyn > _DYN_BUCKETS[-1]
+                      or total_sparse > _SPARSE_K_BUCKETS[-1]):
+            acc_len = acc_dyn = acc_sparse = 0
             split = q
             for i, p in enumerate(lowered):
                 acc_len += len(p.opcodes) + 1
                 acc_dyn += len(p.dyn_rows)
-                if i and (acc_len > _BATCH_LEN_BUCKETS[-1] or acc_dyn > _DYN_BUCKETS[-1]):
+                acc_sparse += len(p.sparse_leaves)
+                if i and (acc_len > _BATCH_LEN_BUCKETS[-1]
+                          or acc_dyn > _DYN_BUCKETS[-1]
+                          or acc_sparse > _SPARSE_K_BUCKETS[-1]):
                     split = i
                     break
             return self.count_programs(lowered[:split], min_bucket) + \
                 self.count_programs(lowered[split:], min_bucket)
         programs = []
         all_dyn_rows: list[list[np.ndarray]] = []
+        all_sparse_leaves: list = []
         total_len = 0
         for program in lowered:
             dyn_base = len(all_dyn_rows)
+            sparse_base = len(all_sparse_leaves)
             opcodes, operands = list(program.opcodes), list(program.operands)
             for i, opcode in enumerate(opcodes):
                 if opcode == PUSH_DYN:
                     operands[i] += dyn_base
+                elif opcode == PUSH_SPARSE:
+                    operands[i] += sparse_base
             all_dyn_rows.extend(program.dyn_rows)
+            all_sparse_leaves.extend(program.sparse_leaves)
             programs.append((opcodes, operands))
             total_len += len(opcodes) + 1
         if total_len > _BATCH_LEN_BUCKETS[-1]:
@@ -490,9 +694,11 @@ class DeviceEngine:
             dyn_dev = self._put_dyn(dyn)
         else:
             dyn_dev = self._zero_dyn((self.n_partitions, n_dyn, self.n_words))
-        run = _interpreter(bucket, self.n_rows, n_dyn, self.n_words, "multi_count")
-        counts = run(jnp.asarray(code), self.bank, dyn_dev, self.full_masks,
-                     jnp.int32(cursor))
+        k, sp = self._assemble_sparse(all_sparse_leaves)
+        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words,
+                           "multi_count")
+        counts = run(jnp.asarray(code), self.bank, dyn_dev,
+                     *self._sparse_dev(sp), self.full_masks, jnp.int32(cursor))
         return [int(c) for c in np.asarray(counts)[:q]]
 
     def count(self, filter_expr) -> int:
@@ -515,22 +721,52 @@ class DeviceEngine:
 
     # -- heavy reductions -----------------------------------------------------
 
+    def _filters_for(self, filter_words: list[np.ndarray]) -> jax.Array:
+        """Upload (and memoize, by identity) the per-partition filter rows
+        — one Mutations query calls mutation_counts once per segment with
+        the same filter list."""
+        key = tuple(id(w) for w in filter_words)
+        memo = self._filters_memo
+        if memo is not None and memo[0] == key:
+            return memo[2]
+        dyn = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
+        for pi, words in enumerate(filter_words):
+            dyn[pi, : len(words)] = words
+        filters = self._put_dyn(dyn)
+        # hold a reference to the keyed arrays so ids stay valid
+        self._filters_memo = (key, list(filter_words), filters)
+        return filters
+
+    def _sparse_counts(self, filter_words: list[np.ndarray]) -> np.ndarray:
+        """int32[n_sparse]: popcount(row & filter) for every sparse-tier row
+        (all segments), via ONE segment-sum over the flat CSR stream."""
+        key = tuple(id(w) for w in filter_words)
+        memo = self._sparse_counts_memo
+        if memo is not None and memo[0] == key:
+            return memo[2]
+        filters = self._filters_for(filter_words)
+        sp_row, sp_idx, sp_words = self.sparse_stream
+        out = np.asarray(_sparse_mutation_counts_jit(
+            sp_row, sp_idx, sp_words, filters, self.n_sparse + 1
+        )[: self.n_sparse], dtype=np.int64)
+        self._sparse_counts_memo = (key, list(filter_words), out)
+        return out
+
     def mutation_counts(self, kind: str, name: str, filter_words: list[np.ndarray]):
         """counts[S, L]: per (symbol, position) popcount of plane & filter,
         summed over partitions. THE flagship reduction — Pallas streaming
-        kernel on TPU, fused XLA path otherwise. Majority rows reconstruct as
-        |filter| - sum(stored counts at pos) (reference mutations.cpp:74-96,
-        exact under the one-symbol-per-position invariant)."""
+        kernel over the dense tier plus a segment-sum over the sparse-tier
+        CSR stream. Majority rows reconstruct as |filter| - sum(stored
+        counts at pos) (reference mutations.cpp:74-96, exact under the
+        one-symbol-per-position invariant)."""
         meta = self.segment_meta[(kind, name)]
         start, n_stored = meta["offset"], meta["n_stored"]
         length, s_count = meta["length"], meta["s_count"]
         filter_total = sum(bitset.popcount(w) for w in filter_words)
         counts = np.zeros((s_count, length), dtype=np.int64)
+        per_pos = np.zeros(length, dtype=np.int64)
         if n_stored:
-            dyn = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
-            for pi, words in enumerate(filter_words):
-                dyn[pi, : len(words)] = words
-            filters = self._put_dyn(dyn)
+            filters = self._filters_for(filter_words)
             if self.use_pallas:
                 from . import pallas_kernels as pk
 
@@ -544,10 +780,14 @@ class DeviceEngine:
                     dtype=np.int64,
                 )
             counts[meta["sym_ids"], meta["pos_ids"]] = stored
-            per_pos = np.zeros(length, dtype=np.int64)
             np.add.at(per_pos, meta["pos_ids"], stored)
-        else:
-            per_pos = np.zeros(length, dtype=np.int64)
+        n_seg_sparse = len(meta["sparse_sym_ids"])
+        if n_seg_sparse:
+            seg_sparse = self._sparse_counts(filter_words)[
+                meta["sparse_base"] : meta["sparse_base"] + n_seg_sparse
+            ]
+            counts[meta["sparse_sym_ids"], meta["sparse_pos_ids"]] = seg_sparse
+            np.add.at(per_pos, meta["sparse_pos_ids"], seg_sparse)
         counts[meta["majority"], np.arange(length)] = filter_total - per_pos
         return counts
 
@@ -628,16 +868,31 @@ class _MicroBatcher:
 
 
 @functools.lru_cache(maxsize=64)
-def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_words: int,
-                 output: str = "words"):
+def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
+                 n_words: int, output: str = "words"):
     """Jitted, partition-vmapped stack-machine interpreter for one shape
     bucket. output='words' returns the [P, W] bitset; output='count' fuses
-    the popcount reduction into the same executable (one dispatch)."""
-    run_one = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words)
+    the popcount reduction into the same executable (one dispatch).
+    Sparse-tier leaves arrive as flat (leaf, word_idx, word) triples and are
+    densified into [K, W] rows by ONE batched scatter before the VM runs
+    (padding entries carry leaf == K and are dropped)."""
+    run_one = build_run_one_with_emit(program_len, n_rows, n_dyn + n_sparse_k,
+                                      n_words, sparse_base=n_dyn)
 
-    def run(code, bank, dyn, full_masks, n_instr):
-        words, outs = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0, None))(
-            code[0], code[1], bank, dyn, full_masks, n_instr
+    def run_p(code0, code1, bank_p, dyn_p, leaf_p, idx_p, words_p, full_p,
+              n_instr):
+        if n_sparse_k:
+            sparse_dense = (
+                jnp.zeros((n_sparse_k, n_words), jnp.uint32)
+                .at[leaf_p, idx_p].set(words_p, mode="drop")
+            )
+            dyn_p = jnp.concatenate([dyn_p, sparse_dense], axis=0)
+        return run_one(code0, code1, bank_p, dyn_p, full_p, n_instr)
+
+    def run(code, bank, dyn, sp_leaf, sp_idx, sp_words, full_masks, n_instr):
+        words, outs = jax.vmap(run_p, in_axes=(None, None, 0, 0, 0, 0, 0, 0, None))(
+            code[0], code[1], bank, dyn, sp_leaf, sp_idx, sp_words,
+            full_masks, n_instr
         )
         if output == "count":
             return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
@@ -662,12 +917,17 @@ def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
     return run_one
 
 
-def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: int):
+def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: int,
+                            sparse_base: int | None = None):
     """The single-partition stack-machine body (un-jitted). Returns
     (top-of-stack words, EMIT_COUNT output vector). `n_instr` is a traced
     scalar: the while_loop executes only the real instructions, so one
     compiled executable serves every program length up to `program_len`
-    with no NOP-padding cost."""
+    with no NOP-padding cost. PUSH_SPARSE operand k reads
+    dyn[sparse_base + k] (densified sparse-tier rows are appended to the
+    dyn bank by the caller)."""
+    if sparse_base is None:
+        sparse_base = n_dyn
 
     def run_one(opcodes, operands, bank, dyn, full_mask, n_instr):
         def step(state):
@@ -750,11 +1010,16 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
             def do_nop(_):
                 return stack, sp, counts, csp, out
 
+            def do_push_sparse(_):
+                row = dyn[sparse_base + operand]
+                s, p = push(row)
+                return s, p, counts, csp, out
+
             stack, sp, counts, csp, out = jax.lax.switch(
                 opcode,
                 [do_push_static, do_push_dyn, do_push_full, do_push_empty,
                  do_not, do_and, do_or, do_th_push, do_th_add, do_th_ge,
-                 do_th_eq, do_emit_count, do_nop],
+                 do_th_eq, do_emit_count, do_nop, do_push_sparse],
                 None,
             )
             return ip + 1, stack, sp, counts, csp, out
@@ -770,6 +1035,22 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
         return stack[0], out
 
     return run_one
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _sparse_mutation_counts_jit(sp_row, sp_idx, sp_words, filters, num_segments):
+    """Segmented popcount over the flat sparse-tier CSR stream:
+    counts[r] = sum over the row's stored words of popcount(word &
+    filter[word_idx]), summed over partitions. Padding entries point at the
+    trailing dummy segment and carry zero words."""
+
+    def one(rows, idx, words, filt):
+        vals = jax.lax.population_count(words & filt[idx]).astype(jnp.int32)
+        return jax.ops.segment_sum(vals, rows, num_segments=num_segments)
+
+    return jax.vmap(one)(sp_row, sp_idx, sp_words, filters).sum(
+        axis=0, dtype=jnp.int32
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

@@ -72,6 +72,29 @@ class DenseRowStore:
         np.cumsum(offsets, out=offsets)
         return idx.astype(np.int32), words, offsets
 
+    def row_nnz(self) -> np.ndarray:
+        """int64[ns]: non-zero word count per row."""
+        out = np.empty(self.n_stored, dtype=np.int64)
+        chunk = max(1, (64 << 20) // max(1, self.n_words * 4))
+        for lo in range(0, self.n_stored, chunk):
+            out[lo : lo + chunk] = np.count_nonzero(self.rows[lo : lo + chunk], axis=1)
+        return out
+
+    def row_words(self, i: int):
+        """(word_idx int32[], words u32[]) of one row's non-zero words."""
+        nz = np.nonzero(self.rows[i])[0]
+        return nz.astype(np.int32), self.rows[i][nz]
+
+    def gather_rows_csr(self, indices):
+        """Concatenated non-zero words of the given rows:
+        (idx int32[], words u32[], lengths int64[len(indices)])."""
+        parts = [self.row_words(int(i)) for i in indices]
+        lengths = np.array([len(p[0]) for p in parts], dtype=np.int64)
+        if not parts:
+            return (np.zeros(0, np.int32), np.zeros(0, np.uint32), lengths)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]), lengths)
+
     def nbytes(self) -> int:
         return int(self.rows.nbytes)
 
@@ -177,6 +200,19 @@ class CsrRowStore:
 
     def word_lists(self):
         return self.idx, self.words, self.offsets
+
+    def row_nnz(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def row_words(self, i: int):
+        sl = self._slice(i)
+        return self.idx[sl], self.words[sl]
+
+    def gather_rows_csr(self, indices):
+        indices = np.asarray(indices, dtype=np.int64)
+        lengths = np.diff(self.offsets)[indices]
+        gather = _segment_gather_indices(self.offsets, indices, lengths)
+        return self.idx[gather], self.words[gather], lengths
 
     def nbytes(self) -> int:
         return int(self.idx.nbytes + self.words.nbytes + self.offsets.nbytes)

@@ -96,3 +96,50 @@ def test_fuzz_device_vs_host(fuzz_db):
     for i in range(0, len(filters), 16):
         batched.extend(engine.count_batch(filters[i : i + 16]))
     assert batched == counts
+
+
+def test_fuzz_sparse_tier_vs_host(fuzz_db):
+    """Same fuzz, but with the two-tier bank forced on (sparse leaves take
+    the PUSH_SPARSE densify path)."""
+    from lapis_silo_tpu.ops.device_engine import (
+        DeviceEngine,
+        ProgramTooLarge,
+        StructureMismatch,
+    )
+    from lapis_silo_tpu.query import ast
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.query.ir import HostEvaluator
+
+    from lapis_silo_tpu.testing import synthetic_database
+
+    # word-sparse rows need many sequences relative to mutations
+    db = synthetic_database(n_rows=16384, length=512, n_partitions=2,
+                            mutations_per_genome=2, seed=11)
+    engine = DeviceEngine(db, sparse_min_words=1)
+    assert engine.n_sparse > 0
+    rng = random.Random(43)
+    checked, fallbacks = 0, 0
+    filters, counts = [], []
+    for _ in range(40):
+        filter_json = random_filter(rng, db)
+        query = Query(json.dumps({"filterExpression": filter_json,
+                                  "action": {"type": "Aggregated"}}))
+        host_words = []
+        for partition in db.partitions:
+            node = query.filter.compile(db, partition, ast.NONE)
+            host_words.append(HostEvaluator(partition.sequence_count).evaluate(node))
+        try:
+            device_words = engine.evaluate(query.filter)
+        except (ProgramTooLarge, StructureMismatch):
+            fallbacks += 1
+            continue
+        for a, b in zip(host_words, device_words):
+            np.testing.assert_array_equal(a, b, err_msg=json.dumps(filter_json))
+        filters.append(query.filter)
+        counts.append(sum(int(np.bitwise_count(w).sum()) for w in host_words))
+        checked += 1
+    assert checked >= 25, (checked, fallbacks)
+    batched = []
+    for i in range(0, len(filters), 16):
+        batched.extend(engine.count_batch(filters[i : i + 16]))
+    assert batched == counts
