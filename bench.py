@@ -53,7 +53,11 @@ def main():
     engine = DeviceEngine(db)
     jax.block_until_ready(engine.bank)
     bank_gb = engine.bank.nbytes / 1e9
-    log(f"bank resident: {bank_gb:.2f} GB in {time.time() - t0:.1f}s")
+    sparse_gb = (sum(a.nbytes for a in engine.sparse_stream) / 1e9
+                 if engine.sparse_stream is not None else 0.0)
+    log(f"bank resident: dense {bank_gb:.2f} GB ({engine.n_rows} rows) + "
+        f"sparse stream {sparse_gb:.2f} GB ({engine.n_sparse} rows) "
+        f"in {time.time() - t0:.1f}s")
 
     queries = [Query(q) for q in sample_count_queries(db, n_queries=n_queries)]
 
@@ -89,8 +93,10 @@ def main():
     t0 = time.perf_counter()
     matrix = engine.mutation_counts("nuc", "main", words)
     mutations_s = time.perf_counter() - t0
-    seg_bytes = engine.segment_meta[("nuc", "main")]["n_stored"] * engine.n_words * 4 \
-        * n_partitions
+    meta = engine.segment_meta[("nuc", "main")]
+    seg_bytes = meta["n_stored"] * engine.n_words * 4 * n_partitions
+    if engine.sparse_stream is not None:
+        seg_bytes += sum(int(a.nbytes) for a in engine.sparse_stream)
     log(f"mutations reduction: {mutations_s * 1e3:.1f} ms over "
         f"{seg_bytes / 1e9:.2f} GB stored rows -> "
         f"{seg_bytes / mutations_s / 1e9:.0f} GB/s effective "

@@ -56,9 +56,11 @@ PUSH_SPARSE = 13  # push a sparse-tier row densified by the pre-VM scatter
 _LEN_BUCKETS = (16, 64, 256, 512)
 _BATCH_LEN_BUCKETS = (64, 256, 1024, 4096)
 _DYN_BUCKETS = (1, 4, 16, 64, 256)
-# sparse-leaf count per dispatch and flat CSR-entry budget per partition
+# sparse-leaf count per dispatch and per-leaf segment-length budget (the
+# leaves gather straight from the device-resident CSR stream; the per-query
+# upload is just (start, len) pairs)
 _SPARSE_K_BUCKETS = (0, 4, 16, 64, 256)
-_SPARSE_J_BUCKETS = (0, 4096, 65536, 1 << 19, 1 << 22)
+_SPARSE_M_BUCKETS = (0, 512, 8192, 131072, 1 << 21)
 MAX_BATCH_QUERIES = 128
 MAX_STACK = 16
 MAX_COUNT_STACK = 4
@@ -83,9 +85,10 @@ class _Program:
         self.opcodes: list[int] = []
         self.operands: list[int] = []
         self.dyn_rows: list[list[np.ndarray]] = []  # per dyn leaf: per partition words
-        # per sparse leaf: per partition (word_idx int32[], words u32[]) —
-        # densified on device by one batched scatter before the VM runs
-        self.sparse_leaves: list[list[tuple[np.ndarray, np.ndarray]]] = []
+        # per sparse leaf: the global sparse-row id — its per-partition
+        # (start, len) slice of the device-resident CSR stream is resolved
+        # at dispatch assembly and gathered+scattered on device
+        self.sparse_leaves: list[int] = []
         self._sparse_cache: dict = {}
 
     def emit(self, opcode: int, operand: int = 0):
@@ -96,13 +99,13 @@ class _Program:
         self.dyn_rows.append(rows_per_partition)
         return len(self.dyn_rows) - 1
 
-    def add_sparse(self, key, segments_per_partition) -> int:
-        cached = self._sparse_cache.get(key)
+    def add_sparse(self, sparse_row_id: int) -> int:
+        cached = self._sparse_cache.get(sparse_row_id)
         if cached is not None:
             return cached
-        self.sparse_leaves.append(segments_per_partition)
+        self.sparse_leaves.append(sparse_row_id)
         leaf = len(self.sparse_leaves) - 1
-        self._sparse_cache[key] = leaf
+        self._sparse_cache[sparse_row_id] = leaf
         return leaf
 
 
@@ -264,11 +267,17 @@ class DeviceEngine:
             full[pi, :w] = partition.full
         self.full_masks = jax.device_put(full, self._words_sharding)
 
-        # Flat sparse-tier CSR stream per partition (for the Mutations
-        # segment-sum reduction): entries (global sparse row, word idx, word),
-        # padded across partitions; pad rows point at segment n_sparse.
+        # Flat sparse-tier CSR stream per partition, device-resident:
+        # entries (global sparse row, word idx, word), padded across
+        # partitions; pad rows point at segment n_sparse. Serves BOTH the
+        # Mutations segment-sum reduction and PUSH_SPARSE filter leaves
+        # (which gather their contiguous (start, len) slice of the stream —
+        # rows were emitted row-major, so each row's entries are adjacent).
         if n_sparse:
             per_partition = []
+            # per (partition, global sparse row): slice length in the stream
+            self.sparse_lengths = np.zeros((self.n_partitions, n_sparse),
+                                           dtype=np.int64)
             for pi, partition in enumerate(partitions):
                 chunks = []
                 for kind, name in segments:
@@ -286,6 +295,7 @@ class DeviceEngine:
                         local[stored]
                     )
                     g_ids = (meta["sparse_base"] + stored).astype(np.int64)
+                    self.sparse_lengths[pi, g_ids] = lengths
                     chunks.append((np.repeat(g_ids, lengths), idx_arr, words_arr))
                 if chunks:
                     per_partition.append(tuple(
@@ -303,10 +313,17 @@ class DeviceEngine:
                 sp_row[pi, : len(g)] = g
                 sp_idx[pi, : len(g)] = i
                 sp_words[pi, : len(g)] = w
+            # ascending g_ids per partition => each row's slice is contiguous;
+            # starts = exclusive prefix sum of lengths
+            self.sparse_starts = np.zeros((self.n_partitions, n_sparse),
+                                          dtype=np.int64)
+            np.cumsum(self.sparse_lengths[:, :-1], axis=1,
+                      out=self.sparse_starts[:, 1:])
             self.sparse_stream = (jax.device_put(sp_row), jax.device_put(sp_idx),
                                   jax.device_put(sp_words))
         else:
             self.sparse_stream = None
+            self.sparse_starts = self.sparse_lengths = None
         self._sparse_counts_memo: tuple | None = None
         self._filters_memo: tuple | None = None
         self._filter_cache: dict = {}
@@ -317,22 +334,11 @@ class DeviceEngine:
 
     # -- lowering ---------------------------------------------------------
 
-    def _emit_sparse_leaf(self, program: _Program, kind: str, name: str,
-                          sym: int, pos: int):
-        """PUSH_SPARSE for a sparse-tier row: collect its per-partition CSR
-        word segments (scattered to dense on device, pre-VM)."""
-        segments_per_partition = []
-        for partition in self.db.partitions:
-            seg = (partition.nuc_sequences[name] if kind == "nuc"
-                   else partition.aa_sequences[name])
-            local = int(seg.row_map[sym, pos])
-            if local >= 0:
-                segments_per_partition.append(seg.store.row_words(local))
-            else:  # -1 (cannot be -2: majority-anywhere rows stay dense-tier)
-                segments_per_partition.append(
-                    (np.zeros(0, np.int32), np.zeros(0, np.uint32))
-                )
-        leaf = program.add_sparse((kind, name, sym, pos), segments_per_partition)
+    def _emit_sparse_leaf(self, program: _Program, sparse_row_id: int):
+        """PUSH_SPARSE for a sparse-tier row: gathered from its contiguous
+        slice of the device-resident CSR stream and scattered to dense,
+        pre-VM. Per-query upload: just the (start, len) pair."""
+        leaf = program.add_sparse(sparse_row_id)
         program.emit(PUSH_SPARSE, leaf)
 
     def _emit_static_ref(self, program: _Program, ref: tuple) -> int:
@@ -347,7 +353,7 @@ class DeviceEngine:
         if row == -1:
             sparse_id = int(meta["sparse_map"][sym, pos])
             if sparse_id >= 0:
-                self._emit_sparse_leaf(program, kind, name, sym, pos)
+                self._emit_sparse_leaf(program, sparse_id)
                 return 1
             # no sequence has this symbol here, in any partition
             program.emit(PUSH_EMPTY)
@@ -357,10 +363,11 @@ class DeviceEngine:
         emitted = 0
         for sibling_sym in range(meta["s_count"]):
             srow = int(meta["row_map"][sibling_sym, pos])
+            sparse_id = int(meta["sparse_map"][sibling_sym, pos])
             if srow >= 0:
                 program.emit(PUSH_STATIC, srow)
-            elif int(meta["sparse_map"][sibling_sym, pos]) >= 0:
-                self._emit_sparse_leaf(program, kind, name, sibling_sym, pos)
+            elif sparse_id >= 0:
+                self._emit_sparse_leaf(program, sparse_id)
             else:
                 continue
             emitted += 1
@@ -521,48 +528,50 @@ class DeviceEngine:
                     dyn[pi, di] = row
         else:
             dyn = None
-        sparse_k, sparse_arrays = self._assemble_sparse(program.sparse_leaves)
-        return bucket, n_dyn, code, dyn, n, sparse_k, sparse_arrays
+        sparse_k, sparse_m, sparse_arrays = self._assemble_sparse(
+            program.sparse_leaves
+        )
+        return bucket, n_dyn, code, dyn, n, sparse_k, sparse_m, sparse_arrays
 
-    def _assemble_sparse(self, sparse_leaves):
-        """Per-query sparse-leaf upload: flat (leaf, word_idx, word) triples
-        per partition, bucketed. Returns (K_bucket, (leaf, idx, words) numpy
-        [P, J] arrays). Padding entries carry leaf == K (dropped by the
-        device scatter's OOB mode)."""
+    def _assemble_sparse(self, sparse_leaves: list[int]):
+        """Per-query sparse-leaf descriptors: (start, len) into the resident
+        CSR stream, per partition. Returns (K_bucket, M_bucket,
+        (starts, lens) numpy [P, K] arrays)."""
         k_bucket = next(b for b in _SPARSE_K_BUCKETS if b >= len(sparse_leaves))
         if k_bucket == 0:
-            return 0, self._zero_sparse()
-        per_len = [
-            sum(len(leaf[pi][0]) for leaf in sparse_leaves)
-            for pi in range(self.n_partitions)
-        ]
-        j_needed = max(per_len)
+            return 0, 0, self._zero_sparse()
+        ids = np.asarray(sparse_leaves, dtype=np.int64)
+        starts = np.zeros((self.n_partitions, k_bucket), dtype=np.int32)
+        lens = np.zeros((self.n_partitions, k_bucket), dtype=np.int32)
+        starts[:, : len(ids)] = self.sparse_starts[:, ids]
+        lens[:, : len(ids)] = self.sparse_lengths[:, ids]
+        m_needed = int(lens.max())
         try:
-            j_bucket = next(b for b in _SPARSE_J_BUCKETS if b >= j_needed)
+            m_bucket = next(b for b in _SPARSE_M_BUCKETS if b >= m_needed)
         except StopIteration:
-            raise ProgramTooLarge(f"sparse entries {j_needed}") from None
-        leaf_arr = np.full((self.n_partitions, j_bucket), k_bucket, dtype=np.int32)
-        idx_arr = np.zeros((self.n_partitions, j_bucket), dtype=np.int32)
-        words_arr = np.zeros((self.n_partitions, j_bucket), dtype=np.uint32)
-        for pi in range(self.n_partitions):
-            cursor = 0
-            for k, leaf in enumerate(sparse_leaves):
-                idx_k, words_k = leaf[pi]
-                n_k = len(idx_k)
-                leaf_arr[pi, cursor : cursor + n_k] = k
-                idx_arr[pi, cursor : cursor + n_k] = idx_k
-                words_arr[pi, cursor : cursor + n_k] = words_k
-                cursor += n_k
-        return k_bucket, (leaf_arr, idx_arr, words_arr)
+            raise ProgramTooLarge(f"sparse segment {m_needed}") from None
+        return k_bucket, max(m_bucket, 1), (starts, lens)
 
     def _zero_sparse(self):
-        """Cached zero-size sparse arrays for queries with no sparse leaves."""
+        """Cached zero-size descriptor arrays (no sparse leaves)."""
         key = "zero_sparse"
         cached = self._filter_cache.get(key)
         if cached is None:
             z = np.zeros((self.n_partitions, 0), dtype=np.int32)
-            cached = (jax.device_put(z), jax.device_put(z),
-                      jax.device_put(z.astype(np.uint32)))
+            cached = (jax.device_put(z), jax.device_put(z))
+            self._filter_cache[key] = cached
+        return cached
+
+    def _stream_for_vm(self):
+        """(idx, words) of the resident stream, or cached 1-entry zeros when
+        there is no sparse tier (uniform interpreter signature)."""
+        if self.sparse_stream is not None:
+            return self.sparse_stream[1], self.sparse_stream[2]
+        key = "zero_stream"
+        cached = self._filter_cache.get(key)
+        if cached is None:
+            z = np.zeros((self.n_partitions, 1), dtype=np.int32)
+            cached = (jax.device_put(z), jax.device_put(z.astype(np.uint32)))
             self._filter_cache[key] = cached
         return cached
 
@@ -594,21 +603,23 @@ class DeviceEngine:
 
     def evaluate_device(self, filter_expr) -> jax.Array:
         """Returns the [P, W] filter bitset on device."""
-        bucket, n_dyn, code, dyn, n_instr, k, sp = self._prepare(filter_expr)
+        bucket, n_dyn, code, dyn, n_instr, k, m, sp = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
-        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "words")
-        return run(jnp.asarray(code), self.bank, dyn_dev,
+        run = _interpreter(bucket, self.n_rows, n_dyn, k, m, self.n_words,
+                           "words")
+        return run(jnp.asarray(code), self.bank, dyn_dev, *self._stream_for_vm(),
                    *self._sparse_dev(sp), self.full_masks, jnp.int32(n_instr))
 
     def count_async(self, filter_expr) -> jax.Array:
         """Fused filter + popcount in ONE device dispatch; returns the scalar
         device array without blocking."""
-        bucket, n_dyn, code, dyn, n_instr, k, sp = self._prepare(filter_expr)
+        bucket, n_dyn, code, dyn, n_instr, k, m, sp = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
-        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "count")
-        return run(jnp.asarray(code), self.bank, dyn_dev,
+        run = _interpreter(bucket, self.n_rows, n_dyn, k, m, self.n_words,
+                           "count")
+        return run(jnp.asarray(code), self.bank, dyn_dev, *self._stream_for_vm(),
                    *self._sparse_dev(sp), self.full_masks, jnp.int32(n_instr))
 
     def count_batch(self, filter_exprs: list, min_bucket: int = 0) -> list[int]:
@@ -694,10 +705,10 @@ class DeviceEngine:
             dyn_dev = self._put_dyn(dyn)
         else:
             dyn_dev = self._zero_dyn((self.n_partitions, n_dyn, self.n_words))
-        k, sp = self._assemble_sparse(all_sparse_leaves)
-        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words,
+        k, m, sp = self._assemble_sparse(all_sparse_leaves)
+        run = _interpreter(bucket, self.n_rows, n_dyn, k, m, self.n_words,
                            "multi_count")
-        counts = run(jnp.asarray(code), self.bank, dyn_dev,
+        counts = run(jnp.asarray(code), self.bank, dyn_dev, *self._stream_for_vm(),
                      *self._sparse_dev(sp), self.full_masks, jnp.int32(cursor))
         return [int(c) for c in np.asarray(counts)[:q]]
 
@@ -869,31 +880,41 @@ class _MicroBatcher:
 
 @functools.lru_cache(maxsize=64)
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
-                 n_words: int, output: str = "words"):
+                 n_sparse_m: int, n_words: int, output: str = "words"):
     """Jitted, partition-vmapped stack-machine interpreter for one shape
     bucket. output='words' returns the [P, W] bitset; output='count' fuses
     the popcount reduction into the same executable (one dispatch).
-    Sparse-tier leaves arrive as flat (leaf, word_idx, word) triples and are
-    densified into [K, W] rows by ONE batched scatter before the VM runs
-    (padding entries carry leaf == K and are dropped)."""
+    Sparse-tier leaves are (start, len) slices of the device-RESIDENT CSR
+    stream: a [K, M] gather pulls each leaf's entries, one batched scatter
+    densifies them into [K, W] rows appended to the dyn bank — the per-query
+    upload is two ints per leaf."""
     run_one = build_run_one_with_emit(program_len, n_rows, n_dyn + n_sparse_k,
                                       n_words, sparse_base=n_dyn)
 
-    def run_p(code0, code1, bank_p, dyn_p, leaf_p, idx_p, words_p, full_p,
-              n_instr):
+    def run_p(code0, code1, bank_p, dyn_p, stream_idx_p, stream_words_p,
+              starts_p, lens_p, full_p, n_instr):
         if n_sparse_k:
+            take = starts_p[:, None] + jnp.arange(n_sparse_m, dtype=jnp.int32)
+            valid = jnp.arange(n_sparse_m, dtype=jnp.int32)[None, :] < lens_p[:, None]
+            take = jnp.clip(take, 0, stream_idx_p.shape[0] - 1)
+            gathered_idx = stream_idx_p[take]        # [K, M]
+            gathered_words = stream_words_p[take]    # [K, M]
+            leaf = jnp.where(
+                valid, jnp.arange(n_sparse_k, dtype=jnp.int32)[:, None], n_sparse_k
+            )
             sparse_dense = (
                 jnp.zeros((n_sparse_k, n_words), jnp.uint32)
-                .at[leaf_p, idx_p].set(words_p, mode="drop")
+                .at[leaf, gathered_idx].set(gathered_words, mode="drop")
             )
             dyn_p = jnp.concatenate([dyn_p, sparse_dense], axis=0)
         return run_one(code0, code1, bank_p, dyn_p, full_p, n_instr)
 
-    def run(code, bank, dyn, sp_leaf, sp_idx, sp_words, full_masks, n_instr):
-        words, outs = jax.vmap(run_p, in_axes=(None, None, 0, 0, 0, 0, 0, 0, None))(
-            code[0], code[1], bank, dyn, sp_leaf, sp_idx, sp_words,
-            full_masks, n_instr
-        )
+    def run(code, bank, dyn, stream_idx, stream_words, starts, lens,
+            full_masks, n_instr):
+        words, outs = jax.vmap(
+            run_p, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, None)
+        )(code[0], code[1], bank, dyn, stream_idx, stream_words, starts, lens,
+          full_masks, n_instr)
         if output == "count":
             return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
         if output == "multi_count":

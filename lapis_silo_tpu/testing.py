@@ -23,6 +23,7 @@ from .storage.database import Database, DataVersion
 from .storage.pango_alias import PangoLineageAliasLookup
 from .storage.partition import DatabasePartition
 from .storage.reference_genomes import ReferenceGenomes
+from .storage.rowstore import CSR_MIN_WORDS, CsrRowStore
 from .storage.segment import SegmentIndex
 
 COUNTRIES = ["Switzerland", "Germany", "France", "Italy", "Austria", "Spain"]
@@ -67,23 +68,35 @@ def synthetic_database(
         partition = DatabasePartition(pid, part_rows)
         n_words = bitset.words_for(part_rows)
 
-        # --- metadata columns (vectorized where it matters) ---
+        # --- metadata columns (vectorized; million-row corpora skip the
+        # per-row dictionary path: unique keys only matter to small tests) ---
         key_col = StringColumnPartition(key_dict)
-        key_col._ids = [key_dict.get_or_create(f"SEQ_{row_base + i}") for i in range(part_rows)]
-        key_col.finalize()
+        if part_rows < (1 << 20):
+            key_col._ids = [
+                key_dict.get_or_create(f"SEQ_{row_base + i}") for i in range(part_rows)
+            ]
+            key_col.finalize()
+        else:
+            key_col.ids = np.full(
+                part_rows, key_dict.get_or_create("SEQ"), dtype=np.int32
+            )
         date_col = DateColumnPartition(is_sorted=True)
         days = np.sort(rng.integers(1, 28, size=part_rows))
-        date_col._values = list((2021 << 16) + (3 << 12) + days)
-        date_col.finalize()
+        date_col.values = ((2021 << 16) + (3 << 12) + days).astype(np.uint32)
         country_col = IndexedStringColumnPartition(country_dict)
-        country_col._ids = [
-            country_dict.get_or_create(COUNTRIES[i])
-            for i in rng.integers(0, len(COUNTRIES), size=part_rows)
-        ]
-        country_col.finalize()
+        country_vids = np.array(
+            [country_dict.get_or_create(c) for c in COUNTRIES], dtype=np.int32
+        )
+        country_col.ids = country_vids[
+            rng.integers(0, len(COUNTRIES), size=part_rows)
+        ].astype(np.int32)
+        country_col._n_rows = part_rows
+        for vid in np.unique(country_col.ids):
+            country_col.value_bitmaps[int(vid)] = bitset.pack_bool(
+                country_col.ids == vid
+            )
         age_col = IntColumnPartition()
-        age_col._values = list(rng.integers(1, 99, size=part_rows))
-        age_col.finalize()
+        age_col.values = rng.integers(1, 99, size=part_rows).astype(np.int32)
         partition.columns = {
             "key": key_col, "date": date_col, "country": country_col, "age": age_col,
         }
@@ -106,15 +119,26 @@ def synthetic_database(
         unique_pairs, pair_idx = np.unique(pair, return_inverse=True)
         sym_ids = (unique_pairs // length).astype(np.int32)
         pos_ids = (unique_pairs % length).astype(np.int32)
-        stored = np.zeros((len(unique_pairs), n_words), dtype=np.uint32)
-        flat_idx = pair_idx * n_words + (rows >> 5)
-        np.bitwise_or.at(
-            stored.reshape(-1), flat_idx, np.uint32(1) << (rows & 31).astype(np.uint32)
-        )
         counts = np.bincount(pair_idx, minlength=len(unique_pairs)).astype(np.int64)
+        if n_words >= CSR_MIN_WORDS:
+            # build CSR directly (the dense per-pair rows would be ~100x
+            # bigger at multi-million-sequence scale)
+            store = CsrRowStore.from_coo(
+                n_words, len(unique_pairs), pair_idx.astype(np.int32),
+                (rows >> 5).astype(np.int32),
+                (np.uint32(1) << (rows & 31).astype(np.uint32)),
+            )
+        else:
+            stored = np.zeros((len(unique_pairs), n_words), dtype=np.uint32)
+            flat_idx = pair_idx * n_words + (rows >> 5)
+            np.bitwise_or.at(
+                stored.reshape(-1), flat_idx,
+                np.uint32(1) << (rows & 31).astype(np.uint32),
+            )
+            store = stored
         partition.nuc_sequences["main"] = SegmentIndex(
             NUCLEOTIDE, reference_ids, part_rows, reference_ids,
-            sym_ids, pos_ids, stored, counts=counts,
+            sym_ids, pos_ids, store, counts=counts,
         )
         partition.validate()
         db.partitions.append(partition)
