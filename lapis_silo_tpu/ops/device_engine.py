@@ -650,37 +650,45 @@ class DeviceEngine:
         # lower() enforces the single-program limits).
         total = sum(len(p.opcodes) + 1 for p in lowered)
         total_dyn = sum(len(p.dyn_rows) for p in lowered)
-        total_sparse = sum(len(p.sparse_leaves) for p in lowered)
+        total_sparse = len({r for p in lowered for r in p.sparse_leaves})
         if q > 1 and (total > _BATCH_LEN_BUCKETS[-1] or total_dyn > _DYN_BUCKETS[-1]
                       or total_sparse > _SPARSE_K_BUCKETS[-1]):
-            acc_len = acc_dyn = acc_sparse = 0
+            acc_len = acc_dyn = 0
+            acc_sparse: set[int] = set()
             split = q
             for i, p in enumerate(lowered):
                 acc_len += len(p.opcodes) + 1
                 acc_dyn += len(p.dyn_rows)
-                acc_sparse += len(p.sparse_leaves)
+                acc_sparse.update(p.sparse_leaves)
                 if i and (acc_len > _BATCH_LEN_BUCKETS[-1]
                           or acc_dyn > _DYN_BUCKETS[-1]
-                          or acc_sparse > _SPARSE_K_BUCKETS[-1]):
+                          or len(acc_sparse) > _SPARSE_K_BUCKETS[-1]):
                     split = i
                     break
             return self.count_programs(lowered[:split], min_bucket) + \
                 self.count_programs(lowered[split:], min_bucket)
         programs = []
         all_dyn_rows: list[list[np.ndarray]] = []
-        all_sparse_leaves: list = []
+        all_sparse_leaves: list[int] = []
+        sparse_slots: dict[int, int] = {}  # global sparse row -> merged slot
         total_len = 0
         for program in lowered:
             dyn_base = len(all_dyn_rows)
-            sparse_base = len(all_sparse_leaves)
             opcodes, operands = list(program.opcodes), list(program.operands)
             for i, opcode in enumerate(opcodes):
                 if opcode == PUSH_DYN:
                     operands[i] += dyn_base
                 elif opcode == PUSH_SPARSE:
-                    operands[i] += sparse_base
+                    # dedupe by global sparse row across the whole batch —
+                    # queries in a batch frequently share leaves
+                    row_id = program.sparse_leaves[operands[i]]
+                    slot = sparse_slots.get(row_id)
+                    if slot is None:
+                        slot = len(all_sparse_leaves)
+                        sparse_slots[row_id] = slot
+                        all_sparse_leaves.append(row_id)
+                    operands[i] = slot
             all_dyn_rows.extend(program.dyn_rows)
-            all_sparse_leaves.extend(program.sparse_leaves)
             programs.append((opcodes, operands))
             total_len += len(opcodes) + 1
         if total_len > _BATCH_LEN_BUCKETS[-1]:
