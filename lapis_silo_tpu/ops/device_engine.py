@@ -725,6 +725,12 @@ class DeviceEngine:
         nothing but one scalar crosses back to the host)."""
         return int(self.count_async(filter_expr))
 
+    def device_filter(self, filter_expr) -> "DeviceFilter":
+        """Evaluate the filter and KEEP it on device — actions that only
+        need device reductions (Mutations) never transfer the [P, W] bitset
+        over the host link."""
+        return DeviceFilter(self, self.evaluate_device(filter_expr))
+
     def count_coalesced(self, filter_expr) -> int:
         """Count through the serving micro-batcher: concurrent callers are
         coalesced into ONE device dispatch (EMIT_COUNT program concat).
@@ -740,10 +746,12 @@ class DeviceEngine:
 
     # -- heavy reductions -----------------------------------------------------
 
-    def _filters_for(self, filter_words: list[np.ndarray]) -> jax.Array:
-        """Upload (and memoize, by identity) the per-partition filter rows
-        — one Mutations query calls mutation_counts once per segment with
-        the same filter list."""
+    def _filters_for(self, filter_words) -> jax.Array:
+        """Device [P, W] filter rows for a host word list or DeviceFilter
+        (memoized by identity — one Mutations query calls mutation_counts
+        once per segment with the same filter)."""
+        if isinstance(filter_words, DeviceFilter):
+            return filter_words.words
         key = tuple(id(w) for w in filter_words)
         memo = self._filters_memo
         if memo is not None and memo[0] == key:
@@ -756,10 +764,11 @@ class DeviceEngine:
         self._filters_memo = (key, list(filter_words), filters)
         return filters
 
-    def _sparse_counts(self, filter_words: list[np.ndarray]) -> np.ndarray:
+    def _sparse_counts(self, filter_words) -> np.ndarray:
         """int32[n_sparse]: popcount(row & filter) for every sparse-tier row
         (all segments), via ONE segment-sum over the flat CSR stream."""
-        key = tuple(id(w) for w in filter_words)
+        key = (id(filter_words) if isinstance(filter_words, DeviceFilter)
+               else tuple(id(w) for w in filter_words))
         memo = self._sparse_counts_memo
         if memo is not None and memo[0] == key:
             return memo[2]
@@ -768,7 +777,7 @@ class DeviceEngine:
         out = np.asarray(_sparse_mutation_counts_jit(
             sp_row, sp_idx, sp_words, filters, self.n_sparse + 1
         )[: self.n_sparse], dtype=np.int64)
-        self._sparse_counts_memo = (key, list(filter_words), out)
+        self._sparse_counts_memo = (key, filter_words, out)
         return out
 
     def mutation_counts(self, kind: str, name: str, filter_words: list[np.ndarray]):
@@ -781,7 +790,10 @@ class DeviceEngine:
         meta = self.segment_meta[(kind, name)]
         start, n_stored = meta["offset"], meta["n_stored"]
         length, s_count = meta["length"], meta["s_count"]
-        filter_total = sum(bitset.popcount(w) for w in filter_words)
+        if isinstance(filter_words, DeviceFilter):
+            filter_total = filter_words.popcount()
+        else:
+            filter_total = sum(bitset.popcount(w) for w in filter_words)
         counts = np.zeros((s_count, length), dtype=np.int64)
         per_pos = np.zeros(length, dtype=np.int64)
         if n_stored:
@@ -809,6 +821,36 @@ class DeviceEngine:
             np.add.at(per_pos, meta["sparse_pos_ids"], seg_sparse)
         counts[meta["majority"], np.arange(length)] = filter_total - per_pos
         return counts
+
+
+class DeviceFilter:
+    """A filter result resident on device: [P, W] words + lazy reductions.
+    Accepted by DeviceEngine.mutation_counts in place of host word lists."""
+
+    def __init__(self, engine: DeviceEngine, words: jax.Array):
+        self.engine = engine
+        self.words = words
+        self._popcount: int | None = None
+        self._host: list[np.ndarray] | None = None
+
+    def popcount(self) -> int:
+        if self._popcount is None:
+            self._popcount = int(_popcount_words_jit(self.words))
+        return self._popcount
+
+    def host_list(self) -> list[np.ndarray]:
+        if self._host is None:
+            host = np.asarray(self.words)
+            self._host = [
+                host[pi, : bitset.words_for(n)]
+                for pi, n in enumerate(self.engine.part_rows)
+            ]
+        return self._host
+
+
+@jax.jit
+def _popcount_words_jit(words):
+    return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
 
 
 class _MicroBatcher:

@@ -79,7 +79,9 @@ class QueryEngine:
         fast = self._try_fast_count(query)
         if fast is not None:
             return fast
-        bitmaps = self._evaluate_filter(query)
+        bitmaps = self._device_filter_for_mutations(query)
+        if bitmaps is None:
+            bitmaps = self._evaluate_filter(query)
         t1 = time.perf_counter()
         rows = query.action.execute_and_order(self.database, bitmaps)
         t2 = time.perf_counter()
@@ -89,6 +91,31 @@ class QueryEngine:
             int((t2 - t1) * 1e6),
         )
         return {"queryResult": rows}
+
+    def _device_filter_for_mutations(self, query: Query):
+        """Mutations only needs device reductions — keep the filter bitset
+        on device (a DeviceFilter handle) instead of pulling [P, W] words
+        over the host link (tens of MB at 10M sequences)."""
+        from .actions import Mutations
+
+        if not (self._use_device and isinstance(query.action, Mutations)):
+            return None
+        try:
+            if self._device_engine is None:
+                from ..ops.device_engine import DeviceEngine
+
+                self._device_engine = DeviceEngine(self.database)
+                self.database.device_engine = self._device_engine
+            return self._device_engine.device_filter(query.filter)
+        except (ImportError, NotImplementedError):
+            self._use_device = False
+            return None
+        except Exception as ex:
+            from ..ops.device_engine import ProgramTooLarge, StructureMismatch
+
+            if isinstance(ex, (ProgramTooLarge, StructureMismatch)):
+                return None
+            raise
 
     def _try_fast_count(self, query: Query) -> dict | None:
         """Aggregated without group-by on the device engine: fused filter +
