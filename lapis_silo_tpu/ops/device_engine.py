@@ -731,6 +731,94 @@ class DeviceEngine:
         over the host link."""
         return DeviceFilter(self, self.evaluate_device(filter_expr))
 
+    # -- group-by (Aggregated with groupByFields) -------------------------
+
+    _GROUP_BUCKETS = (64, 1024, 16384, 1 << 20)
+
+    def group_codes_for(self, column_names: list[str]):
+        """Cached per-partition combined group codes for a column list:
+        (codes_dev [P, N_pad] int32, n_groups, decode(group_id) ->
+        per-column raw code tuple). Returns None when a column kind can't
+        be coded densely or the key space is too large."""
+        key = ("group_codes", tuple(column_names))
+        cached = self._filter_cache.get(key)
+        if cached is not None:
+            return cached if cached != "unsupported" else None
+        sizes = []
+        per_column_codes = []  # per column: list per partition of int64[N]
+        per_column_values = []  # per column: sorted unique raw codes | None
+        for name in column_names:
+            columns = [p.columns[name] for p in self.db.partitions]
+            kind = columns[0].kind
+            if kind in ("string", "indexed_string", "indexed_pango_lineage",
+                        "nuc_insertion", "aa_insertion"):
+                codes = [c.ids.astype(np.int64) for c in columns]
+                size = max((int(c.max()) + 1 if len(c) else 1) for c in codes)
+                per_column_values.append(None)
+            elif kind in ("date", "int", "float"):
+                raws = [
+                    (c.values.view(np.int64) if kind == "float"
+                     else c.values.astype(np.int64))
+                    for c in columns
+                ]
+                uniq = np.unique(np.concatenate(raws)) if raws else np.zeros(0)
+                codes = [np.searchsorted(uniq, r) for r in raws]
+                size = max(len(uniq), 1)
+                per_column_values.append(uniq)
+            else:
+                self._filter_cache[key] = "unsupported"
+                return None
+            sizes.append(size)
+            per_column_codes.append(codes)
+        n_groups = 1
+        for s in sizes:
+            n_groups *= s
+        if n_groups > self._GROUP_BUCKETS[-1]:
+            self._filter_cache[key] = "unsupported"
+            return None
+        n_pad = self.n_words * 32
+        combined = np.full((self.n_partitions, n_pad), n_groups, dtype=np.int32)
+        for pi, partition in enumerate(self.db.partitions):
+            acc = np.zeros(partition.sequence_count, dtype=np.int64)
+            for ci in range(len(column_names)):
+                acc = acc * sizes[ci] + per_column_codes[ci][pi]
+            combined[pi, : partition.sequence_count] = acc
+
+        def decode(group_id: int):
+            out = []
+            for ci in range(len(column_names) - 1, -1, -1):
+                group_id, code = divmod(group_id, sizes[ci])
+                if per_column_values[ci] is not None:
+                    code = int(per_column_values[ci][code])
+                out.append(code)
+            return tuple(reversed(out))
+
+        result = (jax.device_put(combined), n_groups, decode)
+        self._filter_cache[key] = result
+        return result
+
+    def group_counts(self, filter_expr, column_names: list[str]):
+        """Aggregated-with-groupBy fast path: ONE extra device dispatch —
+        filter bits expand to a per-sequence mask, segment-sum over the
+        cached combined group codes. Returns {group_id: count} (host) or
+        None when unsupported for these columns."""
+        prepared = self.group_codes_for(column_names)
+        if prepared is None:
+            return None
+        codes_dev, n_groups, decode = prepared
+        bucket = next(b for b in self._GROUP_BUCKETS if b >= n_groups)
+        words = self.evaluate_device(filter_expr)
+        per_part = np.asarray(_group_counts_jit(words, codes_dev, bucket + 1))
+        per_part = per_part[:, :n_groups]  # [P, G]
+        totals = per_part.sum(axis=0, dtype=np.int64)
+        hits = np.nonzero(totals)[0]
+        # Row order identical to the host path (and so to the pinned
+        # corpus): groups appear when first seen scanning partitions in
+        # order, sorted by code within each partition's novel set.
+        first_partition = np.argmax(per_part[:, hits] > 0, axis=0)
+        order = np.lexsort((hits, first_partition))
+        return [(decode(int(g)), int(totals[g])) for g in hits[order]]
+
     def count_coalesced(self, filter_expr) -> int:
         """Count through the serving micro-batcher: concurrent callers are
         coalesced into ONE device dispatch (EMIT_COUNT program concat).
@@ -851,6 +939,23 @@ class DeviceFilter:
 @jax.jit
 def _popcount_words_jit(words):
     return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _group_counts_jit(words, codes, num_segments):
+    """counts[g] = number of filter-set sequences with combined group code
+    g, summed over partitions. words [P, W] u32, codes [P, W*32] int32
+    (padding rows carry an out-of-range code mapped to the last segment)."""
+
+    def one(words_p, codes_p):
+        bits = ((words_p[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :])
+                & jnp.uint32(1)).astype(jnp.int32).reshape(-1)
+        return jax.ops.segment_sum(
+            bits, jnp.minimum(codes_p, num_segments - 1),
+            num_segments=num_segments,
+        )
+
+    return jax.vmap(one)(words, codes)  # [P, num_segments]
 
 
 class _MicroBatcher:

@@ -174,6 +174,33 @@ class Aggregated(Action):
                 "appear in the groupByFields.",
             )
 
+    def rows_from_group_counts(self, db, groups) -> list[dict]:
+        """Decode DeviceEngine.group_counts output [(raw_code_tuple, count)]
+        into result rows (same display conversion as the host path)."""
+        metadata = self._group_by_metadata(db)
+        columns = db.partitions[0].columns
+        from ..common.dates import date_to_string
+
+        def convert(kind, column, raw):
+            if kind in ("string", "indexed_string", "indexed_pango_lineage",
+                        "nuc_insertion", "aa_insertion"):
+                return column.value_at_id(int(raw))
+            if kind == "date":
+                return date_to_string(int(raw))
+            if kind == "int":
+                return None if raw == INT_NULL else int(raw)
+            return (None if np.isnan(np.int64(raw).view(np.float64))
+                    else float(np.int64(raw).view(np.float64)))
+
+        rows = []
+        for raw_codes, count in groups:
+            row = {}
+            for m, raw in zip(metadata, raw_codes):
+                row[m.name] = convert(columns[m.name].kind, columns[m.name], raw)
+            row["count"] = count
+            rows.append(row)
+        return rows
+
     def execute(self, db, bitmaps):
         if not self.group_by_fields:
             count = sum(bitset.popcount(words) for words in bitmaps)

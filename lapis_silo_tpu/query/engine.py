@@ -118,16 +118,14 @@ class QueryEngine:
             raise
 
     def _try_fast_count(self, query: Query) -> dict | None:
-        """Aggregated without group-by on the device engine: fused filter +
-        popcount, only a scalar crosses the host boundary."""
+        """Aggregated on the device engine. Without group-by: fused filter +
+        popcount (micro-batched), only a scalar crosses the host boundary.
+        With group-by: one segment-sum dispatch over cached per-column
+        group codes."""
         from .actions import Aggregated
 
         action = query.action
-        if not (
-            self._use_device
-            and isinstance(action, Aggregated)
-            and not action.group_by_fields
-        ):
+        if not (self._use_device and isinstance(action, Aggregated)):
             return None
         try:
             if self._device_engine is None:
@@ -135,7 +133,16 @@ class QueryEngine:
 
                 self._device_engine = DeviceEngine(self.database)
                 self.database.device_engine = self._device_engine
-            count = self._device_engine.count_coalesced(query.filter)
+            action.validate_order_by(self.database)
+            if action.group_by_fields:
+                groups = self._device_engine.group_counts(
+                    query.filter, action.group_by_fields
+                )
+                if groups is None:
+                    return None  # unsupported column kinds: host path
+                rows = action.rows_from_group_counts(self.database, groups)
+            else:
+                rows = [{"count": self._device_engine.count_coalesced(query.filter)}]
         except (ImportError, NotImplementedError):
             self._use_device = False
             return None
@@ -145,9 +152,7 @@ class QueryEngine:
             if isinstance(ex, (ProgramTooLarge, StructureMismatch)):
                 return None
             raise
-        action.validate_order_by(self.database)
-        rows = [{"count": count}]
-        if action.offset is not None and action.offset >= 1:
+        if action.offset is not None and action.offset >= len(rows):
             return {"queryResult": []}
         action._apply_sort(rows)
         return {"queryResult": action._apply_offset_and_limit(rows)}
