@@ -62,12 +62,20 @@ def main():
     queries = [Query(q) for q in sample_count_queries(db, n_queries=n_queries)]
 
     # One shared executable for both latency and throughput measurements:
-    # everything runs through the batch interpreter at a fixed bucket.
-    total_len = sum(len(engine.lower(q.filter)[0].opcodes) + 1 for q in queries)
+    # everything runs through the batch interpreter at fixed buckets
+    # (program length AND sparse-leaf K/M — each remote compile is minutes).
+    programs = [engine.lower(q.filter)[0] for q in queries]
+    total_len = sum(len(p.opcodes) + 1 for p in programs)
     bucket = next(b for b in (64, 256, 1024, 4096) if b >= total_len)
+    distinct_sparse = sorted({r for p in programs for r in p.sparse_leaves})
+    min_k = len(distinct_sparse)
+    min_m = (int(engine.sparse_lengths[:, distinct_sparse].max())
+             if distinct_sparse else 0)
+    floors = {"min_bucket": bucket, "min_sparse_k": min_k, "min_sparse_m": min_m}
     t0 = time.time()
-    engine.count_batch([queries[0].filter], min_bucket=bucket)
-    log(f"warm-up (1 executable, bucket {bucket}) in {time.time() - t0:.1f}s")
+    engine.count_batch([queries[0].filter], **floors)
+    log(f"warm-up (1 executable, bucket {bucket}, sparse K>={min_k} M>={min_m}) "
+        f"in {time.time() - t0:.1f}s")
 
     profile_dir = os.environ.get("SILO_BENCH_PROFILE")
     if profile_dir:
@@ -78,7 +86,7 @@ def main():
     counts = []
     for query in queries:
         t0 = time.perf_counter()
-        counts.append(engine.count_batch([query.filter], min_bucket=bucket)[0])
+        counts.append(engine.count_batch([query.filter], **floors)[0])
         latencies.append(time.perf_counter() - t0)
     latencies.sort()
     p50 = latencies[len(latencies) // 2]
@@ -105,12 +113,12 @@ def main():
     # Throughput: batched — the whole query batch executes as ONE device
     # dispatch (vmap over the query axis), amortizing the dispatch
     # round-trip. Warm the batch executable, then measure repeated batches.
-    batch_counts = engine.count_batch([q.filter for q in queries], min_bucket=bucket)
+    batch_counts = engine.count_batch([q.filter for q in queries], **floors)
     assert batch_counts == counts
     repeats = 5
     t_start = time.perf_counter()
     for _ in range(repeats):
-        engine.count_batch([q.filter for q in queries], min_bucket=bucket)
+        engine.count_batch([q.filter for q in queries], **floors)
     total = time.perf_counter() - t_start
     qps = repeats * len(queries) / total
     if profile_dir:

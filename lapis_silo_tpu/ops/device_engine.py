@@ -533,19 +533,28 @@ class DeviceEngine:
         )
         return bucket, n_dyn, code, dyn, n, sparse_k, sparse_m, sparse_arrays
 
-    def _assemble_sparse(self, sparse_leaves: list[int]):
+    def _assemble_sparse(self, sparse_leaves: list[int], min_sparse_k: int = 0,
+                         min_sparse_m: int = 0):
         """Per-query sparse-leaf descriptors: (start, len) into the resident
         CSR stream, per partition. Returns (K_bucket, M_bucket,
-        (starts, lens) numpy [P, K] arrays)."""
-        k_bucket = next(b for b in _SPARSE_K_BUCKETS if b >= len(sparse_leaves))
+        (starts, lens) numpy [P, K] arrays). The floors let callers share
+        one compiled executable across differently-shaped queries (remote
+        TPU compiles are minutes each)."""
+        min_sparse_k = min(min_sparse_k, _SPARSE_K_BUCKETS[-1])
+        min_sparse_m = min(min_sparse_m, _SPARSE_M_BUCKETS[-1])
+        k_bucket = next(
+            b for b in _SPARSE_K_BUCKETS
+            if b >= max(len(sparse_leaves), min_sparse_k)
+        )
         if k_bucket == 0:
             return 0, 0, self._zero_sparse()
         ids = np.asarray(sparse_leaves, dtype=np.int64)
         starts = np.zeros((self.n_partitions, k_bucket), dtype=np.int32)
         lens = np.zeros((self.n_partitions, k_bucket), dtype=np.int32)
-        starts[:, : len(ids)] = self.sparse_starts[:, ids]
-        lens[:, : len(ids)] = self.sparse_lengths[:, ids]
-        m_needed = int(lens.max())
+        if len(ids):
+            starts[:, : len(ids)] = self.sparse_starts[:, ids]
+            lens[:, : len(ids)] = self.sparse_lengths[:, ids]
+        m_needed = max(int(lens.max()), min_sparse_m)
         try:
             m_bucket = next(b for b in _SPARSE_M_BUCKETS if b >= m_needed)
         except StopIteration:
@@ -622,20 +631,24 @@ class DeviceEngine:
         return run(jnp.asarray(code), self.bank, dyn_dev, *self._stream_for_vm(),
                    *self._sparse_dev(sp), self.full_masks, jnp.int32(n_instr))
 
-    def count_batch(self, filter_exprs: list, min_bucket: int = 0) -> list[int]:
+    def count_batch(self, filter_exprs: list, min_bucket: int = 0,
+                    min_sparse_k: int = 0, min_sparse_m: int = 0) -> list[int]:
         """Batched counts: MANY queries in ONE device dispatch. The query
         programs concatenate into a single instruction stream (each ends
         with EMIT_COUNT) — one scan executes them all back-to-back, so the
         per-dispatch round-trip amortizes across the whole batch.
 
-        `min_bucket` floors the program-length bucket so callers can share
-        one compiled executable across batch sizes (each XLA compile is
-        minutes on remote-compile TPU environments)."""
+        The `min_*` floors pin the program-length / sparse-leaf / segment
+        buckets so callers can share ONE compiled executable across batch
+        shapes (each XLA compile is minutes on remote-compile TPU
+        environments)."""
         return self.count_programs(
-            [self.lower(f)[0] for f in filter_exprs], min_bucket
+            [self.lower(f)[0] for f in filter_exprs], min_bucket,
+            min_sparse_k, min_sparse_m,
         )
 
-    def count_programs(self, lowered: list[_Program], min_bucket: int = 0) -> list[int]:
+    def count_programs(self, lowered: list[_Program], min_bucket: int = 0,
+                       min_sparse_k: int = 0, min_sparse_m: int = 0) -> list[int]:
         """count_batch over already-lowered programs (the micro-batcher
         lowers per query so one bad query can't poison a whole batch)."""
         q = len(lowered)
@@ -643,7 +656,8 @@ class DeviceEngine:
             out: list[int] = []
             for i in range(0, q, MAX_BATCH_QUERIES):
                 out.extend(self.count_programs(lowered[i : i + MAX_BATCH_QUERIES],
-                                               min_bucket))
+                                               min_bucket, min_sparse_k,
+                                               min_sparse_m))
             return out
         # Split greedily if the concatenated stream or dyn-row count would
         # overflow the largest bucket (each program alone always fits:
@@ -665,8 +679,10 @@ class DeviceEngine:
                           or len(acc_sparse) > _SPARSE_K_BUCKETS[-1]):
                     split = i
                     break
-            return self.count_programs(lowered[:split], min_bucket) + \
-                self.count_programs(lowered[split:], min_bucket)
+            return self.count_programs(lowered[:split], min_bucket,
+                                       min_sparse_k, min_sparse_m) + \
+                self.count_programs(lowered[split:], min_bucket,
+                                    min_sparse_k, min_sparse_m)
         programs = []
         all_dyn_rows: list[list[np.ndarray]] = []
         all_sparse_leaves: list[int] = []
@@ -713,7 +729,8 @@ class DeviceEngine:
             dyn_dev = self._put_dyn(dyn)
         else:
             dyn_dev = self._zero_dyn((self.n_partitions, n_dyn, self.n_words))
-        k, m, sp = self._assemble_sparse(all_sparse_leaves)
+        k, m, sp = self._assemble_sparse(all_sparse_leaves, min_sparse_k,
+                                         min_sparse_m)
         run = _interpreter(bucket, self.n_rows, n_dyn, k, m, self.n_words,
                            "multi_count")
         counts = run(jnp.asarray(code), self.bank, dyn_dev, *self._stream_for_vm(),
