@@ -326,6 +326,20 @@ class DeviceEngine:
             self.sparse_starts = self.sparse_lengths = None
         self._sparse_counts_memo: tuple | None = None
         self._filters_memo: tuple | None = None
+        # Serving floors: pin the sparse K/M buckets corpus-wide so every
+        # dispatch shape collapses onto one executable per output kind
+        # (remote TPU compiles are minutes each; shapes must not proliferate
+        # under live traffic).
+        if n_sparse:
+            m_needed = int(self.sparse_lengths.max())
+            self.floor_sparse_k = _SPARSE_K_BUCKETS[-1]
+            self.floor_sparse_m = next(
+                (b for b in _SPARSE_M_BUCKETS if b >= m_needed),
+                _SPARSE_M_BUCKETS[-1],
+            )
+        else:
+            self.floor_sparse_k = 0
+            self.floor_sparse_m = 0
         self._filter_cache: dict = {}
         import threading
 
@@ -511,9 +525,11 @@ class DeviceEngine:
         ]
 
     def _prepare(self, filter_expr):
-        """Lower to (bucket, n_dyn, code[2, bucket], dyn host array | None,
-        n_instr, sparse_k, sparse arrays)."""
-        program, _depth = self.lower(filter_expr)
+        return self._prepare_program(self.lower(filter_expr)[0])
+
+    def _prepare_program(self, program: _Program):
+        """(bucket, n_dyn, code[2, bucket], dyn host array | None, n_instr,
+        sparse_k, sparse_m, sparse descriptor arrays)."""
         n = len(program.opcodes)
         bucket = next(b for b in _LEN_BUCKETS if b >= n)
         code = np.zeros((2, bucket), dtype=np.int32)
@@ -529,7 +545,7 @@ class DeviceEngine:
         else:
             dyn = None
         sparse_k, sparse_m, sparse_arrays = self._assemble_sparse(
-            program.sparse_leaves
+            program.sparse_leaves, self.floor_sparse_k, self.floor_sparse_m
         )
         return bucket, n_dyn, code, dyn, n, sparse_k, sparse_m, sparse_arrays
 
@@ -547,7 +563,7 @@ class DeviceEngine:
             if b >= max(len(sparse_leaves), min_sparse_k)
         )
         if k_bucket == 0:
-            return 0, 0, self._zero_sparse()
+            return 0, 0, None
         ids = np.asarray(sparse_leaves, dtype=np.int64)
         starts = np.zeros((self.n_partitions, k_bucket), dtype=np.int32)
         lens = np.zeros((self.n_partitions, k_bucket), dtype=np.int32)
@@ -561,28 +577,21 @@ class DeviceEngine:
             raise ProgramTooLarge(f"sparse segment {m_needed}") from None
         return k_bucket, max(m_bucket, 1), (starts, lens)
 
-    def _zero_sparse(self):
-        """Cached zero-size descriptor arrays (no sparse leaves)."""
-        key = "zero_sparse"
-        cached = self._filter_cache.get(key)
-        if cached is None:
-            z = np.zeros((self.n_partitions, 0), dtype=np.int32)
-            cached = (jax.device_put(z), jax.device_put(z))
-            self._filter_cache[key] = cached
-        return cached
-
-    def _stream_for_vm(self):
-        """(idx, words) of the resident stream, or cached 1-entry zeros when
-        there is no sparse tier (uniform interpreter signature)."""
-        if self.sparse_stream is not None:
-            return self.sparse_stream[1], self.sparse_stream[2]
-        key = "zero_stream"
-        cached = self._filter_cache.get(key)
-        if cached is None:
-            z = np.zeros((self.n_partitions, 1), dtype=np.int32)
-            cached = (jax.device_put(z), jax.device_put(z.astype(np.uint32)))
-            self._filter_cache[key] = cached
-        return cached
+    def _densified(self, k: int, m: int, sp) -> jax.Array:
+        """[P, K, W] densified sparse-leaf rows (a separate small
+        executable), or cached zeros when the query has no sparse leaves."""
+        if k == 0:
+            key = "zero_sparse_rows"
+            cached = self._filter_cache.get(key)
+            if cached is None:
+                cached = jax.device_put(np.zeros(
+                    (self.n_partitions, 1, self.n_words), dtype=np.uint32))
+                self._filter_cache[key] = cached
+            return cached
+        starts, lens = sp
+        run = _densify_jit(k, m, self.n_words)
+        return run(self.sparse_stream[1], self.sparse_stream[2],
+                   jax.device_put(starts), jax.device_put(lens))
 
     def _dyn_sharding(self, ndim: int):
         if self.mesh is None:
@@ -605,20 +614,20 @@ class DeviceEngine:
             self._filter_cache[key] = cached
         return cached
 
-    def _sparse_dev(self, sparse_arrays):
-        if isinstance(sparse_arrays[0], np.ndarray):
-            return tuple(jax.device_put(a) for a in sparse_arrays)
-        return sparse_arrays
-
     def evaluate_device(self, filter_expr) -> jax.Array:
         """Returns the [P, W] filter bitset on device."""
-        bucket, n_dyn, code, dyn, n_instr, k, m, sp = self._prepare(filter_expr)
+        program, _depth = self.lower(filter_expr)
+        # trivial filters skip the VM dispatch (and its executable) entirely
+        if program.opcodes == [PUSH_FULL]:
+            return self.full_masks
+        if program.opcodes == [PUSH_EMPTY]:
+            return self._zero_dyn((self.n_partitions, self.n_words))
+        bucket, n_dyn, code, dyn, n_instr, k, m, sp = self._prepare_program(program)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
-        run = _interpreter(bucket, self.n_rows, n_dyn, k, m, self.n_words,
-                           "words")
-        return run(jnp.asarray(code), self.bank, dyn_dev, *self._stream_for_vm(),
-                   *self._sparse_dev(sp), self.full_masks, jnp.int32(n_instr))
+        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "words")
+        return run(jnp.asarray(code), self.bank, dyn_dev,
+                   self._densified(k, m, sp), self.full_masks, jnp.int32(n_instr))
 
     def count_async(self, filter_expr) -> jax.Array:
         """Fused filter + popcount in ONE device dispatch; returns the scalar
@@ -626,10 +635,9 @@ class DeviceEngine:
         bucket, n_dyn, code, dyn, n_instr, k, m, sp = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
-        run = _interpreter(bucket, self.n_rows, n_dyn, k, m, self.n_words,
-                           "count")
-        return run(jnp.asarray(code), self.bank, dyn_dev, *self._stream_for_vm(),
-                   *self._sparse_dev(sp), self.full_masks, jnp.int32(n_instr))
+        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "count")
+        return run(jnp.asarray(code), self.bank, dyn_dev,
+                   self._densified(k, m, sp), self.full_masks, jnp.int32(n_instr))
 
     def count_batch(self, filter_exprs: list, min_bucket: int = 0,
                     min_sparse_k: int = 0, min_sparse_m: int = 0) -> list[int]:
@@ -731,10 +739,11 @@ class DeviceEngine:
             dyn_dev = self._zero_dyn((self.n_partitions, n_dyn, self.n_words))
         k, m, sp = self._assemble_sparse(all_sparse_leaves, min_sparse_k,
                                          min_sparse_m)
-        run = _interpreter(bucket, self.n_rows, n_dyn, k, m, self.n_words,
+        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words,
                            "multi_count")
-        counts = run(jnp.asarray(code), self.bank, dyn_dev, *self._stream_for_vm(),
-                     *self._sparse_dev(sp), self.full_masks, jnp.int32(cursor))
+        counts = run(jnp.asarray(code), self.bank, dyn_dev,
+                     self._densified(k, m, sp), self.full_masks,
+                     jnp.int32(cursor))
         return [int(c) for c in np.asarray(counts)[:q]]
 
     def count(self, filter_expr) -> int:
@@ -1039,7 +1048,13 @@ class _MicroBatcher:
             if not ready:
                 continue
             try:
-                counts = engine.count_programs([item["program"] for item in ready])
+                # pinned buckets: every batch shape shares one executable
+                counts = engine.count_programs(
+                    [item["program"] for item in ready],
+                    min_bucket=_BATCH_LEN_BUCKETS[-1],
+                    min_sparse_k=engine.floor_sparse_k,
+                    min_sparse_m=engine.floor_sparse_m,
+                )
                 for item, count in zip(ready, counts):
                     item["result"] = count
             except Exception as ex:  # noqa: BLE001
@@ -1050,43 +1065,46 @@ class _MicroBatcher:
             del engine
 
 
+@functools.lru_cache(maxsize=16)
+def _densify_jit(n_sparse_k: int, n_sparse_m: int, n_words: int):
+    """Small standalone executable: gather each sparse leaf's contiguous
+    (start, len) slice of the device-resident CSR stream and scatter it to
+    a dense [P, K, W] row block. Kept OUT of the VM executable on purpose —
+    the fused graph compiled ~40x slower on remote-compile TPU backends,
+    and this one is shared by every program-length bucket."""
+
+    def one(stream_idx_p, stream_words_p, starts_p, lens_p):
+        take = starts_p[:, None] + jnp.arange(n_sparse_m, dtype=jnp.int32)
+        valid = jnp.arange(n_sparse_m, dtype=jnp.int32)[None, :] < lens_p[:, None]
+        take = jnp.clip(take, 0, stream_idx_p.shape[0] - 1)
+        gathered_idx = stream_idx_p[take]        # [K, M]
+        gathered_words = stream_words_p[take]    # [K, M]
+        leaf = jnp.where(
+            valid, jnp.arange(n_sparse_k, dtype=jnp.int32)[:, None], n_sparse_k
+        )
+        return (
+            jnp.zeros((n_sparse_k, n_words), jnp.uint32)
+            .at[leaf, gathered_idx].set(gathered_words, mode="drop")
+        )
+
+    return jax.jit(jax.vmap(one))
+
+
 @functools.lru_cache(maxsize=64)
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
-                 n_sparse_m: int, n_words: int, output: str = "words"):
+                 n_words: int, output: str = "words"):
     """Jitted, partition-vmapped stack-machine interpreter for one shape
     bucket. output='words' returns the [P, W] bitset; output='count' fuses
     the popcount reduction into the same executable (one dispatch).
-    Sparse-tier leaves are (start, len) slices of the device-RESIDENT CSR
-    stream: a [K, M] gather pulls each leaf's entries, one batched scatter
-    densifies them into [K, W] rows appended to the dyn bank — the per-query
-    upload is two ints per leaf."""
-    run_one = build_run_one_with_emit(program_len, n_rows, n_dyn + n_sparse_k,
-                                      n_words, sparse_base=n_dyn)
+    Densified sparse-tier rows arrive as a separate [P, K, W] input
+    (produced by _densify_jit) read by PUSH_SPARSE."""
+    run_one = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words,
+                                      n_sparse_k=n_sparse_k)
 
-    def run_p(code0, code1, bank_p, dyn_p, stream_idx_p, stream_words_p,
-              starts_p, lens_p, full_p, n_instr):
-        if n_sparse_k:
-            take = starts_p[:, None] + jnp.arange(n_sparse_m, dtype=jnp.int32)
-            valid = jnp.arange(n_sparse_m, dtype=jnp.int32)[None, :] < lens_p[:, None]
-            take = jnp.clip(take, 0, stream_idx_p.shape[0] - 1)
-            gathered_idx = stream_idx_p[take]        # [K, M]
-            gathered_words = stream_words_p[take]    # [K, M]
-            leaf = jnp.where(
-                valid, jnp.arange(n_sparse_k, dtype=jnp.int32)[:, None], n_sparse_k
-            )
-            sparse_dense = (
-                jnp.zeros((n_sparse_k, n_words), jnp.uint32)
-                .at[leaf, gathered_idx].set(gathered_words, mode="drop")
-            )
-            dyn_p = jnp.concatenate([dyn_p, sparse_dense], axis=0)
-        return run_one(code0, code1, bank_p, dyn_p, full_p, n_instr)
-
-    def run(code, bank, dyn, stream_idx, stream_words, starts, lens,
-            full_masks, n_instr):
+    def run(code, bank, dyn, sparse_rows, full_masks, n_instr):
         words, outs = jax.vmap(
-            run_p, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, None)
-        )(code[0], code[1], bank, dyn, stream_idx, stream_words, starts, lens,
-          full_masks, n_instr)
+            run_one, in_axes=(None, None, 0, 0, 0, 0, None)
+        )(code[0], code[1], bank, dyn, sparse_rows, full_masks, n_instr)
         if output == "count":
             return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
         if output == "multi_count":
@@ -1103,26 +1121,24 @@ def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
     full = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words)
 
     def run_one(opcodes, operands, bank, dyn, full_mask):
-        words, _outs = full(opcodes, operands, bank, dyn, full_mask,
-                            opcodes.shape[0])
+        sparse_rows = jnp.zeros((1, dyn.shape[-1]), jnp.uint32)
+        words, _outs = full(opcodes, operands, bank, dyn, sparse_rows,
+                            full_mask, opcodes.shape[0])
         return words
 
     return run_one
 
 
 def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: int,
-                            sparse_base: int | None = None):
+                            n_sparse_k: int = 0):
     """The single-partition stack-machine body (un-jitted). Returns
     (top-of-stack words, EMIT_COUNT output vector). `n_instr` is a traced
     scalar: the while_loop executes only the real instructions, so one
     compiled executable serves every program length up to `program_len`
-    with no NOP-padding cost. PUSH_SPARSE operand k reads
-    dyn[sparse_base + k] (densified sparse-tier rows are appended to the
-    dyn bank by the caller)."""
-    if sparse_base is None:
-        sparse_base = n_dyn
+    with no NOP-padding cost. PUSH_SPARSE operand k reads sparse_rows[k]
+    (densified sparse-tier rows, a separate input)."""
 
-    def run_one(opcodes, operands, bank, dyn, full_mask, n_instr):
+    def run_one(opcodes, operands, bank, dyn, sparse_rows, full_mask, n_instr):
         def step(state):
             ip, stack, sp, counts, csp, out = state
             opcode = opcodes[ip]
@@ -1204,7 +1220,7 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
                 return stack, sp, counts, csp, out
 
             def do_push_sparse(_):
-                row = dyn[sparse_base + operand]
+                row = sparse_rows[operand]
                 s, p = push(row)
                 return s, p, counts, csp, out
 
