@@ -305,7 +305,13 @@ class DeviceEngine:
                     per_partition.append((np.zeros(0, np.int64),
                                           np.zeros(0, np.int32),
                                           np.zeros(0, np.uint32)))
-            nnz_pad = max(1, max(len(c[0]) for c in per_partition))
+            # tail padding >= the largest per-leaf slice bucket so the
+            # densify dynamic_slice never clamps (a clamped start would
+            # silently read the wrong segment)
+            m_needed = int(self.sparse_lengths.max()) if n_sparse else 0
+            tail_pad = next((b for b in _SPARSE_M_BUCKETS if b >= m_needed),
+                            _SPARSE_M_BUCKETS[-1])
+            nnz_pad = max(1, max(len(c[0]) for c in per_partition)) + tail_pad
             sp_row = np.full((self.n_partitions, nnz_pad), n_sparse, dtype=np.int32)
             sp_idx = np.zeros((self.n_partitions, nnz_pad), dtype=np.int32)
             sp_words = np.zeros((self.n_partitions, nnz_pad), dtype=np.uint32)
@@ -1073,18 +1079,21 @@ def _densify_jit(n_sparse_k: int, n_sparse_m: int, n_words: int):
     the fused graph compiled ~40x slower on remote-compile TPU backends,
     and this one is shared by every program-length bucket."""
 
-    def one(stream_idx_p, stream_words_p, starts_p, lens_p):
-        take = starts_p[:, None] + jnp.arange(n_sparse_m, dtype=jnp.int32)
-        valid = jnp.arange(n_sparse_m, dtype=jnp.int32)[None, :] < lens_p[:, None]
-        take = jnp.clip(take, 0, stream_idx_p.shape[0] - 1)
-        gathered_idx = stream_idx_p[take]        # [K, M]
-        gathered_words = stream_words_p[take]    # [K, M]
-        leaf = jnp.where(
-            valid, jnp.arange(n_sparse_k, dtype=jnp.int32)[:, None], n_sparse_k
+    def one_leaf(stream_idx_p, stream_words_p, start, ln):
+        # leaf entries are CONTIGUOUS in the stream: dynamic_slice, not a
+        # general gather (a gather from the 30M-element stream compiled
+        # minutes on the remote TPU compiler; slices are cheap)
+        seg_idx = jax.lax.dynamic_slice(stream_idx_p, (start,), (n_sparse_m,))
+        seg_words = jax.lax.dynamic_slice(stream_words_p, (start,), (n_sparse_m,))
+        valid = jnp.arange(n_sparse_m, dtype=jnp.int32) < ln
+        seg_idx = jnp.where(valid, seg_idx, n_words)
+        return jnp.zeros((n_words,), jnp.uint32).at[seg_idx].set(
+            seg_words, mode="drop"
         )
-        return (
-            jnp.zeros((n_sparse_k, n_words), jnp.uint32)
-            .at[leaf, gathered_idx].set(gathered_words, mode="drop")
+
+    def one(stream_idx_p, stream_words_p, starts_p, lens_p):
+        return jax.vmap(one_leaf, in_axes=(None, None, 0, 0))(
+            stream_idx_p, stream_words_p, starts_p, lens_p
         )
 
     return jax.jit(jax.vmap(one))
