@@ -211,6 +211,9 @@ class CsrRowStore:
     def gather_rows_csr(self, indices):
         indices = np.asarray(indices, dtype=np.int64)
         lengths = np.diff(self.offsets)[indices]
+        if len(indices) == self.n_stored and (np.diff(indices) == 1).all() \
+                and (len(indices) == 0 or indices[0] == 0):
+            return self.idx, self.words, lengths  # identity: whole store
         gather = _segment_gather_indices(self.offsets, indices, lengths)
         return self.idx[gather], self.words[gather], lengths
 
