@@ -58,8 +58,10 @@ _BATCH_LEN_BUCKETS = (64, 256, 1024, 4096)
 _DYN_BUCKETS = (1, 4, 16, 64, 256)
 # sparse-leaf count per dispatch and per-leaf segment-length budget (the
 # leaves gather straight from the device-resident CSR stream; the per-query
-# upload is just (start, len) pairs)
-_SPARSE_K_BUCKETS = (0, 4, 16, 64, 256)
+# upload is just (start, len) pairs). The engine caps K so the densified
+# [K, W] block stays under ~256 MB HBM (see max_sparse_k).
+_SPARSE_K_BUCKETS = (0, 4, 16, 64, 256, 1024, 4096)
+_SPARSE_K_BYTE_CAP = 256 << 20
 _SPARSE_M_BUCKETS = (0, 512, 8192, 131072, 1 << 21)
 MAX_BATCH_QUERIES = 128
 MAX_STACK = 16
@@ -336,9 +338,15 @@ class DeviceEngine:
         # dispatch shape collapses onto one executable per output kind
         # (remote TPU compiles are minutes each; shapes must not proliferate
         # under live traffic).
+        self.max_sparse_k = max(
+            (b for b in _SPARSE_K_BUCKETS
+             if b * self.n_words * 4 <= _SPARSE_K_BYTE_CAP),
+            default=_SPARSE_K_BUCKETS[1],
+        )
+        self.max_sparse_k = max(self.max_sparse_k, 256)
         if n_sparse:
             m_needed = int(self.sparse_lengths.max())
-            self.floor_sparse_k = _SPARSE_K_BUCKETS[-1]
+            self.floor_sparse_k = self.max_sparse_k
             self.floor_sparse_m = next(
                 (b for b in _SPARSE_M_BUCKETS if b >= m_needed),
                 _SPARSE_M_BUCKETS[-1],
@@ -424,7 +432,7 @@ class DeviceEngine:
             raise ProgramTooLarge(len(program.opcodes))
         if len(program.dyn_rows) > _DYN_BUCKETS[-1]:
             raise ProgramTooLarge(f"dyn rows {len(program.dyn_rows)}")
-        if len(program.sparse_leaves) > _SPARSE_K_BUCKETS[-1]:
+        if len(program.sparse_leaves) > self.max_sparse_k:
             raise ProgramTooLarge(f"sparse leaves {len(program.sparse_leaves)}")
         if max_depth > MAX_STACK:
             raise ProgramTooLarge(f"stack depth {max_depth}")
@@ -562,7 +570,7 @@ class DeviceEngine:
         (starts, lens) numpy [P, K] arrays). The floors let callers share
         one compiled executable across differently-shaped queries (remote
         TPU compiles are minutes each)."""
-        min_sparse_k = min(min_sparse_k, _SPARSE_K_BUCKETS[-1])
+        min_sparse_k = min(min_sparse_k, self.max_sparse_k)
         min_sparse_m = min(min_sparse_m, _SPARSE_M_BUCKETS[-1])
         k_bucket = next(
             b for b in _SPARSE_K_BUCKETS
@@ -680,7 +688,7 @@ class DeviceEngine:
         total_dyn = sum(len(p.dyn_rows) for p in lowered)
         total_sparse = len({r for p in lowered for r in p.sparse_leaves})
         if q > 1 and (total > _BATCH_LEN_BUCKETS[-1] or total_dyn > _DYN_BUCKETS[-1]
-                      or total_sparse > _SPARSE_K_BUCKETS[-1]):
+                      or total_sparse > self.max_sparse_k):
             acc_len = acc_dyn = 0
             acc_sparse: set[int] = set()
             split = q
@@ -690,7 +698,7 @@ class DeviceEngine:
                 acc_sparse.update(p.sparse_leaves)
                 if i and (acc_len > _BATCH_LEN_BUCKETS[-1]
                           or acc_dyn > _DYN_BUCKETS[-1]
-                          or len(acc_sparse) > _SPARSE_K_BUCKETS[-1]):
+                          or len(acc_sparse) > self.max_sparse_k):
                     split = i
                     break
             return self.count_programs(lowered[:split], min_bucket,
