@@ -61,7 +61,7 @@ _DYN_BUCKETS = (1, 4, 16, 64, 256)
 # upload is just (start, len) pairs). The engine caps K so the densified
 # [K, W] block stays under ~256 MB HBM (see max_sparse_k).
 _SPARSE_K_BUCKETS = (0, 4, 16, 64, 256, 1024, 4096)
-_SPARSE_K_BYTE_CAP = 256 << 20
+_SPARSE_K_BYTE_CAP = 384 << 20
 _SPARSE_M_BUCKETS = (0, 512, 8192, 131072, 1 << 21)
 MAX_BATCH_QUERIES = 128
 MAX_STACK = 16
@@ -307,13 +307,9 @@ class DeviceEngine:
                     per_partition.append((np.zeros(0, np.int64),
                                           np.zeros(0, np.int32),
                                           np.zeros(0, np.uint32)))
-            # tail padding >= the largest per-leaf slice bucket so the
-            # densify dynamic_slice never clamps (a clamped start would
-            # silently read the wrong segment)
-            m_needed = int(self.sparse_lengths.max()) if n_sparse else 0
-            tail_pad = next((b for b in _SPARSE_M_BUCKETS if b >= m_needed),
-                            _SPARSE_M_BUCKETS[-1])
-            nnz_pad = max(1, max(len(c[0]) for c in per_partition)) + tail_pad
+            # (no tail padding needed: the densify gather clips indices and
+            # masks by each leaf's length, so over-reads never escape)
+            nnz_pad = max(1, max(len(c[0]) for c in per_partition))
             sp_row = np.full((self.n_partitions, nnz_pad), n_sparse, dtype=np.int32)
             sp_idx = np.zeros((self.n_partitions, nnz_pad), dtype=np.int32)
             sp_words = np.zeros((self.n_partitions, nnz_pad), dtype=np.uint32)
@@ -343,7 +339,6 @@ class DeviceEngine:
              if b * self.n_words * 4 <= _SPARSE_K_BYTE_CAP),
             default=_SPARSE_K_BUCKETS[1],
         )
-        self.max_sparse_k = max(self.max_sparse_k, 256)
         if n_sparse:
             m_needed = int(self.sparse_lengths.max())
             self.floor_sparse_k = self.max_sparse_k
@@ -570,14 +565,17 @@ class DeviceEngine:
         (starts, lens) numpy [P, K] arrays). The floors let callers share
         one compiled executable across differently-shaped queries (remote
         TPU compiles are minutes each)."""
+        if not sparse_leaves:
+            # no sparse leaves: skip the densify dispatch entirely (floors
+            # only pin buckets for queries that DO touch the sparse tier,
+            # so at most two executable shapes exist per output kind)
+            return 0, 0, None
         min_sparse_k = min(min_sparse_k, self.max_sparse_k)
         min_sparse_m = min(min_sparse_m, _SPARSE_M_BUCKETS[-1])
         k_bucket = next(
             b for b in _SPARSE_K_BUCKETS
             if b >= max(len(sparse_leaves), min_sparse_k)
         )
-        if k_bucket == 0:
-            return 0, 0, None
         ids = np.asarray(sparse_leaves, dtype=np.int64)
         starts = np.zeros((self.n_partitions, k_bucket), dtype=np.int32)
         lens = np.zeros((self.n_partitions, k_bucket), dtype=np.int32)
@@ -796,11 +794,17 @@ class DeviceEngine:
                 size = max((int(c.max()) + 1 if len(c) else 1) for c in codes)
                 per_column_values.append(None)
             elif kind in ("date", "int", "float"):
-                raws = [
-                    (c.values.view(np.int64) if kind == "float"
-                     else c.values.astype(np.int64))
-                    for c in columns
-                ]
+                if kind == "float":
+                    # canonicalize before taking bit patterns: -0.0 == 0.0
+                    # and every NaN must be ONE group (host groups by value)
+                    raws = []
+                    for c in columns:
+                        vals = c.values.copy()
+                        vals[vals == 0.0] = 0.0
+                        vals[np.isnan(vals)] = np.nan
+                        raws.append(vals.view(np.int64))
+                else:
+                    raws = [c.values.astype(np.int64) for c in columns]
                 uniq = np.unique(np.concatenate(raws)) if raws else np.zeros(0)
                 codes = [np.searchsorted(uniq, r) for r in raws]
                 size = max(len(uniq), 1)
@@ -959,21 +963,11 @@ class DeviceFilter:
         self.engine = engine
         self.words = words
         self._popcount: int | None = None
-        self._host: list[np.ndarray] | None = None
 
     def popcount(self) -> int:
         if self._popcount is None:
             self._popcount = int(_popcount_words_jit(self.words))
         return self._popcount
-
-    def host_list(self) -> list[np.ndarray]:
-        if self._host is None:
-            host = np.asarray(self.words)
-            self._host = [
-                host[pi, : bitset.words_for(n)]
-                for pi, n in enumerate(self.engine.part_rows)
-            ]
-        return self._host
 
 
 @jax.jit

@@ -72,4 +72,8 @@ class ShardedQueryStep:
         )
 
     def __call__(self, opcodes, operands, bank, dyn, full_masks, seg_slice=0):
+        # this path has no sparse-tier stream: a PUSH_SPARSE program would
+        # silently read zeros — fail loudly instead
+        assert not (np.asarray(opcodes) == de.PUSH_SPARSE).any(), \
+            "ShardedQueryStep cannot execute sparse-tier programs"
         return self.jitted(opcodes, operands, bank, dyn, full_masks, seg_slice)

@@ -52,9 +52,6 @@ class DenseRowStore:
     def masked_popcounts(self, filter_words: np.ndarray) -> np.ndarray:
         return _chunked(self.rows, filter_words)
 
-    def bits_at(self, word: int, bit: int) -> np.ndarray:
-        return ((self.rows[:, word] >> np.uint32(bit)) & np.uint32(1)).astype(bool)
-
     def word_column(self, word: int) -> np.ndarray:
         """uint32[ns]: the given packed word of every stored row."""
         return self.rows[:, word]
@@ -62,15 +59,6 @@ class DenseRowStore:
     def replace_row(self, i: int, dense_row: np.ndarray) -> "DenseRowStore":
         self.rows[i] = dense_row
         return self
-
-    def word_lists(self):
-        """CSR view (row-major, word-ascending): (idx, words, offsets)."""
-        row_ids, idx = np.nonzero(self.rows)
-        words = self.rows[row_ids, idx]
-        offsets = np.zeros(self.n_stored + 1, dtype=np.int64)
-        np.add.at(offsets, row_ids + 1, 1)
-        np.cumsum(offsets, out=offsets)
-        return idx.astype(np.int32), words, offsets
 
     def row_nnz(self) -> np.ndarray:
         """int64[ns]: non-zero word count per row."""
@@ -173,10 +161,6 @@ class CsrRowStore:
             np.minimum(self.offsets[:-1], len(per_word)),
         ) * (np.diff(self.offsets) > 0)
 
-    def bits_at(self, word: int, bit: int) -> np.ndarray:
-        column = self.word_column(word)
-        return ((column >> np.uint32(bit)) & np.uint32(1)).astype(bool)
-
     def word_column(self, word: int) -> np.ndarray:
         """uint32[ns]: the given packed word of every stored row."""
         hits = np.nonzero(self.idx == word)[0]
@@ -197,9 +181,6 @@ class CsrRowStore:
         offsets = self.offsets.copy()
         offsets[i + 1 :] += delta
         return CsrRowStore(self.n_words, idx, words, offsets)
-
-    def word_lists(self):
-        return self.idx, self.words, self.offsets
 
     def row_nnz(self) -> np.ndarray:
         return np.diff(self.offsets)

@@ -164,10 +164,6 @@ class SegmentIndex:
         numbers stay comparable across physical layouts."""
         return self.alphabet.count * self.plane_nbytes()
 
-    def stored_nbytes(self) -> int:
-        """Actual compact memory."""
-        return self.store.nbytes()
-
     def reconstruct_rows(self, rows: np.ndarray) -> list[str]:
         """Rebuild aligned sequence strings for the given sequence ids
         (FastaAligned action): start from the per-position majority symbol,
