@@ -91,13 +91,16 @@ def main():
     latencies.sort()
     p50 = latencies[len(latencies) // 2]
 
-    # Mutations action (the HBM-bound reduction; Pallas kernel on TPU).
+    # Mutations action (the HBM-bound reduction). Warm with a DIFFERENT
+    # filter than the timed call: relayed TPU backends memoize identical
+    # executions, which would fake the timing.
+    warm_words = engine.evaluate(queries[0].filter)
+    engine.mutation_counts("nuc", "main", warm_words)
     mutations_query = Query(json.dumps({
         "action": {"type": "Mutations", "minProportion": 0.05},
         "filterExpression": {"type": "True"},
     }))
     words = engine.evaluate(mutations_query.filter)
-    engine.mutation_counts("nuc", "main", words)  # warm
     t0 = time.perf_counter()
     matrix = engine.mutation_counts("nuc", "main", words)
     mutations_s = time.perf_counter() - t0
