@@ -66,6 +66,12 @@ _SPARSE_M_BUCKETS = (0, 512, 8192, 131072, 1 << 21)
 MAX_BATCH_QUERIES = 128
 MAX_STACK = 16
 MAX_COUNT_STACK = 4
+# carried-buffer buckets: the while_loop copies the stack and threshold
+# count buffers every iteration (lax.switch defeats in-place updates), so
+# their size directly multiplies per-instruction cost at large W — size
+# them to what the program actually needs
+_STACK_BUCKETS = (4, MAX_STACK)
+_COUNT_SLOT_BUCKETS = (1, MAX_COUNT_STACK)
 
 # Rows whose word-level density (nnz words / W, totalled over partitions)
 # is below 1/SPARSE_DENSITY_CUTOFF move to the sparse tier; the tier only
@@ -92,6 +98,8 @@ class _Program:
         # at dispatch assembly and gathered+scattered on device
         self.sparse_leaves: list[int] = []
         self._sparse_cache: dict = {}
+        self.max_depth = MAX_STACK
+        self.uses_threshold = True
 
     def emit(self, opcode: int, operand: int = 0):
         self.opcodes.append(opcode)
@@ -431,6 +439,8 @@ class DeviceEngine:
             raise ProgramTooLarge(f"sparse leaves {len(program.sparse_leaves)}")
         if max_depth > MAX_STACK:
             raise ProgramTooLarge(f"stack depth {max_depth}")
+        program.max_depth = max_depth
+        program.uses_threshold = TH_PUSH in program.opcodes
         return program, max_depth
 
     def _emit(self, nodes: list, program: _Program, evaluators, count_depth=0) -> int:
@@ -556,7 +566,11 @@ class DeviceEngine:
         sparse_k, sparse_m, sparse_arrays = self._assemble_sparse(
             program.sparse_leaves, self.floor_sparse_k, self.floor_sparse_m
         )
-        return bucket, n_dyn, code, dyn, n, sparse_k, sparse_m, sparse_arrays
+        stack_slots = next(b for b in _STACK_BUCKETS if b >= program.max_depth)
+        count_slots = (_COUNT_SLOT_BUCKETS[-1] if program.uses_threshold
+                       else _COUNT_SLOT_BUCKETS[0])
+        return (bucket, n_dyn, code, dyn, n, sparse_k, sparse_m, sparse_arrays,
+                stack_slots, count_slots)
 
     def _assemble_sparse(self, sparse_leaves: list[int], min_sparse_k: int = 0,
                          min_sparse_m: int = 0):
@@ -634,20 +648,24 @@ class DeviceEngine:
             return self.full_masks
         if program.opcodes == [PUSH_EMPTY]:
             return self._zero_dyn((self.n_partitions, self.n_words))
-        bucket, n_dyn, code, dyn, n_instr, k, m, sp = self._prepare_program(program)
+        (bucket, n_dyn, code, dyn, n_instr, k, m, sp, stack_slots,
+         count_slots) = self._prepare_program(program)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
-        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "words")
+        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "words",
+                           stack_slots, count_slots)
         return run(jnp.asarray(code), self.bank, dyn_dev,
                    self._densified(k, m, sp), self.full_masks, jnp.int32(n_instr))
 
     def count_async(self, filter_expr) -> jax.Array:
         """Fused filter + popcount in ONE device dispatch; returns the scalar
         device array without blocking."""
-        bucket, n_dyn, code, dyn, n_instr, k, m, sp = self._prepare(filter_expr)
+        (bucket, n_dyn, code, dyn, n_instr, k, m, sp, stack_slots,
+         count_slots) = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
-        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "count")
+        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "count",
+                           stack_slots, count_slots)
         return run(jnp.asarray(code), self.bank, dyn_dev,
                    self._densified(k, m, sp), self.full_masks, jnp.int32(n_instr))
 
@@ -751,8 +769,13 @@ class DeviceEngine:
             dyn_dev = self._zero_dyn((self.n_partitions, n_dyn, self.n_words))
         k, m, sp = self._assemble_sparse(all_sparse_leaves, min_sparse_k,
                                          min_sparse_m)
+        max_depth = max(p.max_depth for p in lowered)
+        stack_slots = next(b for b in _STACK_BUCKETS if b >= max_depth)
+        count_slots = (_COUNT_SLOT_BUCKETS[-1]
+                       if any(p.uses_threshold for p in lowered)
+                       else _COUNT_SLOT_BUCKETS[0])
         run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words,
-                           "multi_count")
+                           "multi_count", stack_slots, count_slots)
         counts = run(jnp.asarray(code), self.bank, dyn_dev,
                      self._densified(k, m, sp), self.full_masks,
                      jnp.int32(cursor))
@@ -1100,14 +1123,18 @@ def _densify_jit(n_sparse_k: int, n_sparse_m: int, n_words: int):
 
 @functools.lru_cache(maxsize=64)
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
-                 n_words: int, output: str = "words"):
+                 n_words: int, output: str = "words",
+                 stack_slots: int = MAX_STACK,
+                 count_slots: int = MAX_COUNT_STACK):
     """Jitted, partition-vmapped stack-machine interpreter for one shape
     bucket. output='words' returns the [P, W] bitset; output='count' fuses
     the popcount reduction into the same executable (one dispatch).
     Densified sparse-tier rows arrive as a separate [P, K, W] input
     (produced by _densify_jit) read by PUSH_SPARSE."""
     run_one = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words,
-                                      n_sparse_k=n_sparse_k)
+                                      n_sparse_k=n_sparse_k,
+                                      stack_slots=stack_slots,
+                                      count_slots=count_slots)
 
     def run(code, bank, dyn, sparse_rows, full_masks, n_instr):
         words, outs = jax.vmap(
@@ -1138,7 +1165,9 @@ def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
 
 
 def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: int,
-                            n_sparse_k: int = 0):
+                            n_sparse_k: int = 0,
+                            stack_slots: int = MAX_STACK,
+                            count_slots: int = MAX_COUNT_STACK):
     """The single-partition stack-machine body (un-jitted). Returns
     (top-of-stack words, EMIT_COUNT output vector). `n_instr` is a traced
     scalar: the while_loop executes only the real instructions, so one
@@ -1241,8 +1270,8 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
             )
             return ip + 1, stack, sp, counts, csp, out
 
-        stack0 = jnp.zeros((MAX_STACK, n_words), jnp.uint32)
-        counts0 = jnp.zeros((MAX_COUNT_STACK, n_words, 32), jnp.uint8)
+        stack0 = jnp.zeros((stack_slots, n_words), jnp.uint32)
+        counts0 = jnp.zeros((count_slots, n_words, 32), jnp.uint8)
         out0 = jnp.zeros((MAX_BATCH_QUERIES,), jnp.int32)
         _, stack, sp, _, _, out = jax.lax.while_loop(
             lambda state: state[0] < n_instr,
