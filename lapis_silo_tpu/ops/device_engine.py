@@ -72,6 +72,14 @@ MAX_COUNT_STACK = 4
 # them to what the program actually needs
 _STACK_BUCKETS = (4, MAX_STACK)
 _COUNT_SLOT_BUCKETS = (1, MAX_COUNT_STACK)
+# instructions executed per while_loop iteration (callers round n_instr up
+# to a multiple of this; iterations start at multiples of it, so the padded
+# NOP tail inside the bucket is never overshot)
+_UNROLL = 4
+
+
+def _round_instr(n: int) -> int:
+    return -(-n // _UNROLL) * _UNROLL
 
 # Rows whose word-level density (nnz words / W, totalled over partitions)
 # is below 1/SPARSE_DENSITY_CUTOFF move to the sparse tier; the tier only
@@ -655,7 +663,8 @@ class DeviceEngine:
         run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "words",
                            stack_slots, count_slots)
         return run(jnp.asarray(code), self.bank, dyn_dev,
-                   self._densified(k, m, sp), self.full_masks, jnp.int32(n_instr))
+                   self._densified(k, m, sp), self.full_masks,
+                   jnp.int32(_round_instr(n_instr)))
 
     def count_async(self, filter_expr) -> jax.Array:
         """Fused filter + popcount in ONE device dispatch; returns the scalar
@@ -667,7 +676,8 @@ class DeviceEngine:
         run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "count",
                            stack_slots, count_slots)
         return run(jnp.asarray(code), self.bank, dyn_dev,
-                   self._densified(k, m, sp), self.full_masks, jnp.int32(n_instr))
+                   self._densified(k, m, sp), self.full_masks,
+                   jnp.int32(_round_instr(n_instr)))
 
     def count_batch(self, filter_exprs: list, min_bucket: int = 0,
                     min_sparse_k: int = 0, min_sparse_m: int = 0) -> list[int]:
@@ -778,7 +788,7 @@ class DeviceEngine:
                            "multi_count", stack_slots, count_slots)
         counts = run(jnp.asarray(code), self.bank, dyn_dev,
                      self._densified(k, m, sp), self.full_masks,
-                     jnp.int32(cursor))
+                     jnp.int32(_round_instr(cursor)))
         return [int(c) for c in np.asarray(counts)[:q]]
 
     def count(self, filter_expr) -> int:
@@ -1270,12 +1280,21 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
             )
             return ip + 1, stack, sp, counts, csp, out
 
+        def step_unrolled(state):
+            # execute _UNROLL instructions per loop iteration: the
+            # while_loop's fixed per-iteration overhead (branch dispatch,
+            # carried-buffer bookkeeping) dominates per-instruction cost,
+            # so amortize it (callers round n_instr up; NOPs are cheap)
+            for _ in range(_UNROLL):
+                state = step(state)
+            return state
+
         stack0 = jnp.zeros((stack_slots, n_words), jnp.uint32)
         counts0 = jnp.zeros((count_slots, n_words, 32), jnp.uint8)
         out0 = jnp.zeros((MAX_BATCH_QUERIES,), jnp.int32)
         _, stack, sp, _, _, out = jax.lax.while_loop(
             lambda state: state[0] < n_instr,
-            step,
+            step_unrolled,
             (jnp.int32(0), stack0, jnp.int32(0), counts0, jnp.int32(0), out0),
         )
         return stack[0], out
