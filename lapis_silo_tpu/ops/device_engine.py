@@ -326,24 +326,29 @@ class DeviceEngine:
             # (no tail padding needed: the densify gather clips indices and
             # masks by each leaf's length, so over-reads never escape)
             nnz_pad = max(1, max(len(c[0]) for c in per_partition))
-            sp_row = np.full((self.n_partitions, nnz_pad), n_sparse, dtype=np.int32)
             sp_idx = np.zeros((self.n_partitions, nnz_pad), dtype=np.int32)
             sp_words = np.zeros((self.n_partitions, nnz_pad), dtype=np.uint32)
             for pi, (g, i, w) in enumerate(per_partition):
-                sp_row[pi, : len(g)] = g
                 sp_idx[pi, : len(g)] = i
                 sp_words[pi, : len(g)] = w
             # ascending g_ids per partition => each row's slice is contiguous;
-            # starts = exclusive prefix sum of lengths
+            # starts = exclusive prefix sum of lengths. A per-entry row-id
+            # array is NOT stored: sortedness makes every segmented reduction
+            # a cumsum + boundary gather (and saves a third of the stream).
             self.sparse_starts = np.zeros((self.n_partitions, n_sparse),
                                           dtype=np.int64)
             np.cumsum(self.sparse_lengths[:, :-1], axis=1,
                       out=self.sparse_starts[:, 1:])
-            self.sparse_stream = (jax.device_put(sp_row), jax.device_put(sp_idx),
+            self.sparse_stream = (jax.device_put(sp_idx),
                                   jax.device_put(sp_words))
+            self._sparse_bounds_dev = (
+                jax.device_put(self.sparse_starts.astype(np.int32)),
+                jax.device_put(self.sparse_lengths.astype(np.int32)),
+            )
         else:
             self.sparse_stream = None
             self.sparse_starts = self.sparse_lengths = None
+            self._sparse_bounds_dev = None
         self._sparse_counts_memo: tuple | None = None
         self._filters_memo: tuple | None = None
         # Serving floors: pin the sparse K/M buckets corpus-wide so every
@@ -624,7 +629,7 @@ class DeviceEngine:
             return cached
         starts, lens = sp
         run = _densify_jit(k, m, self.n_words)
-        return run(self.sparse_stream[1], self.sparse_stream[2],
+        return run(self.sparse_stream[0], self.sparse_stream[1],
                    jax.device_put(starts), jax.device_put(lens))
 
     def _dyn_sharding(self, ndim: int):
@@ -938,10 +943,11 @@ class DeviceEngine:
         if memo is not None and memo[0] == key:
             return memo[2]
         filters = self._filters_for(filter_words)
-        sp_row, sp_idx, sp_words = self.sparse_stream
+        sp_idx, sp_words = self.sparse_stream
+        starts, lens = self._sparse_bounds_dev
         out = np.asarray(_sparse_mutation_counts_jit(
-            sp_row, sp_idx, sp_words, filters, self.n_sparse + 1
-        )[: self.n_sparse], dtype=np.int64)
+            sp_idx, sp_words, filters, starts, lens
+        ), dtype=np.int64)
         self._sparse_counts_memo = (key, filter_words, out)
         return out
 
@@ -1302,19 +1308,31 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
     return run_one
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _sparse_mutation_counts_jit(sp_row, sp_idx, sp_words, filters, num_segments):
+@jax.jit
+def _sparse_mutation_counts_jit(sp_idx, sp_words, filters, starts, lens):
     """Segmented popcount over the flat sparse-tier CSR stream:
-    counts[r] = sum over the row's stored words of popcount(word &
-    filter[word_idx]), summed over partitions. Padding entries point at the
-    trailing dummy segment and carry zero words."""
+    counts[r] = sum over row r's stored words of popcount(word &
+    filter[word_idx]), summed over partitions.
 
-    def one(rows, idx, words, filt):
-        vals = jax.lax.population_count(words & filt[idx]).astype(jnp.int32)
-        return jax.ops.segment_sum(vals, rows, num_segments=num_segments)
+    The stream is row-major (ascending row id, contiguous slices), so the
+    segmented sum is an inclusive cumsum plus a gather of slice boundaries
+    — NO scatter (TPU scatter-add serializes; 2x on the 1M Mutations
+    action, and dropping the per-entry row-id array shrinks the resident
+    stream by a third). uint32 wraparound keeps boundary differences
+    exact: every true per-row sum <= sequence count < 2**32.
+    Trailing pad entries carry zero words, so they never perturb the cumsum
+    below any row's upper boundary."""
 
-    return jax.vmap(one)(sp_row, sp_idx, sp_words, filters).sum(
-        axis=0, dtype=jnp.int32
+    def one(idx, words, filt, st, ln):
+        vals = jax.lax.population_count(words & filt[idx]).astype(jnp.uint32)
+        c = jnp.cumsum(vals)
+        last = c.shape[0] - 1
+        hi = c[jnp.clip(st + ln - 1, 0, last)]
+        lo = jnp.where(st > 0, c[jnp.clip(st - 1, 0, last)], jnp.uint32(0))
+        return jnp.where(ln > 0, hi - lo, jnp.uint32(0))
+
+    return jax.vmap(one)(sp_idx, sp_words, filters, starts, lens).sum(
+        axis=0, dtype=jnp.uint32
     )
 
 
