@@ -93,17 +93,26 @@ def main():
 
     # Mutations action (the HBM-bound reduction). Warm with a DIFFERENT
     # filter than the timed call: relayed TPU backends memoize identical
-    # executions, which would fake the timing.
-    warm_words = engine.evaluate(queries[0].filter)
-    engine.mutation_counts("nuc", "main", warm_words)
-    mutations_query = Query(json.dumps({
-        "action": {"type": "Mutations", "minProportion": 0.05},
-        "filterExpression": {"type": "True"},
-    }))
-    words = engine.evaluate(mutations_query.filter)
+    # executions, which would fake the timing. Both filters must be
+    # SELECTIVE (0 < count < N) — full/empty filters hit the stored-
+    # cardinality fast path and measure nothing.
+    selective = [q for q, c in zip(queries, counts) if 0 < c < n_rows]
+    if len(selective) < 2:
+        selective = queries[:2]
+    engine.mutation_counts("nuc", "main", engine.evaluate(selective[0].filter))
+    words = engine.evaluate(selective[1].filter)
     t0 = time.perf_counter()
     matrix = engine.mutation_counts("nuc", "main", words)
     mutations_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    full_matrix = engine.mutation_counts(
+        "nuc", "main",
+        engine.evaluate(Query(json.dumps({
+            "action": {"type": "Aggregated"},
+            "filterExpression": {"type": "True"},
+        })).filter))
+    log(f"mutations full-filter fast path: {(time.perf_counter()-t0)*1e3:.1f} ms "
+        f"(stored cardinalities), total={int(full_matrix.sum())}")
     meta = engine.segment_meta[("nuc", "main")]
     seg_bytes = meta["n_stored"] * engine.n_words * 4 * n_partitions
     if engine.sparse_stream is not None:

@@ -37,21 +37,32 @@ import numpy as np
 from ..query import ir
 from . import bitset
 
-# Opcodes
-PUSH_STATIC = 0
-PUSH_DYN = 1
-PUSH_FULL = 2
-PUSH_EMPTY = 3
-OP_NOT = 4
-OP_AND = 5
-OP_OR = 6
-TH_PUSH = 7
-TH_ADD = 8
-TH_GE = 9
-TH_EQ = 10
-EMIT_COUNT = 11  # pop top, popcount -> out[operand]; used by batched queries
-NOP = 12
-PUSH_SPARSE = 13  # push a sparse-tier row densified by the pre-VM scatter
+# Opcodes — a REGISTER machine, not a stack machine: every instruction
+# performs exactly ONE unconditional register write (reg[dst] = value), so
+# the while_loop interpreter has no lax.switch over carried buffers. A
+# switch-based stack VM measured ~66 us/instruction of pure overhead at
+# W=32768 (the branch joins copy every carried buffer each instruction);
+# the branchless select form is bounded by the actual word traffic.
+LOAD_STATIC = 0  # reg[dst] = bank[operand]
+LOAD_DYN = 1     # reg[dst] = dyn[operand]
+LOAD_FULL = 2    # reg[dst] = full_mask
+LOAD_ZERO = 3    # reg[dst] = 0
+ALU = 4          # reg[dst] = mode(reg[ra], reg[rb])
+EMIT_COUNT = 5   # out[operand] = popcount(reg[ra]); used by batched queries
+NOP = 6
+LOAD_SPARSE = 7  # reg[dst] = densified sparse-tier row [operand]
+
+# ALU modes (regspec bits 24..31)
+M_AND = 0   # a & b
+M_OR = 1    # a | b
+M_XOR = 2   # a ^ b          (bit-sliced threshold adders)
+M_XORF = 3  # a ^ full_mask  (NOT under the valid-sequence-mask invariant)
+M_ANDN = 4  # a & (b ^ full_mask)
+M_MOV = 5   # a
+
+# no-write destination sentinel: the register file carries one trailing
+# trash slot and dynamic_update_index clamps out-of-range indices onto it
+NO_DST = 255
 
 _LEN_BUCKETS = (16, 64, 256, 512)
 _BATCH_LEN_BUCKETS = (64, 256, 1024, 4096)
@@ -64,14 +75,10 @@ _SPARSE_K_BUCKETS = (0, 4, 16, 64, 256, 1024, 4096)
 _SPARSE_K_BYTE_CAP = 384 << 20
 _SPARSE_M_BUCKETS = (0, 512, 8192, 131072, 1 << 21)
 MAX_BATCH_QUERIES = 128
-MAX_STACK = 16
-MAX_COUNT_STACK = 4
-# carried-buffer buckets: the while_loop copies the stack and threshold
-# count buffers every iteration (lax.switch defeats in-place updates), so
-# their size directly multiplies per-instruction cost at large W — size
-# them to what the program actually needs
-_STACK_BUCKETS = (4, MAX_STACK)
-_COUNT_SLOT_BUCKETS = (1, MAX_COUNT_STACK)
+MAX_REGS = 32
+# register-file buckets: one executable per bucket; N-Of threshold circuits
+# use ceil(log2(max(n,k)+1)) + 3 registers above their operand slot
+_REG_BUCKETS = (4, 8, 16, MAX_REGS)
 # instructions executed per while_loop iteration (callers round n_instr up
 # to a multiple of this; iterations start at multiples of it, so the padded
 # NOP tail inside the bucket is never overshot)
@@ -100,18 +107,23 @@ class _Program:
     def __init__(self):
         self.opcodes: list[int] = []
         self.operands: list[int] = []
+        self.regspec: list[int] = []  # dst | ra<<8 | rb<<16 | mode<<24
         self.dyn_rows: list[list[np.ndarray]] = []  # per dyn leaf: per partition words
         # per sparse leaf: the global sparse-row id — its per-partition
         # (start, len) slice of the device-resident CSR stream is resolved
         # at dispatch assembly and gathered+scattered on device
         self.sparse_leaves: list[int] = []
         self._sparse_cache: dict = {}
-        self.max_depth = MAX_STACK
-        self.uses_threshold = True
+        self.max_regs = MAX_REGS
 
-    def emit(self, opcode: int, operand: int = 0):
+    def emit(self, opcode: int, operand: int = 0, dst: int = NO_DST,
+             ra: int = 0, rb: int = 0, mode: int = 0):
         self.opcodes.append(opcode)
         self.operands.append(operand)
+        self.regspec.append(dst | (ra << 8) | (rb << 16) | (mode << 24))
+
+    def alu(self, mode: int, dst: int, ra: int, rb: int = 0):
+        self.emit(ALU, 0, dst, ra, rb, mode)
 
     def add_dyn(self, rows_per_partition: list[np.ndarray]) -> int:
         self.dyn_rows.append(rows_per_partition)
@@ -171,7 +183,7 @@ class DeviceEngine:
         # majority-symbol deletion, position.cpp:101-127): per segment, keep
         # only (symbol, position) rows that have any bit in any partition AND
         # are not the (globally decided) majority symbol at that position.
-        # - empty rows    -> PUSH_EMPTY at compile time
+        # - empty rows    -> LOAD_ZERO at compile time
         # - majority rows -> NOT(OR(stored sibling rows)) at compile time,
         #   and |filter| - sum(stored counts) in the Mutations reduction.
         # Global (cross-partition) decisions keep the program structure
@@ -182,7 +194,7 @@ class DeviceEngine:
         # TWO-TIER split (the CSR-of-words scale design): stored rows with
         # low word-level density move out of the dense bank into a flat CSR
         # stream — filter leaves densify them with one batched scatter
-        # inside the dispatch (PUSH_SPARSE), Mutations reduces them with a
+        # inside the dispatch (LOAD_SPARSE), Mutations reduces them with a
         # segment-sum. Rows that are some partition's implicit majority stay
         # dense (their content is a word-dense complement).
         if sparse_min_words is None:
@@ -241,7 +253,7 @@ class DeviceEngine:
             self.segment_meta[(kind, name)] = {
                 "offset": offset, "n_stored": int(dense_sel.sum()),
                 "length": length, "s_count": s_count, "row_map": row_map,
-                "majority": majority,
+                "majority": majority, "totals": totals.astype(np.int64),
                 "sym_ids": sym_ids[dense_sel], "pos_ids": pos_ids[dense_sel],
                 "sparse_map": sparse_map, "sparse_base": n_sparse,
                 "sparse_sym_ids": sym_ids[sparse_mask],
@@ -288,7 +300,7 @@ class DeviceEngine:
         # Flat sparse-tier CSR stream per partition, device-resident:
         # entries (global sparse row, word idx, word), padded across
         # partitions; pad rows point at segment n_sparse. Serves BOTH the
-        # Mutations segment-sum reduction and PUSH_SPARSE filter leaves
+        # Mutations segment-sum reduction and LOAD_SPARSE filter leaves
         # (which gather their contiguous (start, len) slice of the stream —
         # rows were emitted row-major, so each row's entries are adjacent).
         if n_sparse:
@@ -378,50 +390,52 @@ class DeviceEngine:
 
     # -- lowering ---------------------------------------------------------
 
-    def _emit_sparse_leaf(self, program: _Program, sparse_row_id: int):
-        """PUSH_SPARSE for a sparse-tier row: gathered from its contiguous
+    def _emit_sparse_leaf(self, program: _Program, sparse_row_id: int, dst: int):
+        """LOAD_SPARSE for a sparse-tier row: gathered from its contiguous
         slice of the device-resident CSR stream and scattered to dense,
         pre-VM. Per-query upload: just the (start, len) pair."""
         leaf = program.add_sparse(sparse_row_id)
-        program.emit(PUSH_SPARSE, leaf)
+        program.emit(LOAD_SPARSE, leaf, dst)
 
-    def _emit_static_ref(self, program: _Program, ref: tuple) -> int:
+    def _emit_static_ref(self, program: _Program, ref: tuple, dst: int) -> int:
         """Emit instructions for one (kind, name, sym, pos) plane under the
-        compact two-tier layout; returns the stack depth used."""
+        compact two-tier layout, leaving the result in reg[dst]; returns the
+        register high-water mark."""
         kind, name, sym, pos = ref
         meta = self.segment_meta[(kind, name)]
         row = int(meta["row_map"][sym, pos])
         if row >= 0:
-            program.emit(PUSH_STATIC, row)
-            return 1
+            program.emit(LOAD_STATIC, row, dst)
+            return dst + 1
         if row == -1:
             sparse_id = int(meta["sparse_map"][sym, pos])
             if sparse_id >= 0:
-                self._emit_sparse_leaf(program, sparse_id)
-                return 1
+                self._emit_sparse_leaf(program, sparse_id, dst)
+                return dst + 1
             # no sequence has this symbol here, in any partition
-            program.emit(PUSH_EMPTY)
-            return 1
+            program.emit(LOAD_ZERO, 0, dst)
+            return dst + 1
         # majority symbol: reconstruct as NOT(OR(stored sibling rows)),
         # siblings drawn from both tiers
         emitted = 0
         for sibling_sym in range(meta["s_count"]):
             srow = int(meta["row_map"][sibling_sym, pos])
             sparse_id = int(meta["sparse_map"][sibling_sym, pos])
+            target = dst if emitted == 0 else dst + 1
             if srow >= 0:
-                program.emit(PUSH_STATIC, srow)
+                program.emit(LOAD_STATIC, srow, target)
             elif sparse_id >= 0:
-                self._emit_sparse_leaf(program, sparse_id)
+                self._emit_sparse_leaf(program, sparse_id, target)
             else:
                 continue
             emitted += 1
             if emitted > 1:
-                program.emit(OP_OR)
+                program.alu(M_OR, dst, dst, dst + 1)
         if not emitted:
-            program.emit(PUSH_FULL)
-            return 1
-        program.emit(OP_NOT)
-        return 2 if emitted > 1 else 1
+            program.emit(LOAD_FULL, 0, dst)
+            return dst + 1
+        program.alu(M_XORF, dst, dst)
+        return dst + (2 if emitted > 1 else 1)
 
     def lower(self, filter_expr) -> tuple[_Program, int]:
         """Compile the expression per partition (uniform mode) and flatten
@@ -443,41 +457,43 @@ class DeviceEngine:
 
         program = _Program()
         evaluators = [HostEvaluator(n) for n in self.part_rows]
-        max_depth = self._emit(irs, program, evaluators)
+        max_regs = self._emit(irs, program, evaluators, 0)
         if len(program.opcodes) > _LEN_BUCKETS[-1]:
             raise ProgramTooLarge(len(program.opcodes))
         if len(program.dyn_rows) > _DYN_BUCKETS[-1]:
             raise ProgramTooLarge(f"dyn rows {len(program.dyn_rows)}")
         if len(program.sparse_leaves) > self.max_sparse_k:
             raise ProgramTooLarge(f"sparse leaves {len(program.sparse_leaves)}")
-        if max_depth > MAX_STACK:
-            raise ProgramTooLarge(f"stack depth {max_depth}")
-        program.max_depth = max_depth
-        program.uses_threshold = TH_PUSH in program.opcodes
-        return program, max_depth
+        if max_regs > MAX_REGS:
+            raise ProgramTooLarge(f"registers {max_regs}")
+        program.max_regs = max_regs
+        return program, max_regs
 
-    def _emit(self, nodes: list, program: _Program, evaluators, count_depth=0) -> int:
+    def _emit(self, nodes: list, program: _Program, evaluators, dst: int) -> int:
+        """Emit instructions leaving the subtree's result in reg[dst];
+        returns the register high-water mark (registers are allocated like
+        a stack: a node may freely use dst and everything above it)."""
         node = nodes[0]
         node_type = type(node)
         if any(type(other) is not node_type for other in nodes[1:]):
             raise StructureMismatch([type(n).__name__ for n in nodes])
         if node_type is ir.Full:
-            program.emit(PUSH_FULL)
-            return 1
+            program.emit(LOAD_FULL, 0, dst)
+            return dst + 1
         if node_type is ir.Empty:
-            program.emit(PUSH_EMPTY)
-            return 1
+            program.emit(LOAD_ZERO, 0, dst)
+            return dst + 1
         if node_type is ir.Plane:
             refs = {n.static_ref for n in nodes}
             if len(refs) == 1 and node.static_ref is not None:
-                return self._emit_static_ref(program, node.static_ref)
+                return self._emit_static_ref(program, node.static_ref, dst)
             idx = program.add_dyn([self._pad(n.words) for n in nodes])
-            program.emit(PUSH_DYN, idx)
-            return 1
+            program.emit(LOAD_DYN, idx, dst)
+            return dst + 1
         if node_type is ir.Not:
-            depth = self._emit([n.child for n in nodes], program, evaluators, count_depth)
-            program.emit(OP_NOT)
-            return depth
+            hw = self._emit([n.child for n in nodes], program, evaluators, dst)
+            program.alu(M_XORF, dst, dst)
+            return hw
         if node_type in (ir.And, ir.Or):
             arity = len(node.children)
             if any(len(n.children) != arity for n in nodes):
@@ -485,35 +501,34 @@ class DeviceEngine:
             if arity == 0:
                 # uniform mode skips ir.simplify, so empty And/Or reach here:
                 # And identity = Full, Or identity = Empty
-                program.emit(PUSH_FULL if node_type is ir.And else PUSH_EMPTY)
-                return 1
-            opcode = OP_AND if node_type is ir.And else OP_OR
-            depth = self._emit([n.children[0] for n in nodes], program, evaluators,
-                               count_depth)
+                program.emit(LOAD_FULL if node_type is ir.And else LOAD_ZERO,
+                             0, dst)
+                return dst + 1
+            mode = M_AND if node_type is ir.And else M_OR
+            hw = self._emit([n.children[0] for n in nodes], program, evaluators,
+                            dst)
             for i in range(1, arity):
-                child_depth = self._emit(
-                    [n.children[i] for n in nodes], program, evaluators, count_depth
-                )
-                depth = max(depth, 1 + child_depth)
-                program.emit(opcode)
-            return depth
+                hw = max(hw, self._emit(
+                    [n.children[i] for n in nodes], program, evaluators, dst + 1
+                ))
+                program.alu(mode, dst, dst, dst + 1)
+            return hw
         if node_type is ir.Selection:
             # Predicates are host-evaluated into a dynamic row per partition.
             rows = []
             for evaluator, n in zip(evaluators, nodes):
                 rows.append(self._pad(evaluator.evaluate(ir.Selection(n.predicates))))
             idx = program.add_dyn(rows)
-            program.emit(PUSH_DYN, idx)
-            depth = 1
+            program.emit(LOAD_DYN, idx, dst)
+            hw = dst + 1
             if node.child is not None:
                 if any((n.child is None) != (node.child is None) for n in nodes):
                     raise StructureMismatch("selection child")
-                child_depth = self._emit(
-                    [n.child for n in nodes], program, evaluators, count_depth
-                )
-                depth = max(depth, 1 + child_depth)
-                program.emit(OP_AND)
-            return depth
+                hw = max(hw, self._emit(
+                    [n.child for n in nodes], program, evaluators, dst + 1
+                ))
+                program.alu(M_AND, dst, dst, dst + 1)
+            return hw
         if node_type is ir.Threshold:
             arity = len(node.children)
             if any(
@@ -523,21 +538,56 @@ class DeviceEngine:
                 for n in nodes
             ):
                 raise StructureMismatch("threshold")
-            if count_depth + 1 > MAX_COUNT_STACK:
-                raise ProgramTooLarge("count stack")
-            if arity > 255:
-                raise ProgramTooLarge("threshold arity")
-            program.emit(TH_PUSH)
-            depth = 0
-            for i in range(arity):
-                child_depth = self._emit(
-                    [n.children[i] for n in nodes], program, evaluators, count_depth + 1
-                )
-                depth = max(depth, child_depth)
-                program.emit(TH_ADD)
-            program.emit(TH_EQ if node.match_exactly else TH_GE, min(node.k, 2**31 - 1))
-            return max(depth, 1)
+            return self._emit_threshold(nodes, program, evaluators, dst)
         raise StructureMismatch(f"unknown node {node_type}")
+
+    def _emit_threshold(self, nodes: list, program: _Program, evaluators,
+                        dst: int) -> int:
+        """k-of-n as a bit-sliced counter circuit over word registers (the
+        TPU-native form of the reference's Threshold DP over bitmaps,
+        threshold.cpp:64-137): P = ceil(log2(max(n, k)+1)) counter planes
+        live in reg[dst..dst+P-1]; each child's result increments the
+        counter with a ripple-carry adder (2 ALU ops per plane); a
+        constant-comparator circuit (k is known at lowering) reduces the
+        planes to the >= / == mask, landing in reg[dst]."""
+        node = nodes[0]
+        n, k = len(node.children), node.k
+        planes_bits = max(1, max(n, k).bit_length())
+        planes = [dst + j for j in range(planes_bits)]
+        c0, c1, tmp = dst + planes_bits, dst + planes_bits + 1, dst + planes_bits + 2
+        if tmp + 1 > MAX_REGS:
+            raise ProgramTooLarge(f"threshold registers {tmp + 1}")
+        for p in planes:
+            program.emit(LOAD_ZERO, 0, p)
+        hw = tmp + 1
+        for i in range(n):
+            # child value = the incoming carry
+            hw = max(hw, self._emit(
+                [m.children[i] for m in nodes], program, evaluators, c0
+            ))
+            cur, nxt = c0, c1
+            for p in planes:
+                program.alu(M_AND, nxt, p, cur)   # carry out
+                program.alu(M_XOR, p, p, cur)     # sum bit
+                cur, nxt = nxt, cur
+        # comparator, MSB down: eq in c0, (for >=) strictly-greater in c1
+        program.emit(LOAD_FULL, 0, c0)
+        if not node.match_exactly:
+            program.emit(LOAD_ZERO, 0, c1)
+        for j in reversed(range(planes_bits)):
+            p = planes[j]
+            if (k >> j) & 1:
+                program.alu(M_AND, c0, c0, p)
+            else:
+                if not node.match_exactly:
+                    program.alu(M_AND, tmp, c0, p)
+                    program.alu(M_OR, c1, c1, tmp)
+                program.alu(M_ANDN, c0, c0, p)
+        if node.match_exactly:
+            program.alu(M_MOV, dst, c0)
+        else:
+            program.alu(M_OR, dst, c1, c0)
+        return hw
 
     def _pad(self, words: np.ndarray) -> np.ndarray:
         if len(words) == self.n_words:
@@ -560,14 +610,16 @@ class DeviceEngine:
         return self._prepare_program(self.lower(filter_expr)[0])
 
     def _prepare_program(self, program: _Program):
-        """(bucket, n_dyn, code[2, bucket], dyn host array | None, n_instr,
-        sparse_k, sparse_m, sparse descriptor arrays)."""
+        """(bucket, n_dyn, code[3, bucket], dyn host array | None, n_instr,
+        sparse_k, sparse_m, sparse descriptor arrays, n_regs)."""
         n = len(program.opcodes)
         bucket = next(b for b in _LEN_BUCKETS if b >= n)
-        code = np.zeros((2, bucket), dtype=np.int32)
+        code = np.zeros((3, bucket), dtype=np.int32)
         code[0, :] = NOP
+        code[2, :] = NO_DST
         code[0, :n] = program.opcodes
         code[1, :n] = program.operands
+        code[2, :n] = program.regspec
         n_dyn = next(b for b in _DYN_BUCKETS if b >= len(program.dyn_rows))
         if program.dyn_rows:
             dyn = np.zeros((self.n_partitions, n_dyn, self.n_words), dtype=np.uint32)
@@ -579,11 +631,9 @@ class DeviceEngine:
         sparse_k, sparse_m, sparse_arrays = self._assemble_sparse(
             program.sparse_leaves, self.floor_sparse_k, self.floor_sparse_m
         )
-        stack_slots = next(b for b in _STACK_BUCKETS if b >= program.max_depth)
-        count_slots = (_COUNT_SLOT_BUCKETS[-1] if program.uses_threshold
-                       else _COUNT_SLOT_BUCKETS[0])
+        n_regs = next(b for b in _REG_BUCKETS if b >= program.max_regs)
         return (bucket, n_dyn, code, dyn, n, sparse_k, sparse_m, sparse_arrays,
-                stack_slots, count_slots)
+                n_regs)
 
     def _assemble_sparse(self, sparse_leaves: list[int], min_sparse_k: int = 0,
                          min_sparse_m: int = 0):
@@ -655,18 +705,18 @@ class DeviceEngine:
 
     def evaluate_device(self, filter_expr) -> jax.Array:
         """Returns the [P, W] filter bitset on device."""
-        program, _depth = self.lower(filter_expr)
+        program, _regs = self.lower(filter_expr)
         # trivial filters skip the VM dispatch (and its executable) entirely
-        if program.opcodes == [PUSH_FULL]:
+        if program.opcodes == [LOAD_FULL]:
             return self.full_masks
-        if program.opcodes == [PUSH_EMPTY]:
+        if program.opcodes == [LOAD_ZERO]:
             return self._zero_dyn((self.n_partitions, self.n_words))
-        (bucket, n_dyn, code, dyn, n_instr, k, m, sp, stack_slots,
-         count_slots) = self._prepare_program(program)
+        (bucket, n_dyn, code, dyn, n_instr, k, m, sp,
+         n_regs) = self._prepare_program(program)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
         run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "words",
-                           stack_slots, count_slots)
+                           n_regs)
         return run(jnp.asarray(code), self.bank, dyn_dev,
                    self._densified(k, m, sp), self.full_masks,
                    jnp.int32(_round_instr(n_instr)))
@@ -674,12 +724,12 @@ class DeviceEngine:
     def count_async(self, filter_expr) -> jax.Array:
         """Fused filter + popcount in ONE device dispatch; returns the scalar
         device array without blocking."""
-        (bucket, n_dyn, code, dyn, n_instr, k, m, sp, stack_slots,
-         count_slots) = self._prepare(filter_expr)
+        (bucket, n_dyn, code, dyn, n_instr, k, m, sp,
+         n_regs) = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
         run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "count",
-                           stack_slots, count_slots)
+                           n_regs)
         return run(jnp.asarray(code), self.bank, dyn_dev,
                    self._densified(k, m, sp), self.full_masks,
                    jnp.int32(_round_instr(n_instr)))
@@ -745,9 +795,9 @@ class DeviceEngine:
             dyn_base = len(all_dyn_rows)
             opcodes, operands = list(program.opcodes), list(program.operands)
             for i, opcode in enumerate(opcodes):
-                if opcode == PUSH_DYN:
+                if opcode == LOAD_DYN:
                     operands[i] += dyn_base
-                elif opcode == PUSH_SPARSE:
+                elif opcode == LOAD_SPARSE:
                     # dedupe by global sparse row across the whole batch —
                     # queries in a batch frequently share leaves
                     row_id = program.sparse_leaves[operands[i]]
@@ -758,20 +808,24 @@ class DeviceEngine:
                         all_sparse_leaves.append(row_id)
                     operands[i] = slot
             all_dyn_rows.extend(program.dyn_rows)
-            programs.append((opcodes, operands))
+            programs.append((opcodes, operands, list(program.regspec)))
             total_len += len(opcodes) + 1
         if total_len > _BATCH_LEN_BUCKETS[-1]:
             raise ProgramTooLarge(total_len)
         bucket = next(b for b in _BATCH_LEN_BUCKETS if b >= max(total_len, min_bucket))
-        code = np.zeros((2, bucket), dtype=np.int32)
+        code = np.zeros((3, bucket), dtype=np.int32)
         code[0, :] = NOP
+        code[2, :] = NO_DST
         cursor = 0
-        for qi, (opcodes, operands) in enumerate(programs):
+        for qi, (opcodes, operands, regspec) in enumerate(programs):
             n = len(opcodes)
             code[0, cursor : cursor + n] = opcodes
             code[1, cursor : cursor + n] = operands
+            code[2, cursor : cursor + n] = regspec
+            # every program leaves its result in reg[0] (lowered with dst=0)
             code[0, cursor + n] = EMIT_COUNT
             code[1, cursor + n] = qi
+            code[2, cursor + n] = NO_DST  # ra = 0 implied
             cursor += n + 1
         n_dyn = next(b for b in _DYN_BUCKETS if b >= len(all_dyn_rows))
         if all_dyn_rows:
@@ -784,13 +838,10 @@ class DeviceEngine:
             dyn_dev = self._zero_dyn((self.n_partitions, n_dyn, self.n_words))
         k, m, sp = self._assemble_sparse(all_sparse_leaves, min_sparse_k,
                                          min_sparse_m)
-        max_depth = max(p.max_depth for p in lowered)
-        stack_slots = next(b for b in _STACK_BUCKETS if b >= max_depth)
-        count_slots = (_COUNT_SLOT_BUCKETS[-1]
-                       if any(p.uses_threshold for p in lowered)
-                       else _COUNT_SLOT_BUCKETS[0])
+        n_regs = next(b for b in _REG_BUCKETS
+                      if b >= max(p.max_regs for p in lowered))
         run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words,
-                           "multi_count", stack_slots, count_slots)
+                           "multi_count", n_regs)
         counts = run(jnp.asarray(code), self.bank, dyn_dev,
                      self._densified(k, m, sp), self.full_masks,
                      jnp.int32(_round_instr(cursor)))
@@ -965,6 +1016,15 @@ class DeviceEngine:
             filter_total = filter_words.popcount()
         else:
             filter_total = sum(bitset.popcount(w) for w in filter_words)
+        # Full/empty-filter fast paths (the reference's full-partition path
+        # uses stored cardinalities, mutations.cpp:36-73): filter words are
+        # always masked to valid sequences, so popcount == N iff the filter
+        # is everything — answer from the ingest-time count matrix with no
+        # device work at all.
+        if filter_total == sum(self.part_rows):
+            return meta["totals"].copy()
+        if filter_total == 0:
+            return np.zeros((s_count, length), dtype=np.int64)
         counts = np.zeros((s_count, length), dtype=np.int64)
         per_pos = np.zeros(length, dtype=np.int64)
         if n_stored:
@@ -1140,22 +1200,21 @@ def _densify_jit(n_sparse_k: int, n_sparse_m: int, n_words: int):
 @functools.lru_cache(maxsize=64)
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                  n_words: int, output: str = "words",
-                 stack_slots: int = MAX_STACK,
-                 count_slots: int = MAX_COUNT_STACK):
-    """Jitted, partition-vmapped stack-machine interpreter for one shape
-    bucket. output='words' returns the [P, W] bitset; output='count' fuses
-    the popcount reduction into the same executable (one dispatch).
+                 n_regs: int = MAX_REGS):
+    """Jitted, partition-vmapped register-machine interpreter for one shape
+    bucket. output='words' returns the [P, W] bitset (reg[0]);
+    output='count' fuses the popcount reduction into the same executable
+    (one dispatch); 'multi_count' sums per-query EMIT_COUNT outputs.
     Densified sparse-tier rows arrive as a separate [P, K, W] input
-    (produced by _densify_jit) read by PUSH_SPARSE."""
+    (produced by _densify_jit) read by LOAD_SPARSE."""
     run_one = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words,
-                                      n_sparse_k=n_sparse_k,
-                                      stack_slots=stack_slots,
-                                      count_slots=count_slots)
+                                      n_sparse_k=n_sparse_k, n_regs=n_regs,
+                                      with_emit=output == "multi_count")
 
     def run(code, bank, dyn, sparse_rows, full_masks, n_instr):
         words, outs = jax.vmap(
-            run_one, in_axes=(None, None, 0, 0, 0, 0, None)
-        )(code[0], code[1], bank, dyn, sparse_rows, full_masks, n_instr)
+            run_one, in_axes=(None, 0, 0, 0, 0, None)
+        )(code, bank, dyn, sparse_rows, full_masks, n_instr)
         if output == "count":
             return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
         if output == "multi_count":
@@ -1165,145 +1224,115 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
     return jax.jit(run)
 
 
-def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int):
-    """Single-partition VM body returning only the top-of-stack words (the
-    form parallel/mesh.py and __graft_entry__ jit over a mesh); executes the
-    full padded program (NOPs are cheap no-ops)."""
-    full = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words)
+def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int,
+                  n_regs: int = MAX_REGS):
+    """Single-partition VM body returning only the result words (the form
+    parallel/mesh.py and __graft_entry__ jit over a mesh); executes the full
+    padded program (NOPs write only the trash register)."""
+    full = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words,
+                                   n_regs=n_regs, with_emit=False)
 
-    def run_one(opcodes, operands, bank, dyn, full_mask):
+    def run_one(code, bank, dyn, full_mask):
         sparse_rows = jnp.zeros((1, dyn.shape[-1]), jnp.uint32)
-        words, _outs = full(opcodes, operands, bank, dyn, sparse_rows,
-                            full_mask, opcodes.shape[0])
+        words, _outs = full(code, bank, dyn, sparse_rows, full_mask,
+                            code.shape[1])
         return words
 
     return run_one
 
 
 def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: int,
-                            n_sparse_k: int = 0,
-                            stack_slots: int = MAX_STACK,
-                            count_slots: int = MAX_COUNT_STACK):
-    """The single-partition stack-machine body (un-jitted). Returns
-    (top-of-stack words, EMIT_COUNT output vector). `n_instr` is a traced
-    scalar: the while_loop executes only the real instructions, so one
-    compiled executable serves every program length up to `program_len`
-    with no NOP-padding cost. PUSH_SPARSE operand k reads sparse_rows[k]
-    (densified sparse-tier rows, a separate input)."""
+                            n_sparse_k: int = 0, n_regs: int = MAX_REGS,
+                            with_emit: bool = True):
+    """The single-partition register-machine body (un-jitted). Returns
+    (reg[0] words, EMIT_COUNT output vector). `n_instr` is a traced scalar:
+    the while_loop executes only the real instructions, so one compiled
+    executable serves every program length up to `program_len`.
 
-    def run_one(opcodes, operands, bank, dyn, sparse_rows, full_mask, n_instr):
+    Every instruction is BRANCHLESS: it gathers the candidate rows, selects
+    one by opcode/mode, and performs a single unconditional register write
+    (no-write opcodes carry dst=NO_DST, which the clamped index maps onto a
+    trailing trash slot). A lax.switch formulation measured ~66 us/instr of
+    pure overhead at W=32768 — the branch joins copied every carried buffer
+    per instruction; this form is bounded by actual word traffic."""
+
+    def run_one(code, bank, dyn, sparse_rows, full_mask, n_instr):
+        opcodes, operands, regspec = code[0], code[1], code[2]
+        zero_row = jnp.zeros((n_words,), jnp.uint32)
+
         def step(state):
-            ip, stack, sp, counts, csp, out = state
+            ip, regs, out = state
             opcode = opcodes[ip]
             operand = operands[ip]
+            spec = regspec[ip]
+            dst = spec & 0xFF
+            ra = (spec >> 8) & 0xFF
+            rb = (spec >> 16) & 0xFF
+            mode = (spec >> 24) & 0xFF
 
-            def push(value, stack=stack, sp=sp):
-                return jax.lax.dynamic_update_index_in_dim(stack, value, sp, 0), sp + 1
+            a = regs[jnp.minimum(ra, n_regs - 1)]
+            b = regs[jnp.minimum(rb, n_regs - 1)]
+            # gathers (not dynamic_slice): the vmap batching rule gathers
+            # per-partition rows instead of broadcasting whole banks
+            bank_row = bank[jnp.clip(operand, 0, n_rows - 1)]
+            dyn_row = dyn[jnp.clip(operand, 0, n_dyn - 1)]
+            sparse_row = sparse_rows[jnp.clip(operand, 0, max(n_sparse_k, 1) - 1)]
 
-            def do_push_static(_):
-                # gather (not dynamic_slice): its vmap batching rule gathers
-                # per-query rows instead of broadcasting the whole bank
-                row = bank[operand]
-                s, p = push(row)
-                return s, p, counts, csp, out
-
-            def do_push_dyn(_):
-                row = dyn[operand]
-                s, p = push(row)
-                return s, p, counts, csp, out
-
-            def do_push_full(_):
-                s, p = push(full_mask)
-                return s, p, counts, csp, out
-
-            def do_push_empty(_):
-                s, p = push(jnp.zeros((n_words,), jnp.uint32))
-                return s, p, counts, csp, out
-
-            def do_not(_):
-                top = stack[sp - 1]
-                return (stack.at[sp - 1].set(jnp.bitwise_not(top) & full_mask),
-                        sp, counts, csp, out)
-
-            def do_and(_):
-                val = stack[sp - 2] & stack[sp - 1]
-                return stack.at[sp - 2].set(val), sp - 1, counts, csp, out
-
-            def do_or(_):
-                val = stack[sp - 2] | stack[sp - 1]
-                return stack.at[sp - 2].set(val), sp - 1, counts, csp, out
-
-            def do_th_push(_):
-                new_counts = jax.lax.dynamic_update_index_in_dim(
-                    counts, jnp.zeros((n_words, 32), jnp.uint8), csp, 0
-                )
-                return stack, sp, new_counts, csp + 1, out
-
-            def do_th_add(_):
-                top = stack[sp - 1]
-                bits = ((top[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & 1
-                        ).astype(jnp.uint8)
-                new_counts = counts.at[csp - 1].add(bits)
-                return stack, sp - 1, new_counts, csp, out
-
-            def _pack(mask_bits):
-                weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
-                return jnp.sum(
-                    mask_bits.astype(jnp.uint32) * weights, axis=1, dtype=jnp.uint32
-                )
-
-            def do_th_ge(_):
-                # compare in int32: counts are u8 (arity <= 255 enforced at
-                # lowering) but k may exceed 255 and must not wrap
-                words = _pack(counts[csp - 1].astype(jnp.int32) >= operand) & full_mask
-                s, p = push(words)
-                return s, p, counts, csp - 1, out
-
-            def do_th_eq(_):
-                words = _pack(counts[csp - 1].astype(jnp.int32) == operand) & full_mask
-                s, p = push(words)
-                return s, p, counts, csp - 1, out
-
-            def do_emit_count(_):
-                count = jax.lax.population_count(stack[sp - 1]).astype(jnp.int32).sum(
-                    dtype=jnp.int32)
-                return stack, sp - 1, counts, csp, out.at[operand].set(count)
-
-            def do_nop(_):
-                return stack, sp, counts, csp, out
-
-            def do_push_sparse(_):
-                row = sparse_rows[operand]
-                s, p = push(row)
-                return s, p, counts, csp, out
-
-            stack, sp, counts, csp, out = jax.lax.switch(
-                opcode,
-                [do_push_static, do_push_dyn, do_push_full, do_push_empty,
-                 do_not, do_and, do_or, do_th_push, do_th_add, do_th_ge,
-                 do_th_eq, do_emit_count, do_nop, do_push_sparse],
-                None,
+            alu = jnp.where(
+                mode == M_AND, a & b,
+                jnp.where(
+                    mode == M_OR, a | b,
+                    jnp.where(
+                        mode == M_XOR, a ^ b,
+                        jnp.where(
+                            mode == M_XORF, a ^ full_mask,
+                            jnp.where(mode == M_ANDN, a & (b ^ full_mask), a),
+                        ),
+                    ),
+                ),
             )
-            return ip + 1, stack, sp, counts, csp, out
+            val = jnp.where(
+                opcode == LOAD_STATIC, bank_row,
+                jnp.where(
+                    opcode == LOAD_DYN, dyn_row,
+                    jnp.where(
+                        opcode == LOAD_SPARSE, sparse_row,
+                        jnp.where(
+                            opcode == LOAD_FULL, full_mask,
+                            jnp.where(opcode == LOAD_ZERO, zero_row, alu),
+                        ),
+                    ),
+                ),
+            )
+            # single unconditional write; dst=NO_DST clamps onto the trash
+            # slot (index n_regs), so no-write opcodes stay branchless
+            regs = jax.lax.dynamic_update_index_in_dim(
+                regs, val, jnp.minimum(dst, n_regs), 0
+            )
+            if with_emit:
+                count = jax.lax.population_count(a).astype(jnp.int32).sum(
+                    dtype=jnp.int32)
+                oi = jnp.where(opcode == EMIT_COUNT, operand,
+                               MAX_BATCH_QUERIES)
+                out = out.at[oi].set(count, mode="drop")
+            return ip + 1, regs, out
 
         def step_unrolled(state):
-            # execute _UNROLL instructions per loop iteration: the
-            # while_loop's fixed per-iteration overhead (branch dispatch,
-            # carried-buffer bookkeeping) dominates per-instruction cost,
-            # so amortize it (callers round n_instr up; NOPs are cheap)
+            # execute _UNROLL instructions per loop iteration to amortize
+            # the while_loop's fixed per-iteration overhead (callers round
+            # n_instr up; NOPs only write the trash slot)
             for _ in range(_UNROLL):
                 state = step(state)
             return state
 
-        stack0 = jnp.zeros((stack_slots, n_words), jnp.uint32)
-        counts0 = jnp.zeros((count_slots, n_words, 32), jnp.uint8)
+        regs0 = jnp.zeros((n_regs + 1, n_words), jnp.uint32)
         out0 = jnp.zeros((MAX_BATCH_QUERIES,), jnp.int32)
-        _, stack, sp, _, _, out = jax.lax.while_loop(
+        _, regs, out = jax.lax.while_loop(
             lambda state: state[0] < n_instr,
             step_unrolled,
-            (jnp.int32(0), stack0, jnp.int32(0), counts0, jnp.int32(0), out0),
+            (jnp.int32(0), regs0, out0),
         )
-        return stack[0], out
+        return regs[0], out
 
     return run_one
 

@@ -47,9 +47,9 @@ class ShardedQueryStep:
         self.axis = axis
         run_one = de.build_run_one(program_len, n_rows, n_dyn, n_words)
 
-        def step(opcodes, operands, bank, dyn, full_masks, seg_slice):
-            words = jax.vmap(run_one, in_axes=(None, None, 0, 0, 0))(
-                opcodes, operands, bank, dyn, full_masks
+        def step(code, bank, dyn, full_masks, seg_slice):
+            words = jax.vmap(run_one, in_axes=(None, 0, 0, 0))(
+                code, bank, dyn, full_masks
             )  # [P, W]
             count = jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
             segment = jax.lax.dynamic_slice(
@@ -67,13 +67,13 @@ class ShardedQueryStep:
         replicated = NamedSharding(mesh, P())
         self.jitted = jax.jit(
             step,
-            in_shardings=(replicated, replicated, sharded, sharded, words_sharding, None),
+            in_shardings=(replicated, sharded, sharded, words_sharding, None),
             out_shardings=(words_sharding, replicated, replicated),
         )
 
-    def __call__(self, opcodes, operands, bank, dyn, full_masks, seg_slice=0):
-        # this path has no sparse-tier stream: a PUSH_SPARSE program would
+    def __call__(self, code, bank, dyn, full_masks, seg_slice=0):
+        # this path has no sparse-tier stream: a LOAD_SPARSE program would
         # silently read zeros — fail loudly instead
-        assert not (np.asarray(opcodes) == de.PUSH_SPARSE).any(), \
+        assert not (np.asarray(code)[0] == de.LOAD_SPARSE).any(), \
             "ShardedQueryStep cannot execute sparse-tier programs"
-        return self.jitted(opcodes, operands, bank, dyn, full_masks, seg_slice)
+        return self.jitted(code, bank, dyn, full_masks, seg_slice)

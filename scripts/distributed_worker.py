@@ -42,10 +42,13 @@ rng = np.random.default_rng(0)
 bank = rng.integers(0, 1 << 32, size=(P_, R, W), dtype=np.uint32)
 dyn = np.zeros((P_, 1, W), dtype=np.uint32)
 full = np.full((P_, W), 0xFFFFFFFF, dtype=np.uint32)
-opcodes = np.full(LEN, de.NOP, dtype=np.int32)
-operands = np.zeros(LEN, dtype=np.int32)
-opcodes[:3] = [de.PUSH_STATIC, de.PUSH_STATIC, de.OP_AND]
-operands[:3] = [3, 7, 0]
+code = np.zeros((3, LEN), dtype=np.int32)
+code[0, :] = de.NOP
+code[2, :] = de.NO_DST
+# reg0 = bank[3]; reg1 = bank[7]; reg0 = reg0 & reg1
+code[0, :3] = [de.LOAD_STATIC, de.LOAD_STATIC, de.ALU]
+code[1, :3] = [3, 7, 0]
+code[2, :3] = [0, 1, 0 | (0 << 8) | (1 << 16) | (de.M_AND << 24)]
 
 mesh = make_mesh(jax.devices())
 step = ShardedQueryStep(mesh, n_partitions=P_, n_rows=R, n_dyn=1, n_words=W,
@@ -60,8 +63,7 @@ def put(host, spec):
 
 
 args = (
-    put(opcodes, PartitionSpec()),
-    put(operands, PartitionSpec()),
+    put(code, PartitionSpec()),
     put(bank, PartitionSpec(None, None, "seq")),
     put(dyn, PartitionSpec(None, None, "seq")),
     put(full, PartitionSpec(None, "seq")),

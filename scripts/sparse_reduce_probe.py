@@ -32,12 +32,10 @@ def timed(name, fn, *args):
     # the relay memoizes byte-identical executions: every timed call must
     # carry a DISTINCT offset scalar (threaded into the in-jit repeat loop)
     t0 = time.time()
-    out = fn(jnp.uint32(0), *args)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
+    np.asarray(fn(jnp.uint32(0), *args))  # block_until_ready does NOT block
+    compile_s = time.time() - t0          # through the relay; materialize
     t0 = time.perf_counter()
-    out = fn(jnp.uint32(1), *args)
-    jax.block_until_ready(out)
+    np.asarray(fn(jnp.uint32(1), *args))
     once = time.perf_counter() - t0
     per = (once - 0.025) / REPS  # subtract one dispatch RTT
     print(f"{name:8s} compile {compile_s:6.1f}s  run {once*1e3:8.1f} ms "

@@ -4,11 +4,11 @@ The interpreter executable takes `n_instr` as a traced scalar, so ONE
 compile serves every program length: we time the same executable at
 several n_instr values and opcode mixes and read the slope.
 
-Mixes:
-  nop        pure NOPs                 -> fixed while_loop/switch overhead
-  push_and   PUSH_STATIC,PUSH_STATIC,AND,EMIT repeat -> + gather & word op
-  push_dyn   PUSH_DYN variant          -> dyn-bank gather cost
-  th         threshold chain           -> count-buffer update cost
+Mixes (register-machine ISA):
+  nop        pure NOPs                  -> fixed while_loop overhead
+  load_alu   LOAD_STATIC x2, ALU AND, EMIT -> + bank gathers & word op
+  load_dyn   LOAD_DYN variant           -> dyn-bank gather cost
+  th         3-of-2 threshold circuits  -> adder/comparator ALU chains
 
 Usage: python scripts/vm_overhead.py [n_words] (default 32768 = 1M seqs)
 """
@@ -30,45 +30,73 @@ N_WORDS = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
 N_ROWS = 64
 BUCKET = 4096
 N_DYN = 4
+N_REGS = 8
 
 
-def build_code(mix: str) -> np.ndarray:
-    ops: list[tuple[int, int]] = []
+def build_code(mix: str, seed: int = 0) -> np.ndarray:
+    ops: list[tuple[int, int, int]] = []  # (opcode, operand, regspec)
     qi = 0
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
+
+    def spec(dst=de.NO_DST, ra=0, rb=0, mode=0):
+        return dst | (ra << 8) | (rb << 16) | (mode << 24)
+
+    def load(dst):
+        ops.append((de.LOAD_STATIC, int(rng.integers(N_ROWS)), spec(dst)))
+
+    def alu(mode, dst, ra, rb=0):
+        ops.append((de.ALU, 0, spec(dst, ra, rb, mode)))
 
     def emit():
         nonlocal qi
-        ops.append((de.EMIT_COUNT, qi % de.MAX_BATCH_QUERIES))
+        ops.append((de.EMIT_COUNT, qi % de.MAX_BATCH_QUERIES, spec()))
         qi += 1
 
-    while len(ops) < BUCKET - 8:
+    # distinct prefix so same-mix variants are never byte-identical
+    # (the relay memoizes identical executions)
+    load(0)
+    emit()
+    while len(ops) < BUCKET - 24:
         if mix == "nop":
-            ops.append((de.NOP, 0))
-        elif mix == "push_and":
-            ops.append((de.PUSH_STATIC, int(rng.integers(N_ROWS))))
-            ops.append((de.PUSH_STATIC, int(rng.integers(N_ROWS))))
-            ops.append((de.OP_AND, 0))
+            ops.append((de.NOP, 0, spec()))
+        elif mix == "load_alu":
+            load(0)
+            load(1)
+            alu(de.M_AND, 0, 0, 1)
             emit()
-        elif mix == "push_dyn":
-            ops.append((de.PUSH_DYN, int(rng.integers(N_DYN))))
-            ops.append((de.PUSH_DYN, int(rng.integers(N_DYN))))
-            ops.append((de.OP_OR, 0))
+        elif mix == "load_dyn":
+            ops.append((de.LOAD_DYN, int(rng.integers(N_DYN)), spec(0)))
+            ops.append((de.LOAD_DYN, int(rng.integers(N_DYN)), spec(1)))
+            alu(de.M_OR, 0, 0, 1)
             emit()
         elif mix == "th":
-            ops.append((de.TH_PUSH, 0))
+            # 2-of-3 counter circuit, planes in r0..r1, carries r2/r3
+            ops.append((de.LOAD_ZERO, 0, spec(0)))
+            ops.append((de.LOAD_ZERO, 0, spec(1)))
             for _ in range(3):
-                ops.append((de.PUSH_STATIC, int(rng.integers(N_ROWS))))
-                ops.append((de.TH_ADD, 0))
-            ops.append((de.TH_GE, 2))
+                load(2)
+                cur, nxt = 2, 3
+                for p in (0, 1):
+                    alu(de.M_AND, nxt, p, cur)
+                    alu(de.M_XOR, p, p, cur)
+                    cur, nxt = nxt, cur
+            ops.append((de.LOAD_FULL, 0, spec(2)))
+            ops.append((de.LOAD_ZERO, 0, spec(3)))
+            alu(de.M_AND, 2, 2, 1)       # k=2 -> bit1=1: eq &= p1
+            alu(de.M_AND, 4, 2, 0)       # bit0=0: tmp = eq & p0
+            alu(de.M_OR, 3, 3, 4)
+            alu(de.M_ANDN, 2, 2, 0)
+            alu(de.M_OR, 0, 3, 2)
             emit()
         else:
             raise SystemExit(f"unknown mix {mix}")
-    code = np.zeros((2, BUCKET), dtype=np.int32)
+    code = np.zeros((3, BUCKET), dtype=np.int32)
     code[0, :] = de.NOP
-    for i, (op, operand) in enumerate(ops):
+    code[2, :] = de.NO_DST
+    for i, (op, operand, rs) in enumerate(ops):
         code[0, i] = op
         code[1, i] = operand
+        code[2, i] = rs
     return code
 
 
@@ -86,28 +114,32 @@ def main():
     sparse = jnp.zeros((1, 1, N_WORDS), jnp.uint32)
     full = jnp.full((1, N_WORDS), 0xFFFFFFFF, jnp.uint32)
     run = de._interpreter(BUCKET, N_ROWS, N_DYN, 0, N_WORDS, "multi_count",
-                          stack_slots=4, count_slots=4)
-    codes = {mix: jnp.asarray(build_code(mix))
-             for mix in ("nop", "push_and", "push_dyn", "th")}
+                          n_regs=N_REGS)
+    # the relay memoizes byte-identical executions AND block_until_ready
+    # does not block through it: every timed call uses a distinct code
+    # variant and materializes the result with np.asarray
+    REPS = 4
+    codes = {mix: [jnp.asarray(build_code(mix, seed))
+                   for seed in range(REPS + 1)]
+             for mix in ("nop", "load_alu", "load_dyn", "th")}
     t0 = time.time()
-    run(codes["nop"], bank, dyn, sparse, full, jnp.int32(4)).block_until_ready()
+    np.asarray(run(codes["nop"][0], bank, dyn, sparse, full, jnp.int32(4)))
     print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
     lens = (64, 512, 2048, 4096)
-    for mix, code in codes.items():
+    for mix, variants in codes.items():
         times = []
         for n in lens:
             # warm this n once (no recompile: n_instr is traced)
-            run(code, bank, dyn, sparse, full, jnp.int32(n)).block_until_ready()
+            np.asarray(run(variants[-1], bank, dyn, sparse, full, jnp.int32(n)))
             t0 = time.perf_counter()
-            reps = 5
-            for _ in range(reps):
-                out = run(code, bank, dyn, sparse, full, jnp.int32(n))
-            out.block_until_ready()
-            times.append((time.perf_counter() - t0) / reps)
+            for r in range(REPS):
+                np.asarray(run(variants[r], bank, dyn, sparse, full,
+                               jnp.int32(n)))
+            times.append((time.perf_counter() - t0) / REPS)
         slope_us = (times[-1] - times[0]) / (lens[-1] - lens[0]) * 1e6
         detail = "  ".join(f"{n}:{t*1e3:.1f}ms" for n, t in zip(lens, times))
-        print(f"{mix:9s} {detail}  slope={slope_us:.1f} us/instr")
+        print(f"{mix:9s} {detail}  slope={slope_us:.2f} us/instr", flush=True)
 
 
 if __name__ == "__main__":
