@@ -38,27 +38,33 @@ from ..query import ir
 from . import bitset
 
 # Opcodes — a REGISTER machine, not a stack machine: every instruction
-# performs exactly ONE unconditional register write (reg[dst] = value), so
-# the while_loop interpreter has no lax.switch over carried buffers. A
+# performs exactly ONE unconditional register write
+#     reg[dst] = mode(reg[ra], b)     b = one of six gatherable sources
+# so the while_loop interpreter has no lax.switch over carried buffers. A
 # switch-based stack VM measured ~66 us/instruction of pure overhead at
 # W=32768 (the branch joins copy every carried buffer each instruction);
-# the branchless select form is bounded by the actual word traffic.
-LOAD_STATIC = 0  # reg[dst] = bank[operand]
-LOAD_DYN = 1     # reg[dst] = dyn[operand]
-LOAD_FULL = 2    # reg[dst] = full_mask
-LOAD_ZERO = 3    # reg[dst] = 0
-ALU = 4          # reg[dst] = mode(reg[ra], reg[rb])
-EMIT_COUNT = 5   # out[operand] = popcount(reg[ra]); used by batched queries
-NOP = 6
-LOAD_SPARSE = 7  # reg[dst] = densified sparse-tier row [operand]
+# the branchless select form is bounded by the actual word traffic — and
+# since the per-instruction cost is opcode-independent, loads FUSE into
+# the ALU op (one instruction per filter leaf, not two).
+ALU = 0          # reg[dst] = mode(reg[ra], b(bsrc, operand/rb))
+EMIT_COUNT = 1   # out[operand] = popcount(reg[ra]); used by batched queries
+NOP = 2
 
-# ALU modes (regspec bits 24..31)
-M_AND = 0   # a & b
-M_OR = 1    # a | b
-M_XOR = 2   # a ^ b          (bit-sliced threshold adders)
-M_XORF = 3  # a ^ full_mask  (NOT under the valid-sequence-mask invariant)
+# b-operand sources (regspec bits 28..31)
+B_REG = 0     # reg[rb]
+B_BANK = 1    # bank[operand]            (static plane row)
+B_DYN = 2     # dyn[operand]             (per-query dynamic row)
+B_SPARSE = 3  # sparse_rows[operand]     (densified sparse-tier row)
+B_FULL = 4    # full_mask
+B_ZERO = 5    # 0
+
+# ALU modes (regspec bits 24..27). NOT(x) = XOR with b = full_mask (exact
+# under the invariant that rows carry no bits beyond the valid sequences).
+M_MOVB = 0  # b
+M_AND = 1   # a & b
+M_OR = 2    # a | b
+M_XOR = 3   # a ^ b          (bit-sliced threshold adders; NOT via B_FULL)
 M_ANDN = 4  # a & (b ^ full_mask)
-M_MOV = 5   # a
 
 # no-write destination sentinel: the register file carries one trailing
 # trash slot and dynamic_update_index clamps out-of-range indices onto it
@@ -117,13 +123,24 @@ class _Program:
         self.max_regs = MAX_REGS
 
     def emit(self, opcode: int, operand: int = 0, dst: int = NO_DST,
-             ra: int = 0, rb: int = 0, mode: int = 0):
+             ra: int = 0, rb: int = 0, mode: int = 0, bsrc: int = B_REG):
         self.opcodes.append(opcode)
         self.operands.append(operand)
-        self.regspec.append(dst | (ra << 8) | (rb << 16) | (mode << 24))
+        self.regspec.append(
+            dst | (ra << 8) | (rb << 16) | (mode << 24) | (bsrc << 28)
+        )
 
     def alu(self, mode: int, dst: int, ra: int, rb: int = 0):
+        """reg[dst] = mode(reg[ra], reg[rb])"""
         self.emit(ALU, 0, dst, ra, rb, mode)
+
+    def alu_src(self, mode: int, dst: int, ra: int, bsrc: int, operand: int = 0):
+        """reg[dst] = mode(reg[ra], <bsrc source>)"""
+        self.emit(ALU, operand, dst, ra, 0, mode, bsrc)
+
+    def load(self, dst: int, bsrc: int, operand: int = 0):
+        """reg[dst] = <bsrc source>"""
+        self.emit(ALU, operand, dst, 0, 0, M_MOVB, bsrc)
 
     def add_dyn(self, rows_per_partition: list[np.ndarray]) -> int:
         self.dyn_rows.append(rows_per_partition)
@@ -390,52 +407,56 @@ class DeviceEngine:
 
     # -- lowering ---------------------------------------------------------
 
-    def _emit_sparse_leaf(self, program: _Program, sparse_row_id: int, dst: int):
-        """LOAD_SPARSE for a sparse-tier row: gathered from its contiguous
-        slice of the device-resident CSR stream and scattered to dense,
-        pre-VM. Per-query upload: just the (start, len) pair."""
-        leaf = program.add_sparse(sparse_row_id)
-        program.emit(LOAD_SPARSE, leaf, dst)
-
-    def _emit_static_ref(self, program: _Program, ref: tuple, dst: int) -> int:
-        """Emit instructions for one (kind, name, sym, pos) plane under the
-        compact two-tier layout, leaving the result in reg[dst]; returns the
-        register high-water mark."""
+    def _static_ref_source(self, program: _Program, ref: tuple):
+        """(bsrc, operand) for a (kind, name, sym, pos) plane if it is a
+        single gatherable source under the compact two-tier layout, else
+        None (majority symbols need sibling reconstruction)."""
         kind, name, sym, pos = ref
         meta = self.segment_meta[(kind, name)]
         row = int(meta["row_map"][sym, pos])
         if row >= 0:
-            program.emit(LOAD_STATIC, row, dst)
-            return dst + 1
+            return (B_BANK, row)
         if row == -1:
             sparse_id = int(meta["sparse_map"][sym, pos])
             if sparse_id >= 0:
-                self._emit_sparse_leaf(program, sparse_id, dst)
-                return dst + 1
+                # densified from the resident CSR stream pre-VM; the
+                # per-query upload is just the (start, len) pair
+                return (B_SPARSE, program.add_sparse(sparse_id))
             # no sequence has this symbol here, in any partition
-            program.emit(LOAD_ZERO, 0, dst)
+            return (B_ZERO, 0)
+        return None  # majority
+
+    def _emit_static_ref(self, program: _Program, ref: tuple, dst: int) -> int:
+        """Emit instructions for one (kind, name, sym, pos) plane, leaving
+        the result in reg[dst]; returns the register high-water mark."""
+        source = self._static_ref_source(program, ref)
+        if source is not None:
+            program.load(dst, *source)
             return dst + 1
         # majority symbol: reconstruct as NOT(OR(stored sibling rows)),
         # siblings drawn from both tiers
+        kind, name, sym, pos = ref
+        meta = self.segment_meta[(kind, name)]
         emitted = 0
         for sibling_sym in range(meta["s_count"]):
             srow = int(meta["row_map"][sibling_sym, pos])
             sparse_id = int(meta["sparse_map"][sibling_sym, pos])
-            target = dst if emitted == 0 else dst + 1
             if srow >= 0:
-                program.emit(LOAD_STATIC, srow, target)
+                source = (B_BANK, srow)
             elif sparse_id >= 0:
-                self._emit_sparse_leaf(program, sparse_id, target)
+                source = (B_SPARSE, program.add_sparse(sparse_id))
             else:
                 continue
+            if emitted == 0:
+                program.load(dst, *source)
+            else:
+                program.alu_src(M_OR, dst, dst, *source)
             emitted += 1
-            if emitted > 1:
-                program.alu(M_OR, dst, dst, dst + 1)
         if not emitted:
-            program.emit(LOAD_FULL, 0, dst)
+            program.load(dst, B_FULL)
             return dst + 1
-        program.alu(M_XORF, dst, dst)
-        return dst + (2 if emitted > 1 else 1)
+        program.alu_src(M_XOR, dst, dst, B_FULL)  # NOT
+        return dst + 1
 
     def lower(self, filter_expr) -> tuple[_Program, int]:
         """Compile the expression per partition (uniform mode) and flatten
@@ -469,30 +490,49 @@ class DeviceEngine:
         program.max_regs = max_regs
         return program, max_regs
 
-    def _emit(self, nodes: list, program: _Program, evaluators, dst: int) -> int:
-        """Emit instructions leaving the subtree's result in reg[dst];
-        returns the register high-water mark (registers are allocated like
-        a stack: a node may freely use dst and everything above it)."""
+    def _as_source(self, nodes: list, program: _Program, evaluators):
+        """If the node set lowers to ONE gatherable b-operand, return
+        (bsrc, operand) — the caller fuses it into its ALU op (one
+        instruction per filter leaf). Returns None for subtrees."""
         node = nodes[0]
         node_type = type(node)
         if any(type(other) is not node_type for other in nodes[1:]):
             raise StructureMismatch([type(n).__name__ for n in nodes])
         if node_type is ir.Full:
-            program.emit(LOAD_FULL, 0, dst)
-            return dst + 1
+            return (B_FULL, 0)
         if node_type is ir.Empty:
-            program.emit(LOAD_ZERO, 0, dst)
-            return dst + 1
+            return (B_ZERO, 0)
         if node_type is ir.Plane:
             refs = {n.static_ref for n in nodes}
             if len(refs) == 1 and node.static_ref is not None:
-                return self._emit_static_ref(program, node.static_ref, dst)
-            idx = program.add_dyn([self._pad(n.words) for n in nodes])
-            program.emit(LOAD_DYN, idx, dst)
+                return self._static_ref_source(program, node.static_ref)
+            return (B_DYN, program.add_dyn([self._pad(n.words) for n in nodes]))
+        if node_type is ir.Selection and node.child is None:
+            if any(n.child is not None for n in nodes):
+                raise StructureMismatch("selection child")
+            rows = [
+                self._pad(evaluator.evaluate(ir.Selection(n.predicates)))
+                for evaluator, n in zip(evaluators, nodes)
+            ]
+            return (B_DYN, program.add_dyn(rows))
+        return None
+
+    def _emit(self, nodes: list, program: _Program, evaluators, dst: int) -> int:
+        """Emit instructions leaving the subtree's result in reg[dst];
+        returns the register high-water mark (registers are allocated like
+        a stack: a node may freely use dst and everything above it)."""
+        source = self._as_source(nodes, program, evaluators)
+        if source is not None:
+            program.load(dst, *source)
             return dst + 1
+        node = nodes[0]
+        node_type = type(node)
+        if node_type is ir.Plane:
+            # static ref needing majority reconstruction
+            return self._emit_static_ref(program, node.static_ref, dst)
         if node_type is ir.Not:
             hw = self._emit([n.child for n in nodes], program, evaluators, dst)
-            program.alu(M_XORF, dst, dst)
+            program.alu_src(M_XOR, dst, dst, B_FULL)
             return hw
         if node_type in (ir.And, ir.Or):
             arity = len(node.children)
@@ -501,33 +541,32 @@ class DeviceEngine:
             if arity == 0:
                 # uniform mode skips ir.simplify, so empty And/Or reach here:
                 # And identity = Full, Or identity = Empty
-                program.emit(LOAD_FULL if node_type is ir.And else LOAD_ZERO,
-                             0, dst)
+                program.load(dst, B_FULL if node_type is ir.And else B_ZERO)
                 return dst + 1
             mode = M_AND if node_type is ir.And else M_OR
             hw = self._emit([n.children[0] for n in nodes], program, evaluators,
                             dst)
             for i in range(1, arity):
-                hw = max(hw, self._emit(
-                    [n.children[i] for n in nodes], program, evaluators, dst + 1
-                ))
-                program.alu(mode, dst, dst, dst + 1)
+                child = [n.children[i] for n in nodes]
+                src = self._as_source(child, program, evaluators)
+                if src is not None:
+                    program.alu_src(mode, dst, dst, *src)
+                else:
+                    hw = max(hw, self._emit(child, program, evaluators, dst + 1))
+                    program.alu(mode, dst, dst, dst + 1)
             return hw
         if node_type is ir.Selection:
+            # child is not None (childless Selections fuse as sources).
             # Predicates are host-evaluated into a dynamic row per partition.
-            rows = []
-            for evaluator, n in zip(evaluators, nodes):
-                rows.append(self._pad(evaluator.evaluate(ir.Selection(n.predicates))))
+            if any(n.child is None for n in nodes):
+                raise StructureMismatch("selection child")
+            rows = [
+                self._pad(evaluator.evaluate(ir.Selection(n.predicates)))
+                for evaluator, n in zip(evaluators, nodes)
+            ]
             idx = program.add_dyn(rows)
-            program.emit(LOAD_DYN, idx, dst)
-            hw = dst + 1
-            if node.child is not None:
-                if any((n.child is None) != (node.child is None) for n in nodes):
-                    raise StructureMismatch("selection child")
-                hw = max(hw, self._emit(
-                    [n.child for n in nodes], program, evaluators, dst + 1
-                ))
-                program.alu(M_AND, dst, dst, dst + 1)
+            hw = self._emit([n.child for n in nodes], program, evaluators, dst)
+            program.alu_src(M_AND, dst, dst, B_DYN, idx)
             return hw
         if node_type is ir.Threshold:
             arity = len(node.children)
@@ -558,22 +597,25 @@ class DeviceEngine:
         if tmp + 1 > MAX_REGS:
             raise ProgramTooLarge(f"threshold registers {tmp + 1}")
         for p in planes:
-            program.emit(LOAD_ZERO, 0, p)
+            program.load(p, B_ZERO)
         hw = tmp + 1
         for i in range(n):
             # child value = the incoming carry
-            hw = max(hw, self._emit(
-                [m.children[i] for m in nodes], program, evaluators, c0
-            ))
+            child = [m.children[i] for m in nodes]
+            src = self._as_source(child, program, evaluators)
+            if src is not None:
+                program.load(c0, *src)
+            else:
+                hw = max(hw, self._emit(child, program, evaluators, c0))
             cur, nxt = c0, c1
             for p in planes:
                 program.alu(M_AND, nxt, p, cur)   # carry out
                 program.alu(M_XOR, p, p, cur)     # sum bit
                 cur, nxt = nxt, cur
         # comparator, MSB down: eq in c0, (for >=) strictly-greater in c1
-        program.emit(LOAD_FULL, 0, c0)
+        program.load(c0, B_FULL)
         if not node.match_exactly:
-            program.emit(LOAD_ZERO, 0, c1)
+            program.load(c1, B_ZERO)
         for j in reversed(range(planes_bits)):
             p = planes[j]
             if (k >> j) & 1:
@@ -584,7 +626,7 @@ class DeviceEngine:
                     program.alu(M_OR, c1, c1, tmp)
                 program.alu(M_ANDN, c0, c0, p)
         if node.match_exactly:
-            program.alu(M_MOV, dst, c0)
+            program.alu(M_MOVB, dst, 0, c0)
         else:
             program.alu(M_OR, dst, c1, c0)
         return hw
@@ -707,10 +749,13 @@ class DeviceEngine:
         """Returns the [P, W] filter bitset on device."""
         program, _regs = self.lower(filter_expr)
         # trivial filters skip the VM dispatch (and its executable) entirely
-        if program.opcodes == [LOAD_FULL]:
-            return self.full_masks
-        if program.opcodes == [LOAD_ZERO]:
-            return self._zero_dyn((self.n_partitions, self.n_words))
+        if len(program.opcodes) == 1 and program.opcodes[0] == ALU:
+            spec = program.regspec[0]
+            if (spec >> 24) & 0xF == M_MOVB:
+                if (spec >> 28) & 0xF == B_FULL:
+                    return self.full_masks
+                if (spec >> 28) & 0xF == B_ZERO:
+                    return self._zero_dyn((self.n_partitions, self.n_words))
         (bucket, n_dyn, code, dyn, n_instr, k, m, sp,
          n_regs) = self._prepare_program(program)
         shape = (self.n_partitions, n_dyn, self.n_words)
@@ -795,9 +840,12 @@ class DeviceEngine:
             dyn_base = len(all_dyn_rows)
             opcodes, operands = list(program.opcodes), list(program.operands)
             for i, opcode in enumerate(opcodes):
-                if opcode == LOAD_DYN:
+                if opcode != ALU:
+                    continue
+                bsrc = (program.regspec[i] >> 28) & 0xF
+                if bsrc == B_DYN:
                     operands[i] += dyn_base
-                elif opcode == LOAD_SPARSE:
+                elif bsrc == B_SPARSE:
                     # dedupe by global sparse row across the whole batch —
                     # queries in a batch frequently share leaves
                     row_id = program.sparse_leaves[operands[i]]
@@ -1268,39 +1316,36 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
             dst = spec & 0xFF
             ra = (spec >> 8) & 0xFF
             rb = (spec >> 16) & 0xFF
-            mode = (spec >> 24) & 0xFF
+            mode = (spec >> 24) & 0xF
+            bsrc = (spec >> 28) & 0xF
 
             a = regs[jnp.minimum(ra, n_regs - 1)]
-            b = regs[jnp.minimum(rb, n_regs - 1)]
             # gathers (not dynamic_slice): the vmap batching rule gathers
             # per-partition rows instead of broadcasting whole banks
             bank_row = bank[jnp.clip(operand, 0, n_rows - 1)]
             dyn_row = dyn[jnp.clip(operand, 0, n_dyn - 1)]
             sparse_row = sparse_rows[jnp.clip(operand, 0, max(n_sparse_k, 1) - 1)]
 
-            alu = jnp.where(
-                mode == M_AND, a & b,
+            b = jnp.where(
+                bsrc == B_REG, regs[jnp.minimum(rb, n_regs - 1)],
                 jnp.where(
-                    mode == M_OR, a | b,
+                    bsrc == B_BANK, bank_row,
                     jnp.where(
-                        mode == M_XOR, a ^ b,
+                        bsrc == B_DYN, dyn_row,
                         jnp.where(
-                            mode == M_XORF, a ^ full_mask,
-                            jnp.where(mode == M_ANDN, a & (b ^ full_mask), a),
+                            bsrc == B_SPARSE, sparse_row,
+                            jnp.where(bsrc == B_FULL, full_mask, zero_row),
                         ),
                     ),
                 ),
             )
             val = jnp.where(
-                opcode == LOAD_STATIC, bank_row,
+                mode == M_MOVB, b,
                 jnp.where(
-                    opcode == LOAD_DYN, dyn_row,
+                    mode == M_AND, a & b,
                     jnp.where(
-                        opcode == LOAD_SPARSE, sparse_row,
-                        jnp.where(
-                            opcode == LOAD_FULL, full_mask,
-                            jnp.where(opcode == LOAD_ZERO, zero_row, alu),
-                        ),
+                        mode == M_OR, a | b,
+                        jnp.where(mode == M_XOR, a ^ b, a & (b ^ full_mask)),
                     ),
                 ),
             )

@@ -72,8 +72,10 @@ class ShardedQueryStep:
         )
 
     def __call__(self, code, bank, dyn, full_masks, seg_slice=0):
-        # this path has no sparse-tier stream: a LOAD_SPARSE program would
-        # silently read zeros — fail loudly instead
-        assert not (np.asarray(code)[0] == de.LOAD_SPARSE).any(), \
+        # this path has no sparse-tier stream: a B_SPARSE-source program
+        # would silently read zeros — fail loudly instead
+        host_code = np.asarray(code)
+        bsrc = (host_code[2] >> 28) & 0xF
+        assert not ((host_code[0] == de.ALU) & (bsrc == de.B_SPARSE)).any(), \
             "ShardedQueryStep cannot execute sparse-tier programs"
         return self.jitted(code, bank, dyn, full_masks, seg_slice)

@@ -45,10 +45,13 @@ full = np.full((P_, W), 0xFFFFFFFF, dtype=np.uint32)
 code = np.zeros((3, LEN), dtype=np.int32)
 code[0, :] = de.NOP
 code[2, :] = de.NO_DST
-# reg0 = bank[3]; reg1 = bank[7]; reg0 = reg0 & reg1
-code[0, :3] = [de.LOAD_STATIC, de.LOAD_STATIC, de.ALU]
-code[1, :3] = [3, 7, 0]
-code[2, :3] = [0, 1, 0 | (0 << 8) | (1 << 16) | (de.M_AND << 24)]
+# reg0 = bank[3]; reg0 &= bank[7]
+code[0, :2] = [de.ALU, de.ALU]
+code[1, :2] = [3, 7]
+code[2, :2] = [
+    0 | (de.M_MOVB << 24) | (de.B_BANK << 28),
+    0 | (0 << 8) | (de.M_AND << 24) | (de.B_BANK << 28),
+]
 
 mesh = make_mesh(jax.devices())
 step = ShardedQueryStep(mesh, n_partitions=P_, n_rows=R, n_dyn=1, n_words=W,

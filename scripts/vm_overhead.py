@@ -38,14 +38,19 @@ def build_code(mix: str, seed: int = 0) -> np.ndarray:
     qi = 0
     rng = np.random.default_rng(seed)
 
-    def spec(dst=de.NO_DST, ra=0, rb=0, mode=0):
-        return dst | (ra << 8) | (rb << 16) | (mode << 24)
+    def spec(dst=de.NO_DST, ra=0, rb=0, mode=0, bsrc=de.B_REG):
+        return dst | (ra << 8) | (rb << 16) | (mode << 24) | (bsrc << 28)
 
-    def load(dst):
-        ops.append((de.LOAD_STATIC, int(rng.integers(N_ROWS)), spec(dst)))
+    def load(dst, bsrc=de.B_BANK, hi=N_ROWS):
+        ops.append((de.ALU, int(rng.integers(hi)),
+                    spec(dst, mode=de.M_MOVB, bsrc=bsrc)))
 
     def alu(mode, dst, ra, rb=0):
         ops.append((de.ALU, 0, spec(dst, ra, rb, mode)))
+
+    def alu_src(mode, dst, ra, bsrc, hi):
+        ops.append((de.ALU, int(rng.integers(hi)),
+                    spec(dst, ra, 0, mode, bsrc)))
 
     def emit():
         nonlocal qi
@@ -61,18 +66,17 @@ def build_code(mix: str, seed: int = 0) -> np.ndarray:
             ops.append((de.NOP, 0, spec()))
         elif mix == "load_alu":
             load(0)
-            load(1)
-            alu(de.M_AND, 0, 0, 1)
+            alu_src(de.M_AND, 0, 0, de.B_BANK, N_ROWS)
+            alu_src(de.M_AND, 0, 0, de.B_BANK, N_ROWS)
             emit()
         elif mix == "load_dyn":
-            ops.append((de.LOAD_DYN, int(rng.integers(N_DYN)), spec(0)))
-            ops.append((de.LOAD_DYN, int(rng.integers(N_DYN)), spec(1)))
-            alu(de.M_OR, 0, 0, 1)
+            load(0, de.B_DYN, N_DYN)
+            alu_src(de.M_OR, 0, 0, de.B_DYN, N_DYN)
             emit()
         elif mix == "th":
             # 2-of-3 counter circuit, planes in r0..r1, carries r2/r3
-            ops.append((de.LOAD_ZERO, 0, spec(0)))
-            ops.append((de.LOAD_ZERO, 0, spec(1)))
+            load(0, de.B_ZERO, 1)
+            load(1, de.B_ZERO, 1)
             for _ in range(3):
                 load(2)
                 cur, nxt = 2, 3
@@ -80,8 +84,8 @@ def build_code(mix: str, seed: int = 0) -> np.ndarray:
                     alu(de.M_AND, nxt, p, cur)
                     alu(de.M_XOR, p, p, cur)
                     cur, nxt = nxt, cur
-            ops.append((de.LOAD_FULL, 0, spec(2)))
-            ops.append((de.LOAD_ZERO, 0, spec(3)))
+            load(2, de.B_FULL, 1)
+            load(3, de.B_ZERO, 1)
             alu(de.M_AND, 2, 2, 1)       # k=2 -> bit1=1: eq &= p1
             alu(de.M_AND, 4, 2, 0)       # bit0=0: tmp = eq & p0
             alu(de.M_OR, 3, 3, 4)
