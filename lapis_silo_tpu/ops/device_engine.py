@@ -760,10 +760,26 @@ class DeviceEngine:
          n_regs) = self._prepare_program(program)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
-        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "words",
-                           n_regs)
+        return self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp, n_regs,
+                              "words", n_instr)
+
+    def _dispatch(self, bucket, n_dyn, code, dyn_dev, k, m, sp, n_regs,
+                  output, n_instr):
+        """ONE device dispatch for the whole query (or batch): when the
+        program touches the sparse tier, the leaf densification fuses into
+        the same executable (a second dispatch costs a full relay RTT)."""
+        if k:
+            run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words,
+                               output, n_regs, m)
+            starts, lens = sp
+            return run(jnp.asarray(code), self.bank, dyn_dev,
+                       self.sparse_stream[0], self.sparse_stream[1],
+                       jax.device_put(starts), jax.device_put(lens),
+                       self.full_masks, jnp.int32(_round_instr(n_instr)))
+        run = _interpreter(bucket, self.n_rows, n_dyn, 0, self.n_words,
+                           output, n_regs)
         return run(jnp.asarray(code), self.bank, dyn_dev,
-                   self._densified(k, m, sp), self.full_masks,
+                   self._densified(0, 1, None), self.full_masks,
                    jnp.int32(_round_instr(n_instr)))
 
     def count_async(self, filter_expr) -> jax.Array:
@@ -773,11 +789,8 @@ class DeviceEngine:
          n_regs) = self._prepare(filter_expr)
         shape = (self.n_partitions, n_dyn, self.n_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
-        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words, "count",
-                           n_regs)
-        return run(jnp.asarray(code), self.bank, dyn_dev,
-                   self._densified(k, m, sp), self.full_masks,
-                   jnp.int32(_round_instr(n_instr)))
+        return self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp, n_regs,
+                              "count", n_instr)
 
     def count_batch(self, filter_exprs: list, min_bucket: int = 0,
                     min_sparse_k: int = 0, min_sparse_m: int = 0) -> list[int]:
@@ -888,11 +901,8 @@ class DeviceEngine:
                                          min_sparse_m)
         n_regs = next(b for b in _REG_BUCKETS
                       if b >= max(p.max_regs for p in lowered))
-        run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words,
-                           "multi_count", n_regs)
-        counts = run(jnp.asarray(code), self.bank, dyn_dev,
-                     self._densified(k, m, sp), self.full_masks,
-                     jnp.int32(_round_instr(cursor)))
+        counts = self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp,
+                                n_regs, "multi_count", cursor)
         return [int(c) for c in np.asarray(counts)[:q]]
 
     def count(self, filter_expr) -> int:
@@ -1220,54 +1230,75 @@ class _MicroBatcher:
             del engine
 
 
+def _densify_one(n_sparse_m: int, n_words: int, stream_idx_p, stream_words_p,
+                 starts_p, lens_p):
+    """[K, W] densified sparse-tier rows for one partition: gather each
+    leaf's contiguous (start, len) slice of the resident CSR stream and
+    scatter it dense. NB: formulated as one [K, M] gather — a
+    vmap-of-dynamic_slice variant lowers back to a gather anyway and
+    compiled ~8x slower on the remote TPU compiler."""
+    take = starts_p[:, None] + jnp.arange(n_sparse_m, dtype=jnp.int32)
+    valid = jnp.arange(n_sparse_m, dtype=jnp.int32)[None, :] < lens_p[:, None]
+    take = jnp.clip(take, 0, stream_idx_p.shape[0] - 1)
+    gathered_idx = jnp.where(valid, stream_idx_p[take], n_words)  # [K, M]
+    gathered_words = stream_words_p[take]                         # [K, M]
+    return jax.vmap(
+        lambda gi, gw: jnp.zeros((n_words,), jnp.uint32).at[gi].set(
+            gw, mode="drop")
+    )(gathered_idx, gathered_words)
+
+
 @functools.lru_cache(maxsize=16)
 def _densify_jit(n_sparse_k: int, n_sparse_m: int, n_words: int):
-    """Small standalone executable: gather each sparse leaf's contiguous
-    (start, len) slice of the device-resident CSR stream and scatter it to
-    a dense [P, K, W] row block. Kept OUT of the VM executable on purpose —
-    the fused graph compiled ~40x slower on remote-compile TPU backends,
-    and this one is shared by every program-length bucket."""
-
-    def one(stream_idx_p, stream_words_p, starts_p, lens_p):
-        # NB: formulated as one [K, M] gather — a vmap-of-dynamic_slice
-        # variant lowers back to a gather anyway and compiled ~8x slower
-        # on the remote TPU compiler (769 s vs 90 s total warm-up).
-        take = starts_p[:, None] + jnp.arange(n_sparse_m, dtype=jnp.int32)
-        valid = jnp.arange(n_sparse_m, dtype=jnp.int32)[None, :] < lens_p[:, None]
-        take = jnp.clip(take, 0, stream_idx_p.shape[0] - 1)
-        gathered_idx = jnp.where(valid, stream_idx_p[take], n_words)  # [K, M]
-        gathered_words = stream_words_p[take]                         # [K, M]
-        return jax.vmap(
-            lambda gi, gw: jnp.zeros((n_words,), jnp.uint32).at[gi].set(
-                gw, mode="drop")
-        )(gathered_idx, gathered_words)
-
-    return jax.jit(jax.vmap(one))
+    """Standalone densify executable (used by paths that keep densify as
+    its own dispatch)."""
+    return jax.jit(jax.vmap(functools.partial(_densify_one, n_sparse_m,
+                                              n_words)))
 
 
 @functools.lru_cache(maxsize=64)
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                  n_words: int, output: str = "words",
-                 n_regs: int = MAX_REGS):
+                 n_regs: int = MAX_REGS, n_sparse_m: int = 0):
     """Jitted, partition-vmapped register-machine interpreter for one shape
     bucket. output='words' returns the [P, W] bitset (reg[0]);
     output='count' fuses the popcount reduction into the same executable
     (one dispatch); 'multi_count' sums per-query EMIT_COUNT outputs.
-    Densified sparse-tier rows arrive as a separate [P, K, W] input
-    (produced by _densify_jit) read by LOAD_SPARSE."""
+
+    With n_sparse_m > 0 the sparse-leaf densification runs INSIDE the same
+    executable (stream + per-leaf bounds in, [P, K, W] block scattered on
+    device) — sparse-touching queries stay a single dispatch. Otherwise
+    densified rows arrive as a [P, K, W] input."""
     run_one = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words,
                                       n_sparse_k=n_sparse_k, n_regs=n_regs,
                                       with_emit=output == "multi_count")
 
-    def run(code, bank, dyn, sparse_rows, full_masks, n_instr):
-        words, outs = jax.vmap(
-            run_one, in_axes=(None, 0, 0, 0, 0, None)
-        )(code, bank, dyn, sparse_rows, full_masks, n_instr)
+    def finish(words, outs):
         if output == "count":
             return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
         if output == "multi_count":
             return outs.sum(axis=0, dtype=jnp.int32)  # [MAX_BATCH_QUERIES]
         return words
+
+    if n_sparse_m and n_sparse_k:
+        densify = functools.partial(_densify_one, n_sparse_m, n_words)
+
+        def run_fused(code, bank, dyn, stream_idx, stream_words, starts, lens,
+                      full_masks, n_instr):
+            sparse_rows = jax.vmap(densify)(stream_idx, stream_words,
+                                            starts, lens)
+            words, outs = jax.vmap(
+                run_one, in_axes=(None, 0, 0, 0, 0, None)
+            )(code, bank, dyn, sparse_rows, full_masks, n_instr)
+            return finish(words, outs)
+
+        return jax.jit(run_fused)
+
+    def run(code, bank, dyn, sparse_rows, full_masks, n_instr):
+        words, outs = jax.vmap(
+            run_one, in_axes=(None, 0, 0, 0, 0, None)
+        )(code, bank, dyn, sparse_rows, full_masks, n_instr)
+        return finish(words, outs)
 
     return jax.jit(run)
 
