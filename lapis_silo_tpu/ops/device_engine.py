@@ -767,14 +767,21 @@ class DeviceEngine:
                   output, n_instr):
         """ONE device dispatch for the whole query (or batch): when the
         program touches the sparse tier, the leaf densification fuses into
-        the same executable (a second dispatch costs a full relay RTT)."""
+        the same executable (a second dispatch costs a full relay RTT).
+        All per-query integer data (program + sparse-leaf bounds) travels
+        as ONE packed upload — each host->device transfer costs a relay
+        round-trip of its own."""
         if k:
             run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words,
-                               output, n_regs, m)
+                               output, n_regs, m, self.n_partitions)
             starts, lens = sp
-            return run(jnp.asarray(code), self.bank, dyn_dev,
+            blob = np.concatenate([
+                code.reshape(-1),
+                starts.astype(np.int32).reshape(-1),
+                lens.astype(np.int32).reshape(-1),
+            ])
+            return run(jax.device_put(blob), self.bank, dyn_dev,
                        self.sparse_stream[0], self.sparse_stream[1],
-                       jax.device_put(starts), jax.device_put(lens),
                        self.full_masks, jnp.int32(_round_instr(n_instr)))
         run = _interpreter(bucket, self.n_rows, n_dyn, 0, self.n_words,
                            output, n_regs)
@@ -1259,7 +1266,8 @@ def _densify_jit(n_sparse_k: int, n_sparse_m: int, n_words: int):
 @functools.lru_cache(maxsize=64)
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                  n_words: int, output: str = "words",
-                 n_regs: int = MAX_REGS, n_sparse_m: int = 0):
+                 n_regs: int = MAX_REGS, n_sparse_m: int = 0,
+                 n_partitions: int = 1):
     """Jitted, partition-vmapped register-machine interpreter for one shape
     bucket. output='words' returns the [P, W] bitset (reg[0]);
     output='count' fuses the popcount reduction into the same executable
@@ -1282,9 +1290,15 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
 
     if n_sparse_m and n_sparse_k:
         densify = functools.partial(_densify_one, n_sparse_m, n_words)
+        code_len = 3 * program_len
+        pk = n_partitions * n_sparse_k
 
-        def run_fused(code, bank, dyn, stream_idx, stream_words, starts, lens,
+        def run_fused(blob, bank, dyn, stream_idx, stream_words,
                       full_masks, n_instr):
+            code = blob[:code_len].reshape(3, program_len)
+            starts = blob[code_len : code_len + pk].reshape(
+                n_partitions, n_sparse_k)
+            lens = blob[code_len + pk :].reshape(n_partitions, n_sparse_k)
             sparse_rows = jax.vmap(densify)(stream_idx, stream_words,
                                             starts, lens)
             words, outs = jax.vmap(
