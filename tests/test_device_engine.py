@@ -22,6 +22,30 @@ REPRESENTATIVE = [
         {"type": "NucleotideEquals", "position": 3037, "symbol": "T"},
         {"type": "NucleotideEquals", "position": 14408, "symbol": "T"},
     ]},
+    # threshold-circuit edges: k == n (all), exact match, negated child,
+    # nested N-Of, single child
+    {"type": "N-Of", "numberOfMatchers": 3, "matchExactly": False, "children": [
+        {"type": "NucleotideEquals", "position": 241, "symbol": "T"},
+        {"type": "NucleotideEquals", "position": 3037, "symbol": "T"},
+        {"type": "NucleotideEquals", "position": 14408, "symbol": "T"},
+    ]},
+    {"type": "N-Of", "numberOfMatchers": 2, "matchExactly": True, "children": [
+        {"type": "NucleotideEquals", "position": 241, "symbol": "T"},
+        {"type": "Not", "child": {"type": "NucleotideEquals", "position": 3037,
+                                  "symbol": "T"}},
+        {"type": "NucleotideEquals", "position": 14408, "symbol": "T"},
+        {"type": "StringEquals", "column": "country", "value": "Switzerland"},
+    ]},
+    {"type": "N-Of", "numberOfMatchers": 2, "matchExactly": False, "children": [
+        {"type": "N-Of", "numberOfMatchers": 1, "matchExactly": True,
+         "children": [
+             {"type": "NucleotideEquals", "position": 241, "symbol": "T"},
+             {"type": "NucleotideEquals", "position": 3037, "symbol": "T"},
+         ]},
+        {"type": "NucleotideEquals", "position": 14408, "symbol": "T"},
+        {"type": "DateBetween", "column": "date", "from": "2021-01-01",
+         "to": "2021-06-01"},
+    ]},
     {"type": "Maybe", "child": {"type": "NucleotideEquals", "position": 26, "symbol": "A"}},
     {"type": "IntBetween", "column": "age", "from": 20, "to": 70},
     {"type": "FloatBetween", "column": "qc_value", "from": 0.9, "to": 0.99},
