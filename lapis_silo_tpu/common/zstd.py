@@ -109,6 +109,77 @@ def decompress_stream(data: bytes) -> bytes:
     return b"".join(chunks)
 
 
+class _ZstdRawReader:
+    """Incremental .zst reader (io.RawIOBase protocol): decompresses on
+    demand so multi-GB inputs never materialize in RAM (the streaming
+    counterpart of the reference's boost::iostreams zstd filter,
+    src/silo/common/input_stream_wrapper.cpp)."""
+
+    def __init__(self, fileobj):
+        import io
+
+        self._f = fileobj
+        self._ds = _lib.ZSTD_createDStream()
+        _check(_lib.ZSTD_initDStream(self._ds))
+        self._in_chunk = _lib.ZSTD_DStreamInSize()
+        self._src = b""
+        self._src_pos = 0
+        self._eof = False
+        self._io = io
+
+    def readable(self):
+        return True
+
+    def readinto(self, b) -> int:
+        if self._eof:
+            return 0
+        view = memoryview(b)
+        dst = ctypes.create_string_buffer(len(view))
+        out_buf = _Buffer(ctypes.cast(dst, ctypes.c_void_p), len(view), 0)
+        while out_buf.pos == 0:
+            if self._src_pos >= len(self._src):
+                self._src = self._f.read(self._in_chunk)
+                self._src_pos = 0
+                if not self._src:
+                    self._eof = True
+                    break
+            src = ctypes.create_string_buffer(self._src, len(self._src))
+            in_buf = _Buffer(ctypes.cast(src, ctypes.c_void_p), len(self._src),
+                             self._src_pos)
+            _check(_lib.ZSTD_decompressStream(
+                self._ds, ctypes.byref(out_buf), ctypes.byref(in_buf)))
+            self._src_pos = in_buf.pos
+        view[: out_buf.pos] = dst.raw[: out_buf.pos]
+        return out_buf.pos
+
+    def close(self):
+        if self._ds is not None:
+            _lib.ZSTD_freeDStream(self._ds)
+            self._ds = None
+        self._f.close()
+
+
+def open_zst_text(path: str, encoding: str = "utf-8"):
+    """Text stream over a .zst file, decompressed incrementally."""
+    import io
+
+    raw = _ZstdRawReader(open(path, "rb"))
+
+    class _Adapter(io.RawIOBase):
+        def readable(self):
+            return True
+
+        def readinto(self, b):
+            return raw.readinto(b)
+
+        def close(self):
+            raw.close()
+            super().close()
+
+    return io.TextIOWrapper(io.BufferedReader(_Adapter(), 1 << 20),
+                            encoding=encoding)
+
+
 class DictCompressor:
     """zstd compressor with a fixed dictionary (e.g. the reference genome)."""
 

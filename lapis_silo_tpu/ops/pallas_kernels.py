@@ -30,6 +30,46 @@ except Exception:  # noqa: BLE001
 ROW_BLOCK = 256
 WORD_BLOCK = 2048
 
+# Harley-Seal carry-save-adder popcount: the naive form spends ~10 VPU ops
+# per word inside population_count; the CSA tree compresses 16 words into
+# one "sixteens" word (15 full adders = 75 ops per 16 words) and popcounts
+# ONLY that one, cutting steady-state cost to ~6.5 ops/word (the classic
+# AVX2 positional-popcount trick, applied to [8,128] vregs). Requires the
+# word block to split into 16 lane-aligned chunks.
+_CSA_GROUP = 16
+
+
+def _csa(a, b, c):
+    """Full adder over bit-planes: returns (sum, carry)."""
+    t = a ^ b
+    return t ^ c, (a & b) | (t & c)
+
+
+def _harley_seal_16(chunks, ones, twos, fours, eights):
+    """Compress 16 equal-shape u32 planes into the running CSA accumulators;
+    returns (ones, twos, fours, eights, sixteens)."""
+    d = chunks
+    ones, t_a = _csa(d[0], d[1], ones)
+    ones, t_b = _csa(d[2], d[3], ones)
+    twos, f_a = _csa(t_a, t_b, twos)
+    ones, t_a = _csa(d[4], d[5], ones)
+    ones, t_b = _csa(d[6], d[7], ones)
+    twos, f_b = _csa(t_a, t_b, twos)
+    fours, e_a = _csa(f_a, f_b, fours)
+    ones, t_a = _csa(d[8], d[9], ones)
+    ones, t_b = _csa(d[10], d[11], ones)
+    twos, f_a = _csa(t_a, t_b, twos)
+    ones, t_a = _csa(d[12], d[13], ones)
+    ones, t_b = _csa(d[14], d[15], ones)
+    twos, f_b = _csa(t_a, t_b, twos)
+    fours, e_b = _csa(f_a, f_b, fours)
+    eights, sixteens = _csa(e_a, e_b, eights)
+    return ones, twos, fours, eights, sixteens
+
+
+def _popc(x):
+    return jax.lax.population_count(x).astype(jnp.int32)
+
 
 def _popcount_rows_kernel(filter_ref, rows_ref, out_ref):
     """rows_ref [BR, BW] u32, filter_ref [1, BW] u32 -> out_ref [BR, 1] i32,
@@ -75,15 +115,18 @@ def popcount_rows_and_filter(rows, filter_words, interpret=False):
     return out[:, 0]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: int,
-                           row_block: int = ROW_BLOCK, word_block: int | None = None):
+                           row_block: int = ROW_BLOCK, word_block: int | None = None,
+                           use_csa: bool | None = None, interpret: bool = False):
     """counts[n_seg_rows]: sum over partitions of popcount(bank_row & filter).
 
     bank [P, R, W] stays in HBM; the kernel streams row_block x word_block
     tiles through VMEM against the per-partition filter. `start` must be
     row_block-aligned (DeviceEngine aligns segment offsets), W must be a
-    lane multiple.
+    lane multiple. When the word block splits into 16 lane-aligned chunks
+    the kernel uses the Harley-Seal CSA popcount (see _harley_seal_16);
+    `use_csa` forces either form (for A/B benchmarking).
     """
     n_partitions = bank.shape[0]
     start_block = start // row_block
@@ -97,15 +140,17 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
             if b % 128 == 0 and n_words % b == 0
         )
     assert n_words % word_block == 0 and word_block % 128 == 0, (n_words, word_block)
+    if use_csa is None:
+        use_csa = word_block % (_CSA_GROUP * 128) == 0
     # reduction axes (partition, word-block) innermost so each output block's
     # revisits are consecutive
-    grid = (n_seg_rows // row_block, n_partitions, n_words // word_block)
+    n_j = n_words // word_block
+    grid = (n_seg_rows // row_block, n_partitions, n_j)
+    chunk = word_block // _CSA_GROUP
 
-    def kernel(filter_ref, rows_ref, out_ref):
+    def kernel_naive(filter_ref, rows_ref, out_ref):
         masked = rows_ref[0] & filter_ref[0]
-        counts = jnp.sum(
-            jax.lax.population_count(masked).astype(jnp.int32), axis=1, keepdims=True
-        )
+        counts = jnp.sum(_popc(masked), axis=1, keepdims=True)
 
         @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
         def _():
@@ -113,13 +158,53 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
 
         out_ref[:] += counts
 
+    def kernel_csa(filter_ref, rows_ref, out_ref,
+                   ones_ref, twos_ref, fours_ref, eights_ref, acc_ref):
+        j = pl.program_id(2)
+
+        @pl.when((pl.program_id(1) == 0) & (j == 0))
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(j == 0)
+        def _():
+            ones_ref[:] = jnp.zeros_like(ones_ref)
+            twos_ref[:] = jnp.zeros_like(twos_ref)
+            fours_ref[:] = jnp.zeros_like(fours_ref)
+            eights_ref[:] = jnp.zeros_like(eights_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        masked = rows_ref[0] & filter_ref[0]
+        chunks = [masked[:, k * chunk:(k + 1) * chunk] for k in range(_CSA_GROUP)]
+        ones, twos, fours, eights, sixteens = _harley_seal_16(
+            chunks, ones_ref[:], twos_ref[:], fours_ref[:], eights_ref[:]
+        )
+        ones_ref[:], twos_ref[:] = ones, twos
+        fours_ref[:], eights_ref[:] = fours, eights
+        acc_ref[:] += _popc(sixteens)
+
+        @pl.when(j == n_j - 1)
+        def _():
+            total = (
+                16 * acc_ref[:]
+                + 8 * _popc(eights_ref[:])
+                + 4 * _popc(fours_ref[:])
+                + 2 * _popc(twos_ref[:])
+                + _popc(ones_ref[:])
+            )
+            out_ref[:] += jnp.sum(total, axis=1, keepdims=True)
+
     try:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"))
     except Exception:  # noqa: BLE001
         compiler_params = None
+    scratch_shapes = (
+        [pltpu.VMEM((row_block, chunk), jnp.uint32) for _ in range(4)]
+        + [pltpu.VMEM((row_block, chunk), jnp.int32)]
+    ) if use_csa else []
     out = pl.pallas_call(
-        kernel,
+        kernel_csa if use_csa else kernel_naive,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, word_block), lambda i, p, j: (p, 0, j)),
@@ -128,7 +213,9 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
         ],
         out_specs=pl.BlockSpec((row_block, 1), lambda i, p, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_seg_rows, 1), jnp.int32),
+        scratch_shapes=scratch_shapes,
         compiler_params=compiler_params,
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_partitions * n_seg_rows * n_words,
             bytes_accessed=n_partitions * n_seg_rows * n_words * 4,

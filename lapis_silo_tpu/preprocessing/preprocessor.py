@@ -37,6 +37,7 @@ from ..storage.unaligned import UnalignedPartitionStore
 from . import readers
 from .partitioner import partition_keys, sort_key_nulls_first
 from .preprocessing_config import PreprocessingConfig
+from .spool import SequenceSpool
 
 logger = logging.getLogger(__name__)
 
@@ -53,6 +54,9 @@ class Preprocessor:
         self.config = database_config
 
     def preprocess(self) -> Database:
+        import os
+        import tempfile
+
         t0 = time.time()
         pango_path = self.pcfg.pango_lineage_definition_path()
         alias_key = (
@@ -62,13 +66,24 @@ class Preprocessor:
         )
         reference_genomes = ReferenceGenomes.read_from_file(self.pcfg.reference_genome_path())
 
-        if self.pcfg.ndjson_input_filename:
-            rows, sequences, unaligned = self._load_ndjson(reference_genomes)
-        else:
-            rows = self._load_metadata_tsv()
-            sequences, unaligned = None, None
+        # Sequence data streams through disk spools (spool.py) so peak RAM
+        # stays ~= one partition's compressed blobs, never the raw corpus
+        # (the reference's zstd-table pattern, preprocessor.cpp:255-333).
+        spool_parent = self.pcfg.intermediate_results_directory
+        with tempfile.TemporaryDirectory(
+            prefix="silo_spool_",
+            dir=spool_parent if os.path.isdir(spool_parent) else None,
+        ) as tmpdir:
+            if self.pcfg.ndjson_input_filename:
+                rows, sequences, unaligned = self._load_ndjson(
+                    reference_genomes, tmpdir)
+            else:
+                rows = self._load_metadata_tsv()
+                sequences, unaligned = None, None
 
-        db = self._build_database(rows, alias_key, reference_genomes, sequences, unaligned)
+            db = self._build_database(
+                rows, alias_key, reference_genomes, sequences, unaligned, tmpdir
+            )
         db.data_version = DataVersion.mine()
         logger.info("preprocessing took %.1f s", time.time() - t0)
         return db
@@ -85,36 +100,35 @@ class Preprocessor:
                 )
         return rows
 
-    def _load_ndjson(self, reference_genomes: ReferenceGenomes):
+    def _load_ndjson(self, reference_genomes: ReferenceGenomes, tmpdir: str):
         """NDJSON line format (reference preprocessor.cpp:87-131):
-        {metadata: {...}, alignedNucleotideSequences: {name: seq|null}, ...}"""
+        {metadata: {...}, alignedNucleotideSequences: {name: seq|null}, ...}
+
+        Sequences go straight into single-partition disk spools keyed by
+        global row id (spool.py) — only the metadata rows stay in RAM,
+        mirroring the reference's zstd-compressed DuckDB sequence tables."""
         import json
 
         path = self.pcfg.ndjson_path()
         rows: list[dict] = []
-        sequences: dict[tuple[str, str], list] = {}
-        unaligned: dict[str, list] = {}
         nuc_names = list(reference_genomes.raw_nucleotide_sequences)
         gene_names = list(reference_genomes.raw_aa_sequences)
-        import io
-        import lzma
-        import os
+        sequences: dict[tuple[str, str], SequenceSpool] = {}
+        unaligned: dict[str, SequenceSpool] = {}
+        for name in nuc_names:
+            ref = reference_genomes.raw_nucleotide_sequences[name].encode("ascii")
+            sequences[("nuc", name)] = SequenceSpool(tmpdir, f"g_nuc_{name}", 1, ref)
+            unaligned[name] = SequenceSpool(tmpdir, f"g_unc_{name}", 1, ref)
+        for name in gene_names:
+            ref = reference_genomes.raw_aa_sequences[name].encode("ascii")
+            sequences[("aa", name)] = SequenceSpool(tmpdir, f"g_aa_{name}", 1, ref)
 
-        from ..common import zstd as zstd_mod
-
-        if os.path.exists(path) and path.endswith(".zst"):
-            with open(path, "rb") as fh:
-                f = io.StringIO(zstd_mod.decompress(fh.read()).decode("utf-8"))
-        elif os.path.exists(path) and path.endswith(".xz"):
-            f = lzma.open(path, "rt", encoding="utf-8")
-        elif os.path.exists(path):
-            f = open(path, encoding="utf-8")
-        elif os.path.exists(path + ".zst"):
-            with open(path + ".zst", "rb") as fh:
-                f = io.StringIO(zstd_mod.decompress(fh.read()).decode("utf-8"))
-        elif os.path.exists(path + ".xz"):
-            f = lzma.open(path + ".xz", "rt", encoding="utf-8")
-        else:
+        f = None
+        for candidate in (path, path + ".zst", path + ".xz"):
+            f = readers.open_text_stream(candidate, encoding="utf-8")
+            if f is not None:
+                break
+        if f is None:
             raise PreprocessingError(f"The specified input file {path} does not exist.")
         with f:
             for line in f:
@@ -160,14 +174,15 @@ class Preprocessor:
                 rows.append(metadata)
                 aligned = record.get("alignedNucleotideSequences", {})
                 for name in nuc_names:
-                    sequences.setdefault(("nuc", name), []).append(aligned.get(name))
+                    sequences[("nuc", name)].add(0, row_id, aligned.get(name))
                 aligned_aa = record.get("alignedAminoAcidSequences", {})
                 for name in gene_names:
-                    sequences.setdefault(("aa", name), []).append(aligned_aa.get(name))
+                    sequences[("aa", name)].add(0, row_id, aligned_aa.get(name))
                 unaligned_seqs = record.get("unalignedNucleotideSequences", {})
                 for name in nuc_names:
-                    unaligned.setdefault(name, []).append(unaligned_seqs.get(name))
-                del row_id
+                    unaligned[name].add(0, row_id, unaligned_seqs.get(name))
+        for spool in (*sequences.values(), *unaligned.values()):
+            spool.finish_writes()
         return rows, sequences, unaligned
 
     # -- build ----------------------------------------------------------------
@@ -186,6 +201,7 @@ class Preprocessor:
         reference_genomes: ReferenceGenomes,
         ndjson_sequences=None,
         ndjson_unaligned=None,
+        tmpdir: str | None = None,
     ) -> Database:
         config = self.config
         db = Database(config, alias_key, reference_genomes)
@@ -286,69 +302,110 @@ class Preprocessor:
             partitions.append(partition)
         db.partitions = partitions
 
-        # 5. Sequence stores (dense bitplanes) + unaligned stores.
+        # 5. Sequence stores (dense bitplanes) + unaligned stores, streamed
+        #    through per-partition disk spools: assignment maps global row id
+        #    -> (partition, partition-local row), sequences flow spool ->
+        #    SegmentIndexBuilder in SEQUENCE_BATCH batches, and raw genomes
+        #    never accumulate in RAM (reference preprocessor.cpp:255-333).
         key_by_row = [self._normalize(row.get(primary_key)) for row in rows]
+        assignment: list[tuple[int, int]] = [(0, 0)] * len(rows)
+        for pid, row_ids in enumerate(row_ids_per_partition):
+            for local_row, i in enumerate(row_ids):
+                assignment[i] = (pid, local_row)
 
-        def fill_segment(kind: str, name: str, reference_ids, lookup):
+        def fill_segment(kind: str, name: str, reference_ids, spool: SequenceSpool):
             for pid, partition in enumerate(partitions):
                 builder = SegmentIndexBuilder(
                     NUCLEOTIDE if kind == "nuc" else AMINO_ACID,
                     reference_ids,
                     partition.sequence_count,
                 )
-                row_ids = row_ids_per_partition[pid]
-                for start in range(0, len(row_ids), SEQUENCE_BATCH):
-                    batch = [lookup(i) for i in row_ids[start : start + SEQUENCE_BATCH]]
+                batch: list[str | None] = []
+                for seq in spool.iter_rows(pid, partition.sequence_count):
+                    batch.append(seq)
+                    if len(batch) >= SEQUENCE_BATCH:
+                        builder.add_batch(batch)
+                        batch = []
+                if batch:
                     builder.add_batch(batch)
                 segment = builder.finish()
                 if kind == "nuc":
                     partition.nuc_sequences[name] = segment
                 else:
                     partition.aa_sequences[name] = segment
+            spool.cleanup()
+
+        def spool_fasta(path_no_ext: str, tag: str, dictionary: bytes,
+                        required_error: str | None) -> SequenceSpool | None:
+            """Stream a FASTA file (keyed by primary key) into a per-
+            partition spool; None if the file is absent and optional."""
+            stream = readers.open_maybe_compressed(path_no_ext)
+            if stream is None:
+                if required_error is not None:
+                    raise PreprocessingError(required_error)
+                return None
+            key_to_slot = {key_by_row[i]: assignment[i] for i in range(len(rows))}
+            spool = SequenceSpool(tmpdir, tag, n_partitions, dictionary)
+            with stream:
+                for key, seq in readers.iter_fasta(stream):
+                    slot = key_to_slot.get(key)
+                    if slot is not None:
+                        spool.add(slot[0], slot[1], seq)
+            spool.finish_writes()
+            return spool
+
+        def routed(global_spool: SequenceSpool, tag: str) -> SequenceSpool:
+            per_part = SequenceSpool(
+                tmpdir, tag, n_partitions, global_spool.dictionary)
+            global_spool.route(per_part, assignment)
+            global_spool.cleanup()
+            return per_part
 
         if ndjson_sequences is not None:
-            for (kind, name), seq_list in ndjson_sequences.items():
+            for (kind, name), global_spool in ndjson_sequences.items():
                 reference_ids = (
                     reference_genomes.nucleotide_ids[name]
                     if kind == "nuc"
                     else reference_genomes.aa_ids[name]
                 )
-                fill_segment(kind, name, reference_ids, lambda i, s=seq_list: s[i])
+                fill_segment(kind, name, reference_ids,
+                             routed(global_spool, f"r_{kind}_{name}"))
         else:
             for name, reference_ids in reference_genomes.nucleotide_ids.items():
-                fasta = readers.read_fasta_file(self.pcfg.nuc_filename_no_extension(name))
-                if fasta is None:
-                    raise PreprocessingError(
-                        f"Missing aligned nucleotide sequence file for '{name}'"
-                    )
-                fill_segment("nuc", name, reference_ids,
-                             lambda i, f=fasta: f.get(key_by_row[i]))
-            for name, reference_ids in reference_genomes.aa_ids.items():
-                fasta = readers.read_fasta_file(self.pcfg.gene_filename_no_extension(name))
-                if fasta is None:
-                    raise PreprocessingError(f"Missing gene sequence file for '{name}'")
-                fill_segment("aa", name, reference_ids,
-                             lambda i, f=fasta: f.get(key_by_row[i]))
-
-        # Unaligned nucleotide sequences (lazy store for the Fasta action).
-        for name, reference in reference_genomes.raw_nucleotide_sequences.items():
-            if ndjson_unaligned is not None:
-                seq_list = ndjson_unaligned.get(name)
-                get = (lambda i, s=seq_list: s[i]) if seq_list else (lambda i: None)
-            else:
-                fasta = readers.read_fasta_file(
-                    self.pcfg.unaligned_nuc_filename_no_extension(name)
+                ref = reference_genomes.raw_nucleotide_sequences[name].encode("ascii")
+                spool = spool_fasta(
+                    self.pcfg.nuc_filename_no_extension(name), f"r_nuc_{name}", ref,
+                    f"Missing aligned nucleotide sequence file for '{name}'",
                 )
-                if fasta is None:
-                    get = lambda i: None  # noqa: E731
-                else:
-                    get = lambda i, f=fasta: f.get(key_by_row[i])  # noqa: E731
+                fill_segment("nuc", name, reference_ids, spool)
+            for name, reference_ids in reference_genomes.aa_ids.items():
+                ref = reference_genomes.raw_aa_sequences[name].encode("ascii")
+                spool = spool_fasta(
+                    self.pcfg.gene_filename_no_extension(name), f"r_aa_{name}", ref,
+                    f"Missing gene sequence file for '{name}'",
+                )
+                fill_segment("aa", name, reference_ids, spool)
+
+        # Unaligned nucleotide sequences (lazy store for the Fasta action):
+        # blobs move spool -> store verbatim (same zstd dictionary).
+        for name, reference in reference_genomes.raw_nucleotide_sequences.items():
+            ref = reference.encode("ascii")
+            if ndjson_unaligned is not None:
+                spool = routed(ndjson_unaligned[name], f"r_unc_{name}")
+            else:
+                spool = spool_fasta(
+                    self.pcfg.unaligned_nuc_filename_no_extension(name),
+                    f"r_unc_{name}", ref, None,
+                )
             stores = []
             for pid, partition in enumerate(partitions):
                 store = UnalignedPartitionStore(reference)
-                for i in row_ids_per_partition[pid]:
-                    store.add(get(i))
+                blobs = spool.read_partition(pid) if spool is not None else {}
+                for local_row in range(partition.sequence_count):
+                    store.add_compressed(blobs.get(local_row))
                 stores.append(store)
+            if spool is not None:
+                spool.cleanup()
             db.unaligned_nuc_sequences[name] = stores
 
         for partition in partitions:

@@ -14,23 +14,33 @@ import os
 from ..common import zstd
 
 
+def open_text_stream(path: str, encoding: str = "ascii") -> io.TextIOBase | None:
+    """Open <path> as a STREAMING text file, decompressing .zst/.xz
+    incrementally (never materializing the whole input); None if absent."""
+    if not os.path.exists(path):
+        return None
+    if path.endswith(".zst"):
+        return zstd.open_zst_text(path, encoding=encoding)
+    if path.endswith(".xz"):
+        return lzma.open(path, "rt", encoding=encoding)
+    return open(path, encoding=encoding)
+
+
 def open_maybe_compressed(path_no_ext: str, extension: str = ".fasta") -> io.TextIOBase | None:
-    """Try <p><ext>, <p><ext>.zst, <p><ext>.xz; None if none exist."""
+    """Try <p><ext>, <p><ext>.zst, <p><ext>.xz; None if none exist.
+    Streaming for every flavor (reference input_stream_wrapper.cpp probes
+    the same suffixes and wraps a decompressing stream)."""
     base = path_no_ext + extension
-    if os.path.exists(base):
-        return open(base, encoding="ascii")
-    if os.path.exists(base + ".zst"):
-        with open(base + ".zst", "rb") as f:
-            return io.StringIO(zstd.decompress(f.read()).decode("ascii"))
-    if os.path.exists(base + ".xz"):
-        with lzma.open(base + ".xz", "rt", encoding="ascii") as f:
-            return io.StringIO(f.read())
+    for candidate in (base, base + ".zst", base + ".xz"):
+        stream = open_text_stream(candidate)
+        if stream is not None:
+            return stream
     return None
 
 
-def read_fasta(stream: io.TextIOBase) -> dict[str, str]:
-    """FASTA -> {key: sequence}. Multi-line sequences are concatenated."""
-    result: dict[str, str] = {}
+def iter_fasta(stream: io.TextIOBase):
+    """Streaming FASTA records: yields (key, sequence) pairs one at a time.
+    Multi-line sequences are concatenated."""
     key: str | None = None
     parts: list[str] = []
     for line in stream:
@@ -39,14 +49,19 @@ def read_fasta(stream: io.TextIOBase) -> dict[str, str]:
             continue
         if line.startswith(">"):
             if key is not None:
-                result[key] = "".join(parts)
+                yield key, "".join(parts)
             key = line[1:].strip()
             parts = []
         else:
             parts.append(line)
     if key is not None:
-        result[key] = "".join(parts)
-    return result
+        yield key, "".join(parts)
+
+
+def read_fasta(stream: io.TextIOBase) -> dict[str, str]:
+    """FASTA -> {key: sequence} (whole-file form; large inputs should use
+    iter_fasta)."""
+    return dict(iter_fasta(stream))
 
 
 def read_fasta_file(path_no_ext: str) -> dict[str, str] | None:

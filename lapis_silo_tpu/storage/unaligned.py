@@ -25,6 +25,11 @@ class UnalignedPartitionStore:
         else:
             self.blobs.append(self._compressor.compress(sequence.encode("ascii")))
 
+    def add_compressed(self, blob: bytes | None):
+        """Append an already-compressed blob (must use this store's
+        reference sequence as dictionary — the ingest spool does)."""
+        self.blobs.append(blob)
+
     def get(self, row: int) -> str | None:
         blob = self.blobs[row]
         if blob is None:

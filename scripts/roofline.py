@@ -33,19 +33,18 @@ def main():
     filters = jax.device_put(
         rng.integers(0, 2**32, size=(1, n_words), dtype=np.uint32))
 
-    sweep = [(256, None), (512, None), (1024, 512), (512, 1024), (256, 512),
-             (1024, None)]
-    for row_block, word_block in sweep:
+    sweep = [(256, None, True), (256, None, False), (512, None, True)]
+    for row_block, word_block, use_csa in sweep:
         if n_stored % row_block or (word_block and n_words % word_block):
             continue
 
         @functools.partial(jax.jit, static_argnums=())
-        def repeat(bank, filters, rb=row_block, wb=word_block):
+        def repeat(bank, filters, rb=row_block, wb=word_block, csa=use_csa):
             def body(i, acc):
                 # vary the filter per iteration so XLA cannot CSE the calls
                 f = filters ^ i.astype(jnp.uint32)
                 counts = pk.mutation_counts_banked(bank, f, 0, n_stored, n_words,
-                                                   rb, wb)
+                                                   rb, wb, csa)
                 return acc + counts.sum(dtype=jnp.int32)
 
             return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
@@ -61,7 +60,7 @@ def main():
         best = min(times[1:])
         per_iter = best / iters
         bw = bank.nbytes / per_iter / 1e9
-        print(f"rb={row_block} wb={word_block}: best per-iter "
+        print(f"rb={row_block} wb={word_block} csa={use_csa}: best per-iter "
               f"{per_iter * 1e3:.2f} ms, effective {bw:.0f} GB/s "
               f"(result={result})", flush=True)
 

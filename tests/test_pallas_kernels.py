@@ -18,6 +18,34 @@ def test_popcount_rows_matches_numpy():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("use_csa", [False, True])
+def test_mutation_counts_banked_matches_numpy(use_csa):
+    """Banked kernel (naive and Harley-Seal CSA forms) vs numpy, over a
+    multi-partition bank with a non-zero row offset and a multi-block word
+    axis (so the CSA accumulators carry across grid steps)."""
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(1)
+    row_block, word_block = 8, 2048
+    n_partitions, n_rows, n_words = 2, 4 * row_block, 3 * word_block
+    bank = rng.integers(0, 2**32, size=(n_partitions, n_rows, n_words),
+                        dtype=np.uint32)
+    filters = rng.integers(0, 2**32, size=(n_partitions, n_words),
+                           dtype=np.uint32)
+    start, n_seg = row_block, 2 * row_block
+    got = np.asarray(pk.mutation_counts_banked(
+        bank, filters, start, n_seg, n_words, row_block, word_block,
+        use_csa, True,
+    ))
+    want = (
+        np.bitwise_count(bank[:, start:start + n_seg] & filters[:, None, :])
+        .sum(axis=(0, 2)).astype(np.int32)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pad_to_blocks():
     from lapis_silo_tpu.ops import pallas_kernels as pk
 
