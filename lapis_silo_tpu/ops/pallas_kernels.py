@@ -124,9 +124,12 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
     bank [P, R, W] stays in HBM; the kernel streams row_block x word_block
     tiles through VMEM against the per-partition filter. `start` must be
     row_block-aligned (DeviceEngine aligns segment offsets), W must be a
-    lane multiple. When the word block splits into 16 lane-aligned chunks
-    the kernel uses the Harley-Seal CSA popcount (see _harley_seal_16);
-    `use_csa` forces either form (for A/B benchmarking).
+    lane multiple. `use_csa=True` selects the Harley-Seal CSA popcount
+    (see _harley_seal_16) — measured on v5e the naive form already runs
+    DMA-bound at ~91% of HBM peak (747 GB/s) and CSA is marginally slower
+    (722 GB/s, scratch traffic with no VPU bottleneck to relieve), so the
+    default is the naive form; CSA stays for A/B on future hardware where
+    the VPU/HBM ratio differs.
     """
     n_partitions = bank.shape[0]
     start_block = start // row_block
@@ -141,7 +144,8 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
         )
     assert n_words % word_block == 0 and word_block % 128 == 0, (n_words, word_block)
     if use_csa is None:
-        use_csa = word_block % (_CSA_GROUP * 128) == 0
+        use_csa = False
+    assert not use_csa or word_block % (_CSA_GROUP * 128) == 0, word_block
     # reduction axes (partition, word-block) innermost so each output block's
     # revisits are consecutive
     n_j = n_words // word_block

@@ -20,8 +20,10 @@ same merge code paths are exercised in-process by the test harness.
 from __future__ import annotations
 
 import json
+import logging
 import math
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -40,7 +42,14 @@ from ..query.errors import QueryParseError
 
 def execute_partial(database, query_string: str) -> dict:
     """Run the filter on all local partitions and reduce the action to a
-    mergeable partial."""
+    mergeable partial. The partial carries the host's data version so the
+    coordinator can detect (and wait out) a mid-flip inconsistency."""
+    partial = _execute_partial(database, query_string)
+    partial["dataVersion"] = database.data_version.value
+    return partial
+
+
+def _execute_partial(database, query_string: str) -> dict:
     query = Query(query_string)
     action = query.action
     engine = database._engine
@@ -252,52 +261,252 @@ def _merge_sorted_rows(database, action, partials) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+class StagedSnapshotWatcher:
+    """Phase 1 of the two-phase multi-host version flip (SURVEY §5.3/§2.10:
+    all hosts of a slice must start serving a new snapshot version together;
+    the reference, being single-node, has no analog). Polls this host's
+    data directory like the single-host watcher, but loads the newest
+    snapshot into a *staging* slot without serving it; `commit(v)` (phase 2,
+    broadcast by the FlipController once every host has v) atomically
+    publishes the staged database to the serving mutex. A host that
+    restarts simply re-stages the newest snapshot and is re-committed on
+    the controller's next poll — that is the failed-host re-load path."""
+
+    def __init__(self, data_directory: str, mutex, poll_seconds: float = 2.0):
+        from ..storage import snapshot as snapshot_mod
+
+        self._snapshot = snapshot_mod
+        self.data_directory = data_directory
+        self.mutex = mutex
+        self.poll_seconds = poll_seconds
+        self._lock = threading.Lock()
+        self._staged: tuple[str, object] | None = None
+        self._serving_version = ""
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="silo-staged-watcher")
+
+    def start(self):
+        self.check_once()
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+
+    def _run(self):
+        while not self._stop.wait(self.poll_seconds):
+            self.check_once()
+
+    def check_once(self):
+        try:
+            newest = self._snapshot.find_newest_snapshot(self.data_directory)
+            if newest is None:
+                return
+            version = newest.rstrip("/").rsplit("/", 1)[-1]
+            with self._lock:
+                staged_version = self._staged[0] if self._staged else ""
+                if version <= max(self._serving_version, staged_version):
+                    return
+            database = self._snapshot.load_database(newest)
+            with self._lock:
+                self._staged = (version, database)
+        except Exception:  # parity: a bad snapshot never kills the host
+            logging.getLogger(__name__).exception(
+                "staging snapshot failed; keeping current state")
+
+    def versions(self) -> dict:
+        with self._lock:
+            return {
+                "serving": self._serving_version,
+                "staged": self._staged[0] if self._staged else "",
+            }
+
+    def commit(self, version: str) -> bool:
+        with self._lock:
+            if version == self._serving_version:
+                return True  # idempotent re-commit
+            if self._staged is None or self._staged[0] != version:
+                return False
+            _, database = self._staged
+            self.mutex.set_database(database)
+            self._serving_version = version
+            self._staged = None
+            return True
+
+
 class WorkerHandler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
-    database = None
+    mutex = None                 # DatabaseMutex-like: .get_database()
+    watcher = None               # StagedSnapshotWatcher | None (fixed worker)
 
     def log_message(self, *args):
         pass
 
-    def do_GET(self):
-        if self.path != "/internal/info":
-            self.send_error(404)
-            return
-        body = json.dumps(self.database.info()).encode()
-        self.send_response(200)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
-
-    def do_POST(self):
-        if self.path != "/internal/partial":
-            self.send_error(404)
-            return
-        length = int(self.headers.get("Content-Length", 0))
-        query = self.rfile.read(length).decode("utf-8")
-        try:
-            body = json.dumps(execute_partial(self.database, query)).encode()
-            status = 200
-        except QueryParseError as ex:
-            body = json.dumps({"error": "Bad request", "message": str(ex)}).encode()
-            status = 400
-        except Exception as ex:  # noqa: BLE001
-            body = json.dumps({"error": "Internal Server Error",
-                               "message": str(ex)}).encode()
-            status = 500
+    def _send_json(self, status: int, payload: dict):
+        body = json.dumps(payload).encode()
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
 
+    def do_GET(self):
+        if self.path == "/internal/info":
+            self._send_json(200, self.mutex.get_database().info())
+        elif self.path == "/internal/version":
+            if self.watcher is not None:
+                self._send_json(200, self.watcher.versions())
+            else:
+                version = self.mutex.get_database().data_version.value
+                self._send_json(200, {"serving": version, "staged": ""})
+        else:
+            self.send_error(404)
+
+    def do_POST(self):
+        if self.path == "/internal/commit":
+            length = int(self.headers.get("Content-Length", 0))
+            version = json.loads(self.rfile.read(length))["version"]
+            if self.watcher is not None:
+                committed = self.watcher.commit(version)
+            else:  # fixed worker: "committed" iff it already serves that version
+                committed = self.mutex.get_database().data_version.value == version
+            self._send_json(200 if committed else 409, {"committed": committed})
+            return
+        if self.path != "/internal/partial":
+            self.send_error(404)
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        query = self.rfile.read(length).decode("utf-8")
+        try:
+            body_payload = execute_partial(self.mutex.get_database(), query)
+            status = 200
+        except QueryParseError as ex:
+            body_payload = {"error": "Bad request", "message": str(ex)}
+            status = 400
+        except Exception as ex:  # noqa: BLE001
+            body_payload = {"error": "Internal Server Error", "message": str(ex)}
+            status = 500
+        self._send_json(status, body_payload)
+
+
+class _FixedMutex:
+    """get_database() over an immutable database (fixed single-snapshot
+    workers, the pre-flip deployment mode)."""
+
+    def __init__(self, database):
+        self._database = database
+
+    def get_database(self):
+        return self._database
+
+    def set_database(self, database):
+        self._database = database
+
 
 def start_worker(database, port: int = 0) -> ThreadingHTTPServer:
-    handler = type("BoundWorkerHandler", (WorkerHandler,), {"database": database})
+    handler = type("BoundWorkerHandler", (WorkerHandler,),
+                   {"mutex": _FixedMutex(database), "watcher": None})
     server = ThreadingHTTPServer(("0.0.0.0", port), handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server
+
+
+def start_replicated_worker(data_directory: str, port: int = 0,
+                            poll_seconds: float = 2.0,
+                            start_watcher: bool = True):
+    """A worker that hot-reloads its shard's snapshots under coordinated
+    flips. Returns (server, watcher, mutex); the worker serves an empty
+    database until the controller commits the first version."""
+    from ..server.http_server import DatabaseMutex
+
+    mutex = DatabaseMutex()
+    watcher = StagedSnapshotWatcher(data_directory, mutex, poll_seconds)
+    if start_watcher:
+        watcher.start()
+    handler = type("BoundWorkerHandler", (WorkerHandler,),
+                   {"mutex": mutex, "watcher": watcher})
+    server = ThreadingHTTPServer(("0.0.0.0", port), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, watcher, mutex
+
+
+class FlipController:
+    """Phase 2 of the coordinated version flip: polls every host's
+    (serving, staged) versions; when all hosts have the SAME newest version
+    available, broadcasts commit so the slice flips together. Hosts whose
+    newest differs (one shard directory written, another not yet) block the
+    flip — queries keep answering from the old consistent version."""
+
+    def __init__(self, worker_urls: list[str],
+                 local_watcher: StagedSnapshotWatcher | None = None,
+                 poll_seconds: float = 2.0):
+        self.worker_urls = worker_urls
+        self.local_watcher = local_watcher
+        self.poll_seconds = poll_seconds
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="silo-flip-controller")
+
+    def start(self):
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+
+    def _run(self):
+        while not self._stop.wait(self.poll_seconds):
+            try:
+                self.check_once()
+            except Exception:  # noqa: BLE001 — keep polling through failures
+                logging.getLogger(__name__).exception("flip poll failed")
+
+    def _worker_versions(self, url: str) -> dict:
+        import urllib.request
+
+        with urllib.request.urlopen(url + "/internal/version", timeout=10) as resp:
+            return json.loads(resp.read())
+
+    def _worker_commit(self, url: str, version: str) -> bool:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url + "/internal/commit",
+            data=json.dumps({"version": version}).encode(), method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return json.loads(resp.read()).get("committed", False)
+        except urllib.error.HTTPError as err:
+            err.read()
+            return False
+
+    def check_once(self) -> str | None:
+        """One poll: returns the committed version if a flip happened."""
+        states = []
+        try:
+            for url in self.worker_urls:
+                states.append(self._worker_versions(url))
+        except Exception:  # a host is down: never flip the others without it
+            return None
+        if self.local_watcher is not None:
+            states.append(self.local_watcher.versions())
+        if not states:
+            return None
+        target = min(max(s["serving"], s["staged"]) for s in states)
+        if not target or all(s["serving"] == target for s in states):
+            return None
+        # every host must actually hold the target version
+        if any(target not in (s["serving"], s["staged"]) for s in states):
+            return None
+        ok = all(self._worker_commit(url, target) for url in self.worker_urls)
+        if self.local_watcher is not None:
+            ok = self.local_watcher.commit(target) and ok
+        if not ok:
+            logging.getLogger(__name__).warning(
+                "partial flip to %s; will re-commit next poll", target)
+            return None
+        logging.getLogger(__name__).info("slice flipped to version %s", target)
+        return target
 
 
 class Coordinator:
@@ -305,12 +514,42 @@ class Coordinator:
     and merges partials. Worker errors propagate: a 400 re-raises as
     QueryParseError so the API layer answers exactly like single-host."""
 
-    def __init__(self, database, worker_urls: list[str], include_local: bool = True):
-        self.database = database
+    def __init__(self, database, worker_urls: list[str], include_local: bool = True,
+                 flip_retries: int = 5, flip_retry_seconds: float = 0.5):
+        # `database` may be a Database or a mutex-like with get_database()
+        # (hot-reloading deployments).
+        self._database_source = database
         self.worker_urls = worker_urls
-        self.include_local = include_local and bool(database.partitions)
+        self._include_local_requested = include_local
+        self.flip_retries = flip_retries
+        self.flip_retry_seconds = flip_retry_seconds
+
+    @property
+    def database(self):
+        src = self._database_source
+        return src.get_database() if hasattr(src, "get_database") else src
+
+    @property
+    def include_local(self):
+        return self._include_local_requested and bool(self.database.partitions)
 
     def execute_query(self, query_string: str) -> dict:
+        """Fan out + merge; during a version flip hosts may briefly disagree
+        on data version — partials are version-checked and the fan-out
+        retried until the slice is consistent again."""
+        last_error = None
+        for _ in range(self.flip_retries):
+            partials = self._gather_partials(query_string)
+            versions = {p.get("dataVersion", "") for p in partials}
+            if len(versions) <= 1:
+                return merge_partials(self.database, query_string, partials)
+            last_error = RuntimeError(
+                f"hosts disagree on data version {sorted(versions)}; "
+                "flip in progress")
+            time.sleep(self.flip_retry_seconds)
+        raise last_error
+
+    def _gather_partials(self, query_string: str) -> list[dict]:
         import urllib.request
 
         # Coordinator's local partitions are host 0 (first in global
@@ -355,7 +594,7 @@ class Coordinator:
             # never silently undercount: a missing partial with no recorded
             # error is still a failed host
             raise RuntimeError("worker returned no partial result")
-        return merge_partials(self.database, query_string, partials)
+        return partials
 
     def info(self) -> dict:
         import urllib.request

@@ -148,7 +148,10 @@ def save_database(db: Database, output_directory: str) -> str:
     with open(os.path.join(tmp_dir, "dictionaries.json"), "w") as f:
         json.dump(dictionaries, f)
 
-    for partition in db.partitions:
+    # Partition ids may be global while this database holds only a shard of
+    # them (multi-host: each host snapshots its own partitions) — store
+    # lists are indexed by LOCAL position, file names by global id.
+    for local_idx, partition in enumerate(db.partitions):
         pid = partition.partition_id
         column_arrays = {}
         for name, column in partition.columns.items():
@@ -165,7 +168,7 @@ def save_database(db: Database, output_directory: str) -> str:
                     os.path.join(tmp_dir, f"P{pid}_{kind}_{name}"), segment
                 )
         for name, stores in db.unaligned_nuc_sequences.items():
-            store = stores[pid]
+            store = stores[local_idx]
             blob = b"".join(b or b"" for b in store.blobs)
             offsets = np.zeros(len(store.blobs) + 1, dtype=np.int64)
             present = np.zeros(len(store.blobs), dtype=bool)

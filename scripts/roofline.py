@@ -1,10 +1,15 @@
-"""Mutations-kernel roofline microbench: K kernel invocations inside one
-jit so the per-dispatch relay RTT amortizes away.
+"""Mutations-kernel roofline microbench, RTT-free.
 
-  python scripts/roofline.py [rows] [n_stored_rows] [iters]
+A single timed dispatch through the loopback relay carries ~25-28 ms of
+round-trip latency, which at 16 in-jit iterations adds ~1.7 ms/iter — enough
+to misread a DMA-bound kernel as "50% of peak" (that happened; see
+BENCHMARKS.md). This script times the SAME kernel at two iteration counts
+and reports the slope (t_hi - t_lo) / (iters_hi - iters_lo): the dispatch
+overhead cancels exactly.
+
+  python scripts/roofline.py [rows] [n_stored_rows]
 """
 
-import functools
 import os
 import sys
 import time
@@ -16,11 +21,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+ITERS_LO, ITERS_HI = 16, 48
+
 
 def main():
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     n_stored = int(sys.argv[2]) if len(sys.argv) > 2 else 90112
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
     from lapis_silo_tpu.ops import pallas_kernels as pk
 
@@ -33,36 +39,41 @@ def main():
     filters = jax.device_put(
         rng.integers(0, 2**32, size=(1, n_words), dtype=np.uint32))
 
-    sweep = [(256, None, True), (256, None, False), (512, None, True)]
-    for row_block, word_block, use_csa in sweep:
-        if n_stored % row_block or (word_block and n_words % word_block):
-            continue
-
-        @functools.partial(jax.jit, static_argnums=())
-        def repeat(bank, filters, rb=row_block, wb=word_block, csa=use_csa):
+    def make(iters, rb, wb, csa):
+        @jax.jit
+        def repeat(bank, filters):
             def body(i, acc):
                 # vary the filter per iteration so XLA cannot CSE the calls
                 f = filters ^ i.astype(jnp.uint32)
-                counts = pk.mutation_counts_banked(bank, f, 0, n_stored, n_words,
-                                                   rb, wb, csa)
+                counts = pk.mutation_counts_banked(
+                    bank, f, 0, n_stored, n_words, rb, wb, csa)
                 return acc + counts.sum(dtype=jnp.int32)
 
             return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-        times = []
-        result = 0
-        for k in range(4):
-            f_k = jax.device_put(
-                rng.integers(0, 2**32, size=(1, n_words), dtype=np.uint32))
-            t0 = time.perf_counter()
-            result = int(repeat(bank_dev, f_k))  # force the value to the host
-            times.append(time.perf_counter() - t0)
-        best = min(times[1:])
-        per_iter = best / iters
+        return repeat
+
+    sweep = [(256, None, False), (256, None, True), (512, None, False)]
+    for row_block, word_block, use_csa in sweep:
+        if n_stored % row_block or (word_block and n_words % word_block):
+            continue
+        best = {}
+        for iters in (ITERS_LO, ITERS_HI):
+            fn = make(iters, row_block, word_block, use_csa)
+            t_best = float("inf")
+            for k in range(4):
+                t0 = time.perf_counter()
+                result = int(fn(bank_dev, filters))  # force to host
+                if k:  # first call pays the compile
+                    t_best = min(t_best, time.perf_counter() - t0)
+            best[iters] = t_best
+        per_iter = (best[ITERS_HI] - best[ITERS_LO]) / (ITERS_HI - ITERS_LO)
         bw = bank.nbytes / per_iter / 1e9
-        print(f"rb={row_block} wb={word_block} csa={use_csa}: best per-iter "
-              f"{per_iter * 1e3:.2f} ms, effective {bw:.0f} GB/s "
-              f"(result={result})", flush=True)
+        print(f"rb={row_block} wb={word_block} csa={use_csa}: compute "
+              f"{per_iter * 1e3:.3f} ms/iter = {bw:.0f} GB/s "
+              f"(t{ITERS_LO}={best[ITERS_LO]*1e3:.1f}ms "
+              f"t{ITERS_HI}={best[ITERS_HI]*1e3:.1f}ms, result={result})",
+              flush=True)
 
 
 if __name__ == "__main__":
