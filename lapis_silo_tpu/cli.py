@@ -74,12 +74,95 @@ def handle_api(args) -> int:
     return 0
 
 
+def handle_worker(args) -> int:
+    """One pod host: serves /internal/* (partials, version, commit) over its
+    shard's data directory; snapshot versions go live only when the
+    coordinator's FlipController commits them (SURVEY §5.3)."""
+    import time
+
+    from .parallel.multihost import start_replicated_worker
+    from .server.runtime_config import RuntimeConfig
+
+    runtime = RuntimeConfig.read(args.runtimeConfig)
+    if args.dataDirectory:
+        runtime.data_directory = args.dataDirectory
+    port = args.port or 8082
+    server, watcher, _mutex = start_replicated_worker(
+        runtime.data_directory, port)
+    logging.getLogger(__name__).info(
+        "worker on :%d, staging snapshots from %s", port, runtime.data_directory)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        watcher.stop()
+        server.shutdown()
+    return 0
+
+
+def handle_coordinator(args) -> int:
+    """The slice front-end: public /query + /info fan out to workers (plus
+    this host's own shard when --dataDirectory is given); the embedded
+    FlipController keeps all hosts on one snapshot version."""
+    from .parallel.multihost import (
+        Coordinator,
+        FlipController,
+        StagedSnapshotWatcher,
+    )
+    from .server.http_server import DatabaseMutex, make_coordinator_server
+    from .server.runtime_config import RuntimeConfig
+
+    worker_urls = [u.strip() for u in (args.workerUrls or "").split(",")
+                   if u.strip()]
+    if not worker_urls:
+        raise SystemExit("--coordinator requires --workerUrls url1,url2,...")
+    runtime = RuntimeConfig.read(args.runtimeConfig)
+    if args.dataDirectory:
+        runtime.data_directory = args.dataDirectory
+    if args.port:
+        runtime.port = args.port
+
+    mutex = DatabaseMutex()
+    local_watcher = None
+    if runtime.data_directory:
+        local_watcher = StagedSnapshotWatcher(runtime.data_directory, mutex)
+        local_watcher.start()
+    controller = FlipController(worker_urls, local_watcher=local_watcher)
+    controller.start()
+    coordinator = Coordinator(mutex, worker_urls,
+                              include_local=local_watcher is not None)
+    server = make_coordinator_server(coordinator, runtime.port)
+    logging.getLogger(__name__).info(
+        "coordinator on :%d over %d workers%s", runtime.port, len(worker_urls),
+        f" + local shard {runtime.data_directory}" if local_watcher else "")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        controller.stop()
+        if local_watcher is not None:
+            local_watcher.stop()
+        server.server_close()
+    return 0
+
+
 def main(argv=None) -> int:
     setup_logging()
     parser = argparse.ArgumentParser(prog="lapis-silo-tpu")
     parser.add_argument("--api", action="store_true", help="run the HTTP API server")
     parser.add_argument("--preprocessing", action="store_true",
                         help="ingest input data and write a snapshot")
+    parser.add_argument("--worker", action="store_true",
+                        help="run a multi-host shard worker (staged hot reload, "
+                             "flips committed by the coordinator)")
+    parser.add_argument("--coordinator", action="store_true",
+                        help="run the multi-host coordinator: public /query + "
+                             "/info over all workers (and this host's own shard)")
+    parser.add_argument("--workerUrls", default=None,
+                        help="comma-separated worker base URLs (coordinator mode)")
     parser.add_argument("--preprocessingConfig", default=None)
     parser.add_argument("--databaseConfig", default=None)
     parser.add_argument("--runtimeConfig", default=None)
@@ -91,7 +174,11 @@ def main(argv=None) -> int:
         return handle_preprocessing(args)
     if args.api:
         return handle_api(args)
-    parser.error("specify --api or --preprocessing")
+    if args.worker:
+        return handle_worker(args)
+    if args.coordinator:
+        return handle_coordinator(args)
+    parser.error("specify --api, --preprocessing, --worker or --coordinator")
     return 2
 
 

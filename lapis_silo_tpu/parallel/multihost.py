@@ -353,6 +353,8 @@ class WorkerHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/internal/info":
             self._send_json(200, self.mutex.get_database().info())
+        elif self.path == "/internal/detailed_info":
+            self._send_json(200, self.mutex.get_database().detailed_info())
         elif self.path == "/internal/version":
             if self.watcher is not None:
                 self._send_json(200, self.watcher.versions())
@@ -607,3 +609,34 @@ class Coordinator:
             for key in total:
                 total[key] += info.get(key, 0)
         return total
+
+    def detailed_info(self) -> dict:
+        """/info?details=true across the slice: numeric leaves (byte
+        counts, per-section sizes) sum across hosts, structure and string
+        leaves are identical everywhere."""
+        import urllib.request
+
+        parts = [self.database.detailed_info()] if self.include_local else []
+        for url in self.worker_urls:
+            with urllib.request.urlopen(url + "/internal/detailed_info") as resp:
+                parts.append(json.loads(resp.read()))
+        merged = parts[0]
+        for part in parts[1:]:
+            merged = _sum_numeric_tree(merged, part)
+        return merged
+
+
+def _sum_numeric_tree(a, b):
+    if isinstance(a, dict):
+        return {k: _sum_numeric_tree(a[k], b[k]) if k in b else a[k]
+                for k in a}
+    if isinstance(a, list):
+        if len(a) != len(b):  # ragged across hosts (different lengths): keep longer
+            longer, shorter = (a, b) if len(a) >= len(b) else (b, a)
+            return [_sum_numeric_tree(longer[i], shorter[i])
+                    if i < len(shorter) else longer[i]
+                    for i in range(len(longer))]
+        return [_sum_numeric_tree(x, y) for x, y in zip(a, b)]
+    if isinstance(a, bool) or not isinstance(a, (int, float)):
+        return a
+    return a + b

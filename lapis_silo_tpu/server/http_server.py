@@ -130,3 +130,58 @@ def make_server(database_mutex: DatabaseMutex, port: int = 8081) -> ThreadingHTT
         "BoundSiloRequestHandler", (SiloRequestHandler,), {"database_mutex": database_mutex}
     )
     return ThreadingHTTPServer(("0.0.0.0", port), handler)
+
+
+class CoordinatorRequestHandler(SiloRequestHandler):
+    """The same public /query + /info protocol, answered by a multi-host
+    Coordinator (fan-out + merge) instead of a local database. The
+    data-version header is the slice's consistent version (the
+    coordinator rejects mixed-version fan-outs, parallel/multihost.py)."""
+
+    coordinator = None  # set by make_coordinator_server
+
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        if parsed.path == "/info":
+            try:
+                params = parse_qs(parsed.query)
+                detailed = params.get("details", ["false"])[0] == "true"
+                info = (self.coordinator.detailed_info() if detailed
+                        else self.coordinator.info())
+                version = self.coordinator.database.data_version.value
+                self._send_json(200, info, data_version=version)
+            except Exception as ex:  # noqa: BLE001
+                self._send_json(500, {"error": "Internal Server Error",
+                                      "message": str(ex)})
+            return
+        if parsed.path == "/query":
+            self._method_not_allowed()
+            return
+        self._not_found()
+
+    def do_POST(self):
+        parsed = urlparse(self.path)
+        if parsed.path == "/info":
+            self._method_not_allowed()
+            return
+        if parsed.path != "/query":
+            self._not_found()
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        query = self.rfile.read(length).decode("utf-8")
+        try:
+            result = self.coordinator.execute_query(query)
+            version = self.coordinator.database.data_version.value
+            self._send_json(200, result, data_version=version)
+        except QueryParseError as ex:
+            logger.info("Query is invalid: %s", query)
+            self._send_json(400, {"error": "Bad request", "message": str(ex)})
+        except Exception as ex:  # noqa: BLE001 — parity: 500 without crashing
+            logger.exception("coordinated query failed")
+            self._send_json(500, {"error": "Internal Server Error", "message": str(ex)})
+
+
+def make_coordinator_server(coordinator, port: int = 8081) -> ThreadingHTTPServer:
+    handler = type("BoundCoordinatorRequestHandler", (CoordinatorRequestHandler,),
+                   {"coordinator": coordinator})
+    return ThreadingHTTPServer(("0.0.0.0", port), handler)
