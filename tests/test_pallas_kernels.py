@@ -46,6 +46,31 @@ def test_mutation_counts_banked_matches_numpy(use_csa):
     np.testing.assert_array_equal(got, want)
 
 
+def test_sparse_filter_popcount_matches_numpy():
+    """Mosaic dynamic-gather sparse kernel vs numpy: multi-partition,
+    multi-chunk entry streams with zero-padded tails."""
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(7)
+    n_partitions, n_words = 3, 1024
+    e = 2 * pk.SPARSE_CHUNK
+    filters = rng.integers(0, 2**32, size=(n_partitions, n_words),
+                           dtype=np.uint32)
+    sp_idx = rng.integers(0, n_words, size=(n_partitions, e)).astype(np.int32)
+    sp_words = rng.integers(0, 2**32, size=(n_partitions, e), dtype=np.uint32)
+    # zero-padded tail like the assembled stream
+    sp_idx[:, -100:] = 0
+    sp_words[:, -100:] = 0
+    got = np.asarray(pk.sparse_filter_popcount(
+        filters, sp_idx, sp_words, interpret=True))
+    want = np.bitwise_count(
+        sp_words & np.take_along_axis(filters, sp_idx, axis=1)
+    ).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pad_to_blocks():
     from lapis_silo_tpu.ops import pallas_kernels as pk
 
