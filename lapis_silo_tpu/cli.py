@@ -17,11 +17,21 @@ import sys
 
 
 def setup_logging():
+    """Two-channel logging, parity with reference src/silo_api/logging.cpp:
+    daily-rotated logs/silo.log + stdout for the main channel, and a
+    dedicated performance logger into logs/performance.log. Level via the
+    SPDLOG_LEVEL env var like the reference."""
+    from logging.handlers import TimedRotatingFileHandler
+
+    fmt = "[%(asctime)s] [%(levelname)s] [%(name)s] %(message)s"
     logging.basicConfig(
-        level=os.environ.get("SPDLOG_LEVEL", "info").upper(),
-        format="[%(asctime)s] [%(levelname)s] [%(name)s] %(message)s",
+        level=os.environ.get("SPDLOG_LEVEL", "info").upper(), format=fmt
     )
     os.makedirs("logs", exist_ok=True)
+    silo_log = TimedRotatingFileHandler("logs/silo.log", when="midnight",
+                                        backupCount=14)
+    silo_log.setFormatter(logging.Formatter(fmt))
+    logging.getLogger().addHandler(silo_log)
     perf = logging.getLogger("lapis_silo_tpu.performance")
     handler = logging.FileHandler("logs/performance.log")
     handler.setFormatter(logging.Formatter("[%(asctime)s] %(message)s"))
