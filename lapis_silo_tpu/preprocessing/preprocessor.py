@@ -38,6 +38,7 @@ from . import readers
 from .partitioner import partition_keys, sort_key_nulls_first
 from .preprocessing_config import PreprocessingConfig
 from .spool import SequenceSpool
+from .table import MetadataTable
 
 logger = logging.getLogger(__name__)
 
@@ -75,14 +76,14 @@ class Preprocessor:
             dir=spool_parent if os.path.isdir(spool_parent) else None,
         ) as tmpdir:
             if self.pcfg.ndjson_input_filename:
-                rows, sequences, unaligned = self._load_ndjson(
+                table, sequences, unaligned = self._load_ndjson(
                     reference_genomes, tmpdir)
             else:
-                rows = self._load_metadata_tsv()
+                table = self._load_metadata_tsv()
                 sequences, unaligned = None, None
 
             db = self._build_database(
-                rows, alias_key, reference_genomes, sequences, unaligned, tmpdir
+                table, alias_key, reference_genomes, sequences, unaligned, tmpdir
             )
         db.data_version = DataVersion.mine()
         logger.info("preprocessing took %.1f s", time.time() - t0)
@@ -90,15 +91,31 @@ class Preprocessor:
 
     # -- inputs ---------------------------------------------------------------
 
-    def _load_metadata_tsv(self) -> list[dict]:
-        header, rows = readers.read_tsv(self.pcfg.metadata_path())
-        for metadata in self.config.schema.metadata:
-            if metadata.name not in header:
-                raise PreprocessingError(
-                    f"The metadata field '{metadata.name}' which is contained in the database "
-                    "config is not contained in the metadata file."
+    def _load_metadata_tsv(self) -> MetadataTable:
+        """Streams the TSV straight into a dictionary-encoded columnar
+        table: RAM scales with distinct values, not rows (the row-dict
+        form costs ~1.1 GB per million rows)."""
+        import csv
+
+        field_names = [m.name for m in self.config.schema.metadata]
+        with open(self.pcfg.metadata_path(), encoding="utf-8", newline="") as f:
+            reader = csv.reader(f, delimiter="\t")
+            header = next(reader)
+            for metadata in self.config.schema.metadata:
+                if metadata.name not in header:
+                    raise PreprocessingError(
+                        f"The metadata field '{metadata.name}' which is contained in the database "
+                        "config is not contained in the metadata file."
+                    )
+            col_idx = {name: header.index(name) for name in field_names}
+            table = MetadataTable(field_names)
+            for raw in reader:
+                if not raw:
+                    continue
+                table.append(
+                    lambda f, raw=raw: raw[col_idx[f]] if col_idx[f] < len(raw) else ""
                 )
-        return rows
+        return table
 
     def _load_ndjson(self, reference_genomes: ReferenceGenomes, tmpdir: str):
         """NDJSON line format (reference preprocessor.cpp:87-131):
@@ -110,7 +127,7 @@ class Preprocessor:
         import json
 
         path = self.pcfg.ndjson_path()
-        rows: list[dict] = []
+        table = MetadataTable([m.name for m in self.config.schema.metadata])
         nuc_names = list(reference_genomes.raw_nucleotide_sequences)
         gene_names = list(reference_genomes.raw_aa_sequences)
         sequences: dict[tuple[str, str], SequenceSpool] = {}
@@ -136,7 +153,7 @@ class Preprocessor:
                 if not line:
                     continue
                 record = json.loads(line)
-                if not rows:
+                if not table.n_rows:
                     # Validate sequence keys vs reference genomes on the first
                     # record (reference sequence_info.cpp:80-130).
                     for field_name, expected in (
@@ -170,8 +187,8 @@ class Preprocessor:
                             for ins in aa_ins.get(gene, []):
                                 parts.append(f"{gene}:{ins}")
                         metadata[field.name] = ",".join(parts)
-                row_id = len(rows)
-                rows.append(metadata)
+                row_id = table.n_rows
+                table.append_row_dict(metadata)
                 aligned = record.get("alignedNucleotideSequences", {})
                 for name in nuc_names:
                     sequences[("nuc", name)].add(0, row_id, aligned.get(name))
@@ -183,67 +200,77 @@ class Preprocessor:
                     unaligned[name].add(0, row_id, unaligned_seqs.get(name))
         for spool in (*sequences.values(), *unaligned.values()):
             spool.finish_writes()
-        return rows, sequences, unaligned
+        return table, sequences, unaligned
 
     # -- build ----------------------------------------------------------------
 
     def _normalize(self, value) -> str:
-        if value is None:
-            return ""
-        if isinstance(value, bool):
-            return "true" if value else "false"
-        return str(value)
+        from .table import normalize_value
+
+        return normalize_value(value)
 
     def _build_database(
         self,
-        rows: list[dict],
+        table: MetadataTable,
         alias_key: PangoLineageAliasLookup,
         reference_genomes: ReferenceGenomes,
         ndjson_sequences=None,
         ndjson_unaligned=None,
         tmpdir: str | None = None,
     ) -> Database:
+        import numpy as np
+
         config = self.config
         db = Database(config, alias_key, reference_genomes)
+        n_rows = table.n_rows
 
-        # 1. Partition assignment (partitioner.py).
+        # 1. Partition assignment (partitioner.py), vectorized over the
+        #    dictionary codes: counts come from one bincount, the
+        #    key->partition map is applied per CODE, not per row.
         partition_by = config.schema.partition_by
         if partition_by is not None:
-            def key_of(row):
-                value = self._normalize(row.get(partition_by))
-                return value if value != "" else None
-
-            counts: dict[object, int] = {}
-            for row in rows:
-                counts[key_of(row)] = counts.get(key_of(row), 0) + 1
-            ordered_keys = sorted(counts.items(), key=lambda kv: sort_key_nulls_first(kv[0]))
+            codes = table.codes(partition_by)
+            values = table.values[partition_by]
+            counts = np.bincount(codes, minlength=len(values))
+            items = [
+                ((values[c] if values[c] != "" else None), int(counts[c]))
+                for c in range(len(values)) if counts[c] > 0
+            ]
+            ordered_keys = sorted(items, key=lambda kv: sort_key_nulls_first(kv[0]))
             groups = partition_keys(ordered_keys)
             key_to_partition = {}
             for pid, group in enumerate(groups):
                 for key in group:
                     key_to_partition[key] = pid
             n_partitions = len(groups)
-            row_partition = [key_to_partition[key_of(row)] for row in rows]
+            code_to_partition = np.array(
+                [key_to_partition.get(values[c] if values[c] != "" else None, 0)
+                 for c in range(len(values))],
+                dtype=np.int32,
+            )
+            row_partition = code_to_partition[codes]
         else:
             n_partitions = 1
-            row_partition = [0] * len(rows)
+            row_partition = np.zeros(n_rows, dtype=np.int32)
 
         # 2. Row order within partitions: (date NULLS FIRST via 0-encoding,
-        #    primary key).
+        #    primary key) — one global stable lexsort, then split by
+        #    partition (relative order survives the split).
         primary_key = config.schema.primary_key
         date_to_sort_by = config.schema.date_to_sort_by
-        row_ids_per_partition: list[list[int]] = [[] for _ in range(n_partitions)]
-        for i, pid in enumerate(row_partition):
-            row_ids_per_partition[pid].append(i)
-
-        def order_key(i):
-            if date_to_sort_by is not None:
-                date = string_to_date(self._normalize(rows[i].get(date_to_sort_by)))
-                return (date, self._normalize(rows[i].get(primary_key)))
-            return (self._normalize(rows[i].get(primary_key)),)
-
-        for pid in range(n_partitions):
-            row_ids_per_partition[pid].sort(key=order_key)
+        pk_strings = table.strings(primary_key)
+        if date_to_sort_by is not None:
+            date_by_code = np.array(
+                [string_to_date(v) for v in table.values[date_to_sort_by]],
+                dtype=np.uint32,
+            )
+            date_values = date_by_code[table.codes(date_to_sort_by)]
+            order = np.lexsort((pk_strings, date_values))
+        else:
+            order = np.argsort(pk_strings, kind="stable")
+        row_ids_per_partition = [
+            order[row_partition[order] == pid] for pid in range(n_partitions)
+        ]
 
         # 3. Column skeletons with cross-partition dictionaries.
         pango_dicts = {}
@@ -290,15 +317,16 @@ class Preprocessor:
                     raise PreprocessingError(f"Unhandled column type {column_type}")
                 partition.columns[metadata.name] = col
 
-            # 4. Fill metadata columns in partition row order.
-            for i in row_ids:
-                row = rows[i]
-                for metadata in config.schema.metadata:
-                    partition.columns[metadata.name].insert(
-                        self._normalize(row.get(metadata.name))
-                    )
-            for col in partition.columns.values():
-                col.finalize()
+            # 4. Bulk-fill metadata columns in partition row order: per
+            #    column, convert each DISTINCT value once (in first-
+            #    occurrence order over the partition traversal, so shared
+            #    dictionaries get identical ids to row-wise insertion) and
+            #    load per-row codes through the columns' snapshot path.
+            for metadata in config.schema.metadata:
+                _bulk_fill_column(
+                    partition.columns[metadata.name], metadata.column_type(),
+                    table, metadata.name, row_ids, db, alias_key,
+                )
             partitions.append(partition)
         db.partitions = partitions
 
@@ -307,8 +335,8 @@ class Preprocessor:
         #    -> (partition, partition-local row), sequences flow spool ->
         #    SegmentIndexBuilder in SEQUENCE_BATCH batches, and raw genomes
         #    never accumulate in RAM (reference preprocessor.cpp:255-333).
-        key_by_row = [self._normalize(row.get(primary_key)) for row in rows]
-        assignment: list[tuple[int, int]] = [(0, 0)] * len(rows)
+        key_by_row = pk_strings
+        assignment: list[tuple[int, int]] = [(0, 0)] * n_rows
         for pid, row_ids in enumerate(row_ids_per_partition):
             for local_row, i in enumerate(row_ids):
                 assignment[i] = (pid, local_row)
@@ -344,7 +372,7 @@ class Preprocessor:
                 if required_error is not None:
                     raise PreprocessingError(required_error)
                 return None
-            key_to_slot = {key_by_row[i]: assignment[i] for i in range(len(rows))}
+            key_to_slot = {key_by_row[i]: assignment[i] for i in range(n_rows)}
             spool = SequenceSpool(tmpdir, tag, n_partitions, dictionary)
             with stream:
                 for key, seq in readers.iter_fasta(stream):
@@ -411,3 +439,116 @@ class Preprocessor:
         for partition in partitions:
             partition.validate()
         return db
+
+
+def _first_occurrence_codes(codes_p):
+    """Distinct codes of one partition's rows, ordered by first occurrence
+    (so shared-dictionary id assignment matches row-wise insertion)."""
+    import numpy as np
+
+    uniq, first = np.unique(codes_p, return_index=True)
+    return uniq[np.argsort(first)]
+
+
+def _standardize_insertions(value: str, default_sequence_name: str | None) -> str:
+    """InsertionColumnPartition.insert's value standardization, applied once
+    per distinct value (same parse errors, columns.py:318-348)."""
+    from ..storage.columns import _parse_u32
+
+    parts_out = []
+    for entry in value.split(","):
+        parts = [p.replace('"', "") for p in entry.split(":")]
+        if len(parts) == 2:
+            if default_sequence_name is None:
+                raise ValueError(
+                    f"Failed to parse insertion due to invalid format: {entry}"
+                )
+            sequence_name, position, insertion = (
+                default_sequence_name, _parse_u32(parts[0], entry), parts[1])
+        elif len(parts) == 3:
+            sequence_name, position, insertion = (
+                parts[0], _parse_u32(parts[1], entry), parts[2])
+        else:
+            raise ValueError(
+                f"Failed to parse insertion due to invalid format: {entry}"
+            )
+        if sequence_name == default_sequence_name:
+            parts_out.append(f"{position}:{insertion}")
+        else:
+            parts_out.append(f"{sequence_name}:{position}:{insertion}")
+    return ",".join(parts_out)
+
+
+def _bulk_fill_column(col, column_type, table: MetadataTable, name: str,
+                      row_ids, db, alias_key):
+    """Fill one partition's column from the columnar table: per-DISTINCT-
+    value conversion + a vectorized per-row code remap, loading through the
+    same path snapshots use (column.load_ids / _values+finalize). Behavior
+    (null sentinels, dictionary id order, parse errors) matches row-wise
+    insert()."""
+    import numpy as np
+
+    from ..common.dates import string_to_date as to_date
+    from ..storage.columns import INT_NULL
+    from ..storage.pango_alias import PangoLineageAliasLookup as Alias
+
+    codes_p = np.asarray(table.codes(name))[row_ids]
+    values = table.values[name]
+    order = _first_occurrence_codes(codes_p) if len(codes_p) else []
+
+    if column_type in (ColumnType.STRING, ColumnType.INDEXED_STRING):
+        dictionary = db.dictionaries[name]
+        id_map = np.zeros(len(values), dtype=np.int32)
+        for c in order:
+            id_map[c] = dictionary.get_or_create(values[c])
+        col.load_ids(id_map[codes_p])
+    elif column_type == ColumnType.INDEXED_PANGOLINEAGE:
+        unaliased_dict, aliased_dict = db.dictionaries[name]
+        id_map = np.zeros(len(values), dtype=np.int32)
+        for c in order:
+            unaliased = alias_key.unalias(values[c])
+            for parent in Alias.parent_lineages(unaliased):
+                unaliased_dict.get_or_create(parent)
+                aliased_dict.get_or_create(alias_key.alias(parent))
+            id_map[c] = unaliased_dict.get_or_create(unaliased)
+            aliased_dict.get_or_create(alias_key.alias(unaliased))
+        col.load_ids(id_map[codes_p])
+    elif column_type in (ColumnType.NUC_INSERTION, ColumnType.AA_INSERTION):
+        dictionary = db.dictionaries[name]
+        id_map = np.zeros(len(values), dtype=np.int32)
+        for c in order:
+            value = values[c]
+            standardized = (
+                _standardize_insertions(value, col.default_sequence_name)
+                if value else ""
+            )
+            id_map[c] = dictionary.get_or_create(standardized)
+        col.load_ids(id_map[codes_p])
+    elif column_type == ColumnType.INT:
+        value_map = np.full(len(values), INT_NULL, dtype=np.int32)
+        for c in order:
+            v = values[c]
+            try:
+                value_map[c] = int(v) if v != "" else INT_NULL
+            except (ValueError, OverflowError):
+                value_map[c] = INT_NULL
+        col._values = value_map[codes_p]
+        col.finalize()
+    elif column_type == ColumnType.FLOAT:
+        value_map = np.full(len(values), np.nan, dtype=np.float64)
+        for c in order:
+            v = values[c]
+            try:
+                value_map[c] = float(v) if v != "" else float("nan")
+            except ValueError:
+                value_map[c] = float("nan")
+        col._values = value_map[codes_p]
+        col.finalize()
+    elif column_type == ColumnType.DATE:
+        value_map = np.zeros(len(values), dtype=np.uint32)
+        for c in order:
+            value_map[c] = to_date(values[c])
+        col._values = value_map[codes_p]
+        col.finalize()
+    else:
+        raise PreprocessingError(f"Unhandled column type {column_type}")
