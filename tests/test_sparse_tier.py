@@ -93,3 +93,18 @@ def test_sparse_mutation_counts(example_dataset_db, sparse_engine, dense_engine)
 def test_sparse_tier_memory_is_smaller(sparse_engine, dense_engine):
     # the whole point: the sparse engine's dense bank holds far fewer rows
     assert sparse_engine.n_rows < dense_engine.n_rows / 2
+
+
+def test_sparse_gate_uses_total_row_footprint():
+    """The tier activates on partitions x words (a bank row's total bytes),
+    so a 16-partition corpus is judged like the single-partition corpus of
+    the same size (device_engine.py sparse_min_words / SPARSE_BANK_BUDGET_GB)."""
+    from lapis_silo_tpu.ops.device_engine import DeviceEngine
+    from lapis_silo_tpu.testing import synthetic_database
+
+    db = synthetic_database(n_rows=512, length=64, n_partitions=4)
+    probe = DeviceEngine(db, sparse_min_words=1)
+    footprint = probe.n_partitions * probe.n_words  # incl. device padding
+    assert footprint > probe.n_words  # multi-partition: product > per-part W
+    assert DeviceEngine(db, sparse_min_words=footprint).sparse_enabled
+    assert not DeviceEngine(db, sparse_min_words=footprint + 1).sparse_enabled
