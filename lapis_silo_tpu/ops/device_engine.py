@@ -217,6 +217,15 @@ class DeviceEngine:
         # inside the dispatch (LOAD_SPARSE), Mutations reduces them with a
         # segment-sum. Rows that are some partition's implicit majority stay
         # dense (their content is a word-dense complement).
+        segment_totals: dict[tuple[str, str], np.ndarray] = {}
+        for kind, name in segments:
+            totals = None
+            for partition in partitions:
+                seg = (partition.nuc_sequences[name] if kind == "nuc"
+                       else partition.aa_sequences[name])
+                cnt = seg.set_bits_matrix()  # cheap: stored counts + implicit
+                totals = cnt if totals is None else totals + cnt
+            segment_totals[(kind, name)] = totals
         if sparse_min_words is not None:
             # explicit threshold (tests): gate on the total row footprint
             self.sparse_enabled = (
@@ -229,13 +238,7 @@ class DeviceEngine:
             # so dense wins whenever it fits. Projected rows = stored rows
             # if every present (symbol, position) row stayed dense.
             projected_rows = 0
-            for kind, name in segments:
-                totals = None
-                for partition in partitions:
-                    seg = (partition.nuc_sequences[name] if kind == "nuc"
-                           else partition.aa_sequences[name])
-                    cnt = seg.set_bits_matrix()
-                    totals = cnt if totals is None else totals + cnt
+            for totals in segment_totals.values():
                 present = totals > 0
                 majority = np.argmax(totals, axis=0)
                 present[majority, np.arange(totals.shape[1])] = False
@@ -254,12 +257,7 @@ class DeviceEngine:
         offset = 0
         n_sparse = 0
         for kind, name in segments:
-            totals = None
-            for partition in partitions:
-                seg = (partition.nuc_sequences[name] if kind == "nuc"
-                       else partition.aa_sequences[name])
-                cnt = seg.set_bits_matrix()  # cheap: stored counts + implicit
-                totals = cnt if totals is None else totals + cnt
+            totals = segment_totals[(kind, name)]
             majority = np.argmax(totals, axis=0)  # [L]
             s_count, length = totals.shape
             present = totals > 0
@@ -428,9 +426,29 @@ class DeviceEngine:
                 (b for b in _SPARSE_M_BUCKETS if b >= m_needed),
                 _SPARSE_M_BUCKETS[-1],
             )
+            # Shape LADDER: the fused densify costs ~25 ns per P*K*M cell
+            # PER DISPATCH, so pinning every dispatch to the max floors
+            # made single sparse queries pay the whole corpus's worst case
+            # (p50 609 ms at 1M x 16 partitions). Small queries now ride a
+            # small pinned shape; each rung is one (lazily compiled)
+            # executable.
+            row_m = self.sparse_lengths.max(axis=0)  # per sparse row
+            self._sparse_row_m = row_m
+            m_small = next(
+                (b for b in _SPARSE_M_BUCKETS
+                 if b >= np.quantile(row_m[row_m > 0], 0.95)),
+                self.floor_sparse_m,
+            ) if (row_m > 0).any() else self.floor_sparse_m
+            self.sparse_shape_ladder = []
+            for shape in ((16, m_small), (16, self.floor_sparse_m),
+                          (self.floor_sparse_k, self.floor_sparse_m)):
+                if shape not in self.sparse_shape_ladder:
+                    self.sparse_shape_ladder.append(shape)
         else:
             self.floor_sparse_k = 0
             self.floor_sparse_m = 0
+            self._sparse_row_m = None
+            self.sparse_shape_ladder = []
         self._filter_cache: dict = {}
         import threading
 
@@ -703,11 +721,24 @@ class DeviceEngine:
         else:
             dyn = None
         sparse_k, sparse_m, sparse_arrays = self._assemble_sparse(
-            program.sparse_leaves, self.floor_sparse_k, self.floor_sparse_m
+            program.sparse_leaves, *self.sparse_floors([program])
         )
         n_regs = next(b for b in _REG_BUCKETS if b >= program.max_regs)
         return (bucket, n_dyn, code, dyn, n, sparse_k, sparse_m, sparse_arrays,
                 n_regs)
+
+    def sparse_floors(self, programs) -> tuple[int, int]:
+        """Smallest ladder rung covering the programs' sparse needs; falls
+        back to natural (unpinned) buckets when nothing fits."""
+        leaves = sorted({r for p in programs for r in p.sparse_leaves})
+        if not leaves or not self.sparse_shape_ladder:
+            return (0, 0)
+        k_act = len(leaves)
+        m_act = int(self._sparse_row_m[leaves].max())
+        for k, m in self.sparse_shape_ladder:
+            if k_act <= k and m_act <= m:
+                return (k, m)
+        return (0, 0)
 
     def _assemble_sparse(self, sparse_leaves: list[int], min_sparse_k: int = 0,
                          min_sparse_m: int = 0):
@@ -1095,10 +1126,15 @@ class DeviceEngine:
         starts, lens = self._sparse_bounds_dev
         from . import pallas_kernels as pk
 
+        # The kernel walks n_words/128 filter rows per vreg (~9.4e-12 s per
+        # entry-row on v5e) while XLA gather costs a flat ~9.1 ns/entry:
+        # crossover at ~970 rows. Above it (huge UNPARTITIONED corpora,
+        # e.g. 10M x 1 partition) the gather form is the faster of the two.
         use_kernel = (
             self.use_pallas
             and self.mesh is None
             and sp_idx.shape[1] % pk.SPARSE_CHUNK == 0
+            and self.n_words <= 128 * 768
         )
         fn = (_sparse_mutation_counts_pallas_jit if use_kernel
               else _sparse_mutation_counts_jit)
@@ -1261,12 +1297,15 @@ class _MicroBatcher:
             if not ready:
                 continue
             try:
-                # pinned buckets: every batch shape shares one executable
+                # pinned buckets: batch shapes collapse onto the shape
+                # LADDER (small batches ride the small densify rung)
+                programs = [item["program"] for item in ready]
+                min_k, min_m = engine.sparse_floors(programs)
                 counts = engine.count_programs(
-                    [item["program"] for item in ready],
+                    programs,
                     min_bucket=_BATCH_LEN_BUCKETS[-1],
-                    min_sparse_k=engine.floor_sparse_k,
-                    min_sparse_m=engine.floor_sparse_m,
+                    min_sparse_k=min_k,
+                    min_sparse_m=min_m,
                 )
                 for item, count in zip(ready, counts):
                     item["result"] = count
