@@ -74,19 +74,27 @@ def main():
     floors = {"min_bucket": bucket, "min_sparse_k": min_k, "min_sparse_m": min_m}
     t0 = time.time()
     engine.count_batch([queries[0].filter], **floors)
-    log(f"warm-up (1 executable, bucket {bucket}, sparse K>={min_k} M>={min_m}) "
+    log(f"warm-up (batch executable, bucket {bucket}, sparse K>={min_k} M>={min_m}) "
+        f"in {time.time() - t0:.1f}s")
+    # Latency path uses the engine's sparse shape LADDER (each distinct rung
+    # compiles once) — one untimed pass warms them all.
+    t0 = time.time()
+    for query in queries:
+        engine.count_batch([query.filter], min_bucket=bucket)
+    log(f"latency-rung warm-up (ladder {engine.sparse_shape_ladder}) "
         f"in {time.time() - t0:.1f}s")
 
     profile_dir = os.environ.get("SILO_BENCH_PROFILE")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    # Latency: synchronous round-trips (client-visible p50).
+    # Latency: synchronous round-trips (client-visible p50), engine-chosen
+    # sparse shapes (the serving path's behavior).
     latencies = []
     counts = []
     for query in queries:
         t0 = time.perf_counter()
-        counts.append(engine.count_batch([query.filter], **floors)[0])
+        counts.append(engine.count_batch([query.filter], min_bucket=bucket)[0])
         latencies.append(time.perf_counter() - t0)
     latencies.sort()
     p50 = latencies[len(latencies) // 2]
