@@ -1174,9 +1174,9 @@ class DeviceEngine:
             if self.use_pallas:
                 from . import pallas_kernels as pk
 
-                padded = -(-n_stored // pk.ROW_BLOCK) * pk.ROW_BLOCK
+                bucket = pk.seg_row_bucket(n_stored)
                 stored = np.asarray(pk.mutation_counts_banked(
-                    self.bank, filters, start, padded, self.n_words
+                    self.bank, filters, start, bucket, self.n_words
                 )[:n_stored], dtype=np.int64)
             else:
                 stored = np.asarray(

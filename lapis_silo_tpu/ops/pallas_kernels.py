@@ -1,11 +1,16 @@
 """Pallas TPU kernels for the HBM-bandwidth-bound hot loops.
 
-The Mutations action is a pure streaming reduction: for every
-(symbol, position) row of the plane bank, popcount(row & filter). The
-arithmetic intensity is ~1 op/byte, so the ceiling is HBM bandwidth; this
-kernel streams row blocks through VMEM against a resident filter block and
-accumulates int32 counts (target: >=90% of the chip's HBM roofline,
-BASELINE.md).
+Production kernels:
+- mutation_counts_banked — the Mutations reduction: for every (symbol,
+  position) row of the dense plane bank, popcount(row & filter). ~1 op/byte
+  arithmetic intensity, measured DMA-bound at ~91% of v5e HBM peak.
+- sparse_filter_popcount — per-entry filter lookup over the sparse-tier CSR
+  stream via Mosaic's per-lane dynamic_gather (XLA's generic gather costs a
+  flat ~9 ns/element).
+
+popcount_rows_and_filter + pad_to_blocks are a minimal single-filter
+REFERENCE implementation kept as the simplest correctness oracle (no
+production callers).
 
 Falls back to the XLA path (ops/device_engine._mutation_counts_jit) when
 Pallas is unavailable for the platform.
@@ -115,25 +120,44 @@ def popcount_rows_and_filter(rows, filter_words, interpret=False):
     return out[:, 0]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
-def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: int,
+# Segment-row buckets: mutation_counts_banked pads SMALL segments' row
+# counts up to a power-of-two bucket so a corpus's ~25 gene segments share
+# a couple of executables instead of compiling one each (remote TPU
+# compiles run minutes apiece; `start` rides in as a prefetched scalar so
+# the offset never forces a shape). Large segments (the main nucleotide
+# plane — one per corpus) stay exact: padding them would add up to 2x DMA
+# on the dominant reduction.
+SEG_ROW_BUCKETS = tuple(ROW_BLOCK * (1 << s) for s in range(5))  # <= 4096
+
+
+def seg_row_bucket(n_rows: int) -> int:
+    return next((b for b in SEG_ROW_BUCKETS if b >= n_rows),
+                -(-n_rows // ROW_BLOCK) * ROW_BLOCK)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
                            row_block: int = ROW_BLOCK, word_block: int | None = None,
                            use_csa: bool | None = None, interpret: bool = False):
     """counts[n_seg_rows]: sum over partitions of popcount(bank_row & filter).
 
     bank [P, R, W] stays in HBM; the kernel streams row_block x word_block
-    tiles through VMEM against the per-partition filter. `start` must be
+    tiles through VMEM against the per-partition filter. `start` (dynamic,
+    prefetched scalar — one executable serves every segment offset) must be
     row_block-aligned (DeviceEngine aligns segment offsets), W must be a
-    lane multiple. `use_csa=True` selects the Harley-Seal CSA popcount
-    (see _harley_seal_16) — measured on v5e the naive form already runs
-    DMA-bound at ~91% of HBM peak (747 GB/s) and CSA is marginally slower
-    (722 GB/s, scratch traffic with no VPU bottleneck to relieve), so the
-    default is the naive form; CSA stays for A/B on future hardware where
-    the VPU/HBM ratio differs.
+    lane multiple; callers bucket n_seg_rows (seg_row_bucket) and slice the
+    result. Row blocks past the bank's end clamp to the last block (their
+    counts land in sliced-off output rows). `use_csa=True` selects the
+    Harley-Seal CSA popcount (see _harley_seal_16) — measured on v5e the
+    naive form already runs DMA-bound at ~91% of HBM peak (747 GB/s) and
+    CSA is marginally slower (722 GB/s, scratch traffic with no VPU
+    bottleneck to relieve), so the default is the naive form; CSA stays for
+    A/B on future hardware where the VPU/HBM ratio differs.
     """
     n_partitions = bank.shape[0]
-    start_block = start // row_block
-    assert start % row_block == 0 and n_seg_rows % row_block == 0
+    start_block = jnp.asarray(start, jnp.int32).reshape(1) // row_block
+    max_block = max(bank.shape[1] // row_block - 1, 0)
+    assert n_seg_rows % row_block == 0
     if word_block is None:
         # largest lane-aligned block <= WORD_BLOCK that divides n_words
         # exactly — a floor grid would silently drop trailing words (and
@@ -152,7 +176,8 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
     grid = (n_seg_rows // row_block, n_partitions, n_j)
     chunk = word_block // _CSA_GROUP
 
-    def kernel_naive(filter_ref, rows_ref, out_ref):
+    def kernel_naive(start_ref, filter_ref, rows_ref, out_ref):
+        del start_ref  # consumed by the index maps
         masked = rows_ref[0] & filter_ref[0]
         counts = jnp.sum(_popc(masked), axis=1, keepdims=True)
 
@@ -162,8 +187,9 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
 
         out_ref[:] += counts
 
-    def kernel_csa(filter_ref, rows_ref, out_ref,
+    def kernel_csa(start_ref, filter_ref, rows_ref, out_ref,
                    ones_ref, twos_ref, fours_ref, eights_ref, acc_ref):
+        del start_ref  # consumed by the index maps
         j = pl.program_id(2)
 
         @pl.when((pl.program_id(1) == 0) & (j == 0))
@@ -207,17 +233,23 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
         [pltpu.VMEM((row_block, chunk), jnp.uint32) for _ in range(4)]
         + [pltpu.VMEM((row_block, chunk), jnp.int32)]
     ) if use_csa else []
-    out = pl.pallas_call(
-        kernel_csa if use_csa else kernel_naive,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, word_block), lambda i, p, j: (p, 0, j)),
-            pl.BlockSpec((1, row_block, word_block),
-                         lambda i, p, j: (p, start_block + i, j)),
+            pl.BlockSpec((1, 1, word_block), lambda i, p, j, s: (p, 0, j)),
+            pl.BlockSpec(
+                (1, row_block, word_block),
+                lambda i, p, j, s: (p, jnp.minimum(s[0] + i, max_block), j),
+            ),
         ],
-        out_specs=pl.BlockSpec((row_block, 1), lambda i, p, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_seg_rows, 1), jnp.int32),
+        out_specs=pl.BlockSpec((row_block, 1), lambda i, p, j, s: (i, 0)),
         scratch_shapes=scratch_shapes,
+    )
+    out = pl.pallas_call(
+        kernel_csa if use_csa else kernel_naive,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_seg_rows, 1), jnp.int32),
         compiler_params=compiler_params,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -225,7 +257,7 @@ def mutation_counts_banked(bank, filters, start: int, n_seg_rows: int, n_words: 
             bytes_accessed=n_partitions * n_seg_rows * n_words * 4,
             transcendentals=0,
         ),
-    )(filters.reshape(n_partitions, 1, n_words), bank)
+    )(start_block, filters.reshape(n_partitions, 1, n_words), bank)
     return out[:, 0]
 
 

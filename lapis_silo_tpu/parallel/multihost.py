@@ -541,22 +541,26 @@ class Coordinator:
         retried until the slice is consistent again."""
         last_error = None
         for _ in range(self.flip_retries):
-            partials = self._gather_partials(query_string)
+            # ONE snapshot for the whole attempt: a flip landing between
+            # gather and merge must not merge v1 partials with v2 schema
+            # context (reference genomes, dictionaries).
+            db = self.database
+            partials = self._gather_partials(db, query_string)
             versions = {p.get("dataVersion", "") for p in partials}
             if len(versions) <= 1:
-                return merge_partials(self.database, query_string, partials)
+                return merge_partials(db, query_string, partials)
             last_error = RuntimeError(
                 f"hosts disagree on data version {sorted(versions)}; "
                 "flip in progress")
             time.sleep(self.flip_retry_seconds)
         raise last_error
 
-    def _gather_partials(self, query_string: str) -> list[dict]:
+    def _gather_partials(self, db, query_string: str) -> list[dict]:
         import urllib.request
 
         # Coordinator's local partitions are host 0 (first in global
         # partition order); workers follow in worker_urls order.
-        offset = 1 if self.include_local else 0
+        offset = 1 if (self._include_local_requested and db.partitions) else 0
         partials: list[dict | None] = [None] * (len(self.worker_urls) + offset)
         errors: list[Exception] = []
 
@@ -586,8 +590,8 @@ class Coordinator:
         ]
         for t in threads:
             t.start()
-        if self.include_local:
-            partials[0] = execute_partial(self.database, query_string)
+        if offset:
+            partials[0] = execute_partial(db, query_string)
         for t in threads:
             t.join()
         for ex in errors:

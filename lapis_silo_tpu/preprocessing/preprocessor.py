@@ -204,11 +204,6 @@ class Preprocessor:
 
     # -- build ----------------------------------------------------------------
 
-    def _normalize(self, value) -> str:
-        from .table import normalize_value
-
-        return normalize_value(value)
-
     def _build_database(
         self,
         table: MetadataTable,
@@ -340,6 +335,11 @@ class Preprocessor:
         for pid, row_ids in enumerate(row_ids_per_partition):
             for local_row, i in enumerate(row_ids):
                 assignment[i] = (pid, local_row)
+        # (built once — every FASTA file routes through it)
+        key_to_slot = (
+            {key_by_row[i]: assignment[i] for i in range(n_rows)}
+            if ndjson_sequences is None else None
+        )
 
         def fill_segment(kind: str, name: str, reference_ids, spool: SequenceSpool):
             for pid, partition in enumerate(partitions):
@@ -372,7 +372,6 @@ class Preprocessor:
                 if required_error is not None:
                     raise PreprocessingError(required_error)
                 return None
-            key_to_slot = {key_by_row[i]: assignment[i] for i in range(n_rows)}
             spool = SequenceSpool(tmpdir, tag, n_partitions, dictionary)
             with stream:
                 for key, seq in readers.iter_fasta(stream):

@@ -46,6 +46,32 @@ def test_mutation_counts_banked_matches_numpy(use_csa):
     np.testing.assert_array_equal(got, want)
 
 
+def test_mutation_counts_banked_bucketed_rows():
+    """seg_row_bucket may exceed the segment (and even the bank): clamped
+    row blocks land in sliced-off output rows, the real rows stay exact."""
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(3)
+    row_block = 8
+    n_rows, n_words = 3 * row_block, 256
+    bank = rng.integers(0, 2**32, size=(2, n_rows, n_words), dtype=np.uint32)
+    filters = rng.integers(0, 2**32, size=(2, n_words), dtype=np.uint32)
+    start, n_stored = row_block, 2 * row_block  # bucket == 2 blocks past end
+    bucket = 4 * row_block
+    got = np.asarray(pk.mutation_counts_banked(
+        bank, filters, start, bucket, n_words, row_block, 128, False, True,
+    ))[:n_stored]
+    want = (
+        np.bitwise_count(bank[:, start:start + n_stored] & filters[:, None, :])
+        .sum(axis=(0, 2)).astype(np.int32)
+    )
+    np.testing.assert_array_equal(got, want)
+    assert pk.seg_row_bucket(100) == 256
+    assert pk.seg_row_bucket(5000) == 5120  # large segments stay exact
+
+
 def test_sparse_filter_popcount_matches_numpy():
     """Mosaic dynamic-gather sparse kernel vs numpy: multi-partition,
     multi-chunk entry streams with zero-padded tails."""
