@@ -71,12 +71,12 @@ def main():
     bucket = next(b for b in (64, 256, 1024, 4096) if b >= total_len)
     distinct_sparse = sorted({r for p in programs for r in p.sparse_leaves})
     min_k = len(distinct_sparse)
-    min_m = (int(engine.sparse_lengths[:, distinct_sparse].max())
+    min_e = (int(engine.sparse_lengths[:, distinct_sparse].sum(axis=1).max())
              if distinct_sparse else 0)
-    floors = {"min_bucket": bucket, "min_sparse_k": min_k, "min_sparse_m": min_m}
+    floors = {"min_bucket": bucket, "min_sparse_k": min_k, "min_sparse_e": min_e}
     t0 = time.time()
     engine.count_batch([queries[0].filter], **floors)
-    log(f"warm-up (batch executable, bucket {bucket}, sparse K>={min_k} M>={min_m}) "
+    log(f"warm-up (batch executable, bucket {bucket}, sparse K>={min_k} E>={min_e}) "
         f"in {time.time() - t0:.1f}s")
     # Latency path uses the engine's sparse shape LADDER (each distinct rung
     # compiles once) — one untimed pass warms them all.
@@ -145,7 +145,7 @@ def main():
     for _ in range(repeats):
         in_flight.extend(engine.count_dispatches(
             lowered, floors["min_bucket"], floors["min_sparse_k"],
-            floors["min_sparse_m"]))
+            floors["min_sparse_e"]))
     forced = [np.asarray(arr)[:n] for arr, n in in_flight]
     total = time.perf_counter() - t_start
     assert all(list(f) == counts for f in forced)

@@ -80,7 +80,9 @@ _DYN_BUCKETS = (1, 4, 16, 64, 256)
 # [K, W] block stays under ~256 MB HBM (see max_sparse_k).
 _SPARSE_K_BUCKETS = (0, 4, 16, 64, 256, 1024, 4096)
 _SPARSE_K_BYTE_CAP = 384 << 20
-_SPARSE_M_BUCKETS = (0, 512, 8192, 131072, 1 << 21)
+# flat per-partition entry budgets for the ragged densify (gathered +
+# scattered entries per dispatch; cost ~25 ns per entry)
+_SPARSE_E_BUCKETS = (0, 4096, 32768, 262144, 1 << 21, 1 << 24)
 MAX_BATCH_QUERIES = 128
 MAX_REGS = 32
 # register-file buckets: one executable per bucket; N-Of threshold circuits
@@ -420,34 +422,30 @@ class DeviceEngine:
             default=_SPARSE_K_BUCKETS[1],
         )
         if n_sparse:
-            m_needed = int(self.sparse_lengths.max())
             self.floor_sparse_k = self.max_sparse_k
-            self.floor_sparse_m = next(
-                (b for b in _SPARSE_M_BUCKETS if b >= m_needed),
-                _SPARSE_M_BUCKETS[-1],
-            )
-            # Shape LADDER: the fused densify costs ~25 ns per P*K*M cell
-            # PER DISPATCH, so pinning every dispatch to the max floors
-            # made single sparse queries pay the whole corpus's worst case
-            # (p50 609 ms at 1M x 16 partitions). Small queries now ride a
-            # small pinned shape; each rung is one (lazily compiled)
-            # executable.
-            row_m = self.sparse_lengths.max(axis=0)  # per sparse row
-            self._sparse_row_m = row_m
-            m_small = next(
-                (b for b in _SPARSE_M_BUCKETS
-                 if b >= np.quantile(row_m[row_m > 0], 0.95)),
-                self.floor_sparse_m,
-            ) if (row_m > 0).any() else self.floor_sparse_m
+            # Shape LADDER: the fused densify costs ~25 ns per gathered/
+            # scattered ENTRY per dispatch, so pinning every dispatch to
+            # the max floors made single sparse queries pay the whole
+            # corpus's worst case (p50 609 ms at 1M x 16 partitions).
+            # Queries ride the smallest rung covering their leaves' TOTAL
+            # entry count; each rung is one (lazily compiled) executable.
+            lens_desc = np.sort(self.sparse_lengths, axis=1)[:, ::-1]
+            e_small_needed = int(lens_desc[:, :16].sum(axis=1).max())
+            e_big_needed = int(
+                lens_desc[:, : self.max_sparse_k].sum(axis=1).max())
+            e_bucket = lambda n: next(  # noqa: E731
+                (b for b in _SPARSE_E_BUCKETS if b >= n),
+                _SPARSE_E_BUCKETS[-1])
+            e_small = e_bucket(e_small_needed)
+            self.floor_sparse_e = e_bucket(e_big_needed)
             self.sparse_shape_ladder = []
-            for shape in ((16, m_small), (16, self.floor_sparse_m),
-                          (self.floor_sparse_k, self.floor_sparse_m)):
+            for shape in ((16, e_small), (16, self.floor_sparse_e),
+                          (self.floor_sparse_k, self.floor_sparse_e)):
                 if shape not in self.sparse_shape_ladder:
                     self.sparse_shape_ladder.append(shape)
         else:
             self.floor_sparse_k = 0
-            self.floor_sparse_m = 0
-            self._sparse_row_m = None
+            self.floor_sparse_e = 0
             self.sparse_shape_ladder = []
         self._filter_cache: dict = {}
         import threading
@@ -734,26 +732,25 @@ class DeviceEngine:
         if not leaves or not self.sparse_shape_ladder:
             return (0, 0)
         k_act = len(leaves)
-        m_act = int(self._sparse_row_m[leaves].max())
-        for k, m in self.sparse_shape_ladder:
-            if k_act <= k and m_act <= m:
-                return (k, m)
+        e_act = int(self.sparse_lengths[:, leaves].sum(axis=1).max())
+        for k, e in self.sparse_shape_ladder:
+            if k_act <= k and e_act <= e:
+                return (k, e)
         return (0, 0)
 
     def _assemble_sparse(self, sparse_leaves: list[int], min_sparse_k: int = 0,
-                         min_sparse_m: int = 0):
+                         min_sparse_e: int = 0):
         """Per-query sparse-leaf descriptors: (start, len) into the resident
-        CSR stream, per partition. Returns (K_bucket, M_bucket,
-        (starts, lens) numpy [P, K] arrays). The floors let callers share
-        one compiled executable across differently-shaped queries (remote
-        TPU compiles are minutes each)."""
+        CSR stream, per partition. Returns (K_bucket, E_bucket,
+        (starts, lens) numpy [P, K] arrays), E being the flat ragged-entry
+        budget. The floors let callers share one compiled executable across
+        differently-shaped queries (remote TPU compiles are minutes each)."""
         if not sparse_leaves:
             # no sparse leaves: skip the densify dispatch entirely (floors
-            # only pin buckets for queries that DO touch the sparse tier,
-            # so at most two executable shapes exist per output kind)
+            # only pin buckets for queries that DO touch the sparse tier)
             return 0, 0, None
         min_sparse_k = min(min_sparse_k, self.max_sparse_k)
-        min_sparse_m = min(min_sparse_m, _SPARSE_M_BUCKETS[-1])
+        min_sparse_e = min(min_sparse_e, _SPARSE_E_BUCKETS[-1])
         k_bucket = next(
             b for b in _SPARSE_K_BUCKETS
             if b >= max(len(sparse_leaves), min_sparse_k)
@@ -764,14 +761,14 @@ class DeviceEngine:
         if len(ids):
             starts[:, : len(ids)] = self.sparse_starts[:, ids]
             lens[:, : len(ids)] = self.sparse_lengths[:, ids]
-        m_needed = max(int(lens.max()), min_sparse_m)
+        e_needed = max(int(lens.sum(axis=1).max()), min_sparse_e)
         try:
-            m_bucket = next(b for b in _SPARSE_M_BUCKETS if b >= m_needed)
+            e_bucket = next(b for b in _SPARSE_E_BUCKETS if b >= e_needed)
         except StopIteration:
-            raise ProgramTooLarge(f"sparse segment {m_needed}") from None
-        return k_bucket, max(m_bucket, 1), (starts, lens)
+            raise ProgramTooLarge(f"sparse entries {e_needed}") from None
+        return k_bucket, max(e_bucket, 1), (starts, lens)
 
-    def _densified(self, k: int, m: int, sp) -> jax.Array:
+    def _densified(self, k: int, e: int, sp) -> jax.Array:
         """[P, K, W] densified sparse-leaf rows (a separate small
         executable), or cached zeros when the query has no sparse leaves."""
         if k == 0:
@@ -783,7 +780,7 @@ class DeviceEngine:
                 self._filter_cache[key] = cached
             return cached
         starts, lens = sp
-        run = _densify_jit(k, m, self.n_words)
+        run = _densify_jit(k, e, self.n_words)
         return run(self.sparse_stream[0], self.sparse_stream[1],
                    jax.device_put(starts), jax.device_put(lens))
 
@@ -863,7 +860,7 @@ class DeviceEngine:
                               "count", n_instr)
 
     def count_batch(self, filter_exprs: list, min_bucket: int = 0,
-                    min_sparse_k: int = 0, min_sparse_m: int = 0) -> list[int]:
+                    min_sparse_k: int = 0, min_sparse_e: int = 0) -> list[int]:
         """Batched counts: MANY queries in ONE device dispatch. The query
         programs concatenate into a single instruction stream (each ends
         with EMIT_COUNT) — one scan executes them all back-to-back, so the
@@ -875,22 +872,22 @@ class DeviceEngine:
         environments)."""
         return self.count_programs(
             [self.lower(f)[0] for f in filter_exprs], min_bucket,
-            min_sparse_k, min_sparse_m,
+            min_sparse_k, min_sparse_e,
         )
 
     def count_programs(self, lowered: list[_Program], min_bucket: int = 0,
-                       min_sparse_k: int = 0, min_sparse_m: int = 0) -> list[int]:
+                       min_sparse_k: int = 0, min_sparse_e: int = 0) -> list[int]:
         """count_batch over already-lowered programs (the micro-batcher
         lowers per query so one bad query can't poison a whole batch)."""
         return [
             int(c)
             for counts, q in self.count_dispatches(lowered, min_bucket,
-                                                   min_sparse_k, min_sparse_m)
+                                                   min_sparse_k, min_sparse_e)
             for c in np.asarray(counts)[:q]
         ]
 
     def count_dispatches(self, lowered: list[_Program], min_bucket: int = 0,
-                         min_sparse_k: int = 0, min_sparse_m: int = 0,
+                         min_sparse_k: int = 0, min_sparse_e: int = 0,
                          ) -> list[tuple[jax.Array, int]]:
         """Non-blocking form: returns (device counts array, n_queries) per
         dispatch — dispatches pipeline (jax is async), so a serving loop
@@ -902,7 +899,7 @@ class DeviceEngine:
             for i in range(0, q, MAX_BATCH_QUERIES):
                 out.extend(self.count_dispatches(
                     lowered[i : i + MAX_BATCH_QUERIES],
-                    min_bucket, min_sparse_k, min_sparse_m))
+                    min_bucket, min_sparse_k, min_sparse_e))
             return out
         # Split greedily if the concatenated stream or dyn-row count would
         # overflow the largest bucket (each program alone always fits:
@@ -925,9 +922,9 @@ class DeviceEngine:
                     split = i
                     break
             return self.count_dispatches(lowered[:split], min_bucket,
-                                         min_sparse_k, min_sparse_m) + \
+                                         min_sparse_k, min_sparse_e) + \
                 self.count_dispatches(lowered[split:], min_bucket,
-                                      min_sparse_k, min_sparse_m)
+                                      min_sparse_k, min_sparse_e)
         programs = []
         all_dyn_rows: list[list[np.ndarray]] = []
         all_sparse_leaves: list[int] = []
@@ -982,7 +979,7 @@ class DeviceEngine:
         else:
             dyn_dev = self._zero_dyn((self.n_partitions, n_dyn, self.n_words))
         k, m, sp = self._assemble_sparse(all_sparse_leaves, min_sparse_k,
-                                         min_sparse_m)
+                                         min_sparse_e)
         n_regs = next(b for b in _REG_BUCKETS
                       if b >= max(p.max_regs for p in lowered))
         counts = self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp,
@@ -1314,12 +1311,12 @@ class _MicroBatcher:
                 # pinned buckets: batch shapes collapse onto the shape
                 # LADDER (small batches ride the small densify rung)
                 programs = [item["program"] for item in ready]
-                min_k, min_m = engine.sparse_floors(programs)
+                min_k, min_e = engine.sparse_floors(programs)
                 counts = engine.count_programs(
                     programs,
                     min_bucket=_BATCH_LEN_BUCKETS[-1],
                     min_sparse_k=min_k,
-                    min_sparse_m=min_m,
+                    min_sparse_e=min_e,
                 )
                 for item, count in zip(ready, counts):
                     item["result"] = count
@@ -1331,43 +1328,60 @@ class _MicroBatcher:
             del engine
 
 
-def _densify_one(n_sparse_m: int, n_words: int, stream_idx_p, stream_words_p,
-                 starts_p, lens_p):
-    """[K, W] densified sparse-tier rows for one partition: gather each
-    leaf's contiguous (start, len) slice of the resident CSR stream and
-    scatter it dense. NB: formulated as one [K, M] gather — a
-    vmap-of-dynamic_slice variant lowers back to a gather anyway and
-    compiled ~8x slower on the remote TPU compiler."""
-    take = starts_p[:, None] + jnp.arange(n_sparse_m, dtype=jnp.int32)
-    valid = jnp.arange(n_sparse_m, dtype=jnp.int32)[None, :] < lens_p[:, None]
-    take = jnp.clip(take, 0, stream_idx_p.shape[0] - 1)
-    gathered_idx = jnp.where(valid, stream_idx_p[take], n_words)  # [K, M]
-    gathered_words = stream_words_p[take]                         # [K, M]
-    return jax.vmap(
-        lambda gi, gw: jnp.zeros((n_words,), jnp.uint32).at[gi].set(
-            gw, mode="drop")
-    )(gathered_idx, gathered_words)
+def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
+                 stream_idx_p, stream_words_p, starts_p, lens_p):
+    """[K, W] densified sparse-tier rows for one partition, via a FLAT
+    ragged gather+scatter over an E-entry budget: per-element scatter cost
+    ~25 ns means work must scale with the ACTUAL entry count, not the
+    K x max-row-length rectangle (which paid up to ~670x padding on wide
+    batches — 80 qps at 10M x 32 partitions). Slot -> leaf mapping comes
+    from a marker scatter + cummax (no searchsorted: its binary search
+    would gather log K times per slot)."""
+    lens = lens_p.astype(jnp.int32)
+    cum = jnp.cumsum(lens)                                    # [K] inclusive
+    total = cum[-1]
+    row_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), cum[:-1]])                  # [K]
+    slots = jnp.arange(n_sparse_e, dtype=jnp.int32)
+    k_idx = jnp.arange(n_sparse_k, dtype=jnp.int32)
+    # seed each leaf's first slot with its index+1 (empty leaves dropped),
+    # cummax fills the gaps
+    seed = jnp.zeros(n_sparse_e, jnp.int32).at[
+        jnp.where(lens > 0, row_start, n_sparse_e)
+    ].max(k_idx + 1, mode="drop")
+    row = jax.lax.cummax(seed) - 1                            # [E]
+    row_c = jnp.clip(row, 0, n_sparse_k - 1)
+    within = slots - row_start[row_c]
+    src = jnp.clip(starts_p[row_c] + within, 0,
+                   stream_idx_p.shape[0] - 1)
+    valid = (slots < total) & (row >= 0)
+    gi = stream_idx_p[src].astype(jnp.int32)
+    gw = stream_words_p[src]
+    flat = jnp.where(valid, row_c * n_words + gi, n_sparse_k * n_words)
+    out = jnp.zeros(n_sparse_k * n_words, jnp.uint32).at[flat].set(
+        gw, mode="drop")
+    return out.reshape(n_sparse_k, n_words)
 
 
 @functools.lru_cache(maxsize=16)
-def _densify_jit(n_sparse_k: int, n_sparse_m: int, n_words: int):
+def _densify_jit(n_sparse_k: int, n_sparse_e: int, n_words: int):
     """Standalone densify executable (used by paths that keep densify as
     its own dispatch)."""
-    return jax.jit(jax.vmap(functools.partial(_densify_one, n_sparse_m,
-                                              n_words)))
+    return jax.jit(jax.vmap(functools.partial(_densify_one, n_sparse_k,
+                                              n_sparse_e, n_words)))
 
 
 @functools.lru_cache(maxsize=64)
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                  n_words: int, output: str = "words",
-                 n_regs: int = MAX_REGS, n_sparse_m: int = 0,
+                 n_regs: int = MAX_REGS, n_sparse_e: int = 0,
                  n_partitions: int = 1):
     """Jitted, partition-vmapped register-machine interpreter for one shape
     bucket. output='words' returns the [P, W] bitset (reg[0]);
     output='count' fuses the popcount reduction into the same executable
     (one dispatch); 'multi_count' sums per-query EMIT_COUNT outputs.
 
-    With n_sparse_m > 0 the sparse-leaf densification runs INSIDE the same
+    With n_sparse_e > 0 the sparse-leaf densification runs INSIDE the same
     executable (stream + per-leaf bounds in, [P, K, W] block scattered on
     device) — sparse-touching queries stay a single dispatch. Otherwise
     densified rows arrive as a [P, K, W] input."""
@@ -1382,8 +1396,9 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
             return outs.sum(axis=0, dtype=jnp.int32)  # [MAX_BATCH_QUERIES]
         return words
 
-    if n_sparse_m and n_sparse_k:
-        densify = functools.partial(_densify_one, n_sparse_m, n_words)
+    if n_sparse_e and n_sparse_k:
+        densify = functools.partial(_densify_one, n_sparse_k, n_sparse_e,
+                                    n_words)
         code_len = 3 * program_len
         pk = n_partitions * n_sparse_k
 

@@ -75,6 +75,19 @@ class DatabaseDirectoryWatcher:
                 {"action": {"type": "Aggregated"}, "filterExpression": filt}))
             database.execute_query(json.dumps(
                 {"action": {"type": "Aggregated"}, "filterExpression": {"type": "True"}}))
+            # Also pre-compile the micro-batcher's max-bucket batch
+            # executable — the first live traffic burst must not stall
+            # minutes on a remote compile.
+            engine = getattr(database, "device_engine", None)
+            if engine is not None:
+                from ..ops.device_engine import _BATCH_LEN_BUCKETS
+                from ..query.engine import Query
+
+                query = Query(json.dumps(
+                    {"action": {"type": "Aggregated"}, "filterExpression": filt}))
+                programs = [engine.lower(query.filter)[0]]
+                engine.count_programs(programs,
+                                      min_bucket=_BATCH_LEN_BUCKETS[-1])
             logger.info("device warm-up done in %.1f s", time.time() - t0)
         except Exception:  # noqa: BLE001 — warm-up must never block serving
             logger.exception("device warm-up failed (serving anyway)")

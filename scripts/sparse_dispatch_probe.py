@@ -3,7 +3,7 @@ vs ~27 ms dense): time the fused interpreter, the densify stage alone, and
 the VM alone at the same shape buckets (bank rows shrunk — the VM only
 touches addressed rows).
 
-  python scripts/sparse_dispatch_probe.py [P] [K] [M] [W] [E_per_partition]
+  python scripts/sparse_dispatch_probe.py [P] [K] [E_budget] [W] [stream_len]
 """
 
 import os
@@ -43,7 +43,7 @@ def main():
     argv = sys.argv[1:]
     P = int(argv[0]) if len(argv) > 0 else 16
     K = int(argv[1]) if len(argv) > 1 else 492
-    M = int(argv[2]) if len(argv) > 2 else 64
+    EB = int(argv[2]) if len(argv) > 2 else 32768
     W = int(argv[3]) if len(argv) > 3 else 2048
     E = int(argv[4]) if len(argv) > 4 else 2 << 20
     bucket, n_dyn, n_regs, R = 4096, 1, 4, 256
@@ -53,8 +53,8 @@ def main():
         rng.integers(0, W, size=(P, E), dtype=np.int32))
     stream_words = jax.device_put(
         rng.integers(0, 2**32, size=(P, E), dtype=np.uint32))
-    starts = rng.integers(0, E - M, size=(P, K), dtype=np.int32)
-    lens = rng.integers(1, M, size=(P, K), dtype=np.int32)
+    starts = rng.integers(0, E - EB // K - 1, size=(P, K), dtype=np.int32)
+    lens = rng.integers(1, max(2, EB // K), size=(P, K), dtype=np.int32)
     bank = jax.device_put(np.zeros((P, R, W), dtype=np.uint32))
     dyn = jax.device_put(np.zeros((P, n_dyn, W), dtype=np.uint32))
     full = jax.device_put(
@@ -73,11 +73,11 @@ def main():
 
     fulls = [jax.device_put(rng.integers(0, 2**32, size=(P, W),
                                          dtype=np.uint32)) for _ in range(4)]
-    starts_v = [((starts + 8 * k) % (E - M)).astype(np.int32)
+    starts_v = [((starts + 8 * k) % (E - EB // K - 1)).astype(np.int32)
                 for k in range(4)]
 
     # 1. fused sparse interpreter (the serving path)
-    run = de._interpreter(bucket, R, n_dyn, K, W, "count", n_regs, M, P)
+    run = de._interpreter(bucket, R, n_dyn, K, W, "count", n_regs, EB, P)
     blobs = [jax.device_put(np.concatenate([
         code.reshape(-1),
         s.reshape(-1),
@@ -88,7 +88,7 @@ def main():
            for b, f in zip(blobs, fulls)])
 
     # 2. densify stage alone
-    dens = de._densify_jit(K, M, W)
+    dens = de._densify_jit(K, EB, W)
     lens_dev = jax.device_put(lens)
     timed("densify alone        ", dens,
           [(stream_idx, stream_words, jax.device_put(s), lens_dev)
