@@ -10,7 +10,9 @@ Mixes (register-machine ISA):
   load_dyn   LOAD_DYN variant           -> dyn-bank gather cost
   th         3-of-2 threshold circuits  -> adder/comparator ALU chains
 
-Usage: python scripts/vm_overhead.py [n_words] (default 32768 = 1M seqs)
+Usage: python scripts/vm_overhead.py [n_words] [n_partitions]
+(default 32768 x 1 = 1M seqs unpartitioned; 10240 x 32 = the 10M
+reference-like partitioned layout)
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ sys.path.insert(0, ".")
 from lapis_silo_tpu.ops import device_engine as de  # noqa: E402
 
 N_WORDS = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+N_PART = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 N_ROWS = 64
 BUCKET = 4096
 N_DYN = 4
@@ -108,15 +111,15 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(1)
     bank = jnp.asarray(
-        rng.integers(0, 2**32, size=(1, N_ROWS, N_WORDS), dtype=np.uint64)
+        rng.integers(0, 2**32, size=(N_PART, N_ROWS, N_WORDS), dtype=np.uint64)
         .astype(np.uint32)
     )
     dyn = jnp.asarray(
-        rng.integers(0, 2**32, size=(1, N_DYN, N_WORDS), dtype=np.uint64)
+        rng.integers(0, 2**32, size=(N_PART, N_DYN, N_WORDS), dtype=np.uint64)
         .astype(np.uint32)
     )
-    sparse = jnp.zeros((1, 1, N_WORDS), jnp.uint32)
-    full = jnp.full((1, N_WORDS), 0xFFFFFFFF, jnp.uint32)
+    sparse = jnp.zeros((N_PART, 1, N_WORDS), jnp.uint32)
+    full = jnp.full((N_PART, N_WORDS), 0xFFFFFFFF, jnp.uint32)
     run = de._interpreter(BUCKET, N_ROWS, N_DYN, 0, N_WORDS, "multi_count",
                           n_regs=N_REGS)
     # the relay memoizes byte-identical executions AND block_until_ready

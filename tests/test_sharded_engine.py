@@ -33,3 +33,26 @@ def test_sharded_engine_matches_single_device():
     m1 = single.mutation_counts("nuc", "main", words_single)
     m2 = sharded.mutation_counts("nuc", "main", words_sharded)
     np.testing.assert_array_equal(m1, m2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_engine_sparse_tier_matches_single_device():
+    """Two-tier bank over the mesh: the sparse CSR stream + densify path
+    must stay bit-identical when the word axis is sharded."""
+    from lapis_silo_tpu.ops.device_engine import DeviceEngine
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.testing import sample_count_queries, synthetic_database
+
+    db = synthetic_database(n_rows=2048, length=256, n_partitions=3,
+                            mutations_per_genome=2)
+    single = DeviceEngine(db, devices=jax.devices()[:1], sparse_min_words=1)
+    sharded = DeviceEngine(db, devices=jax.devices()[:8], sparse_min_words=1)
+    assert sharded.mesh is not None and sharded.n_sparse > 0
+    queries = [Query(q) for q in sample_count_queries(db, 12)]
+    batch = [q.filter for q in queries]
+    assert single.count_batch(batch) == sharded.count_batch(batch)
+    filt = Query(json.dumps({"action": {"type": "Aggregated"},
+                             "filterExpression": {"type": "True"}})).filter
+    m1 = single.mutation_counts("nuc", "main", single.evaluate(filt))
+    m2 = sharded.mutation_counts("nuc", "main", sharded.evaluate(filt))
+    np.testing.assert_array_equal(m1, m2)
