@@ -71,7 +71,7 @@ def main():
     bucket = next(b for b in (64, 256, 1024, 4096) if b >= total_len)
     distinct_sparse = sorted({r for p in programs for r in p.sparse_leaves})
     min_k = len(distinct_sparse)
-    min_e = (int(engine.sparse_lengths[:, distinct_sparse].sum(axis=1).max())
+    min_e = (int(engine.sparse_lengths[distinct_sparse].sum())
              if distinct_sparse else 0)
     floors = {"min_bucket": bucket, "min_sparse_k": min_k, "min_sparse_e": min_e}
     t0 = time.time()

@@ -171,16 +171,17 @@ class DeviceEngine:
         self.part_rows = [p.sequence_count for p in partitions]
         self.n_words = max(bitset.words_for(p.sequence_count) for p in partitions)
 
-        # Multi-chip: shard the packed sequence-word axis across all local
-        # devices (every VM op is word-local; reductions become ICI
-        # all-reduces inserted by XLA). One device -> plain placement.
+        # Multi-chip: shard the packed GLOBAL word axis (partitions folded
+        # into words) across all local devices — every VM op is word-local;
+        # reductions become ICI all-reduces inserted by XLA. One device ->
+        # plain placement.
         devices = devices if devices is not None else jax.devices()
         if len(devices) > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
             self.mesh = Mesh(np.asarray(devices), ("seq",))
-            self._bank_sharding = NamedSharding(self.mesh, PartitionSpec(None, None, "seq"))
-            self._words_sharding = NamedSharding(self.mesh, PartitionSpec(None, "seq"))
+            self._bank_sharding = NamedSharding(self.mesh, PartitionSpec(None, "seq"))
+            self._words_sharding = NamedSharding(self.mesh, PartitionSpec("seq"))
             if self.n_words % len(devices):
                 self.n_words += len(devices) - self.n_words % len(devices)
         else:
@@ -310,8 +311,14 @@ class DeviceEngine:
         self.n_rows = max(offset, 1)
         self.n_sparse = n_sparse
 
-        # Build bank[P, R, W] (pad each partition's words to the common W).
-        bank = np.zeros((self.n_partitions, self.n_rows, self.n_words), dtype=np.uint32)
+        # Build bank[R, P*W]: GLOBAL WORD SPACE — the partition axis folds
+        # into the word axis (every VM op is word-local; partition p's
+        # sequences occupy the word slot [p*W, (p+1)*W)). Rows are
+        # contiguous, which is what both the XLA row gathers and the Pallas
+        # VM kernel's per-instruction row DMA want.
+        self.n_flat_words = self.n_partitions * self.n_words
+        bank = np.zeros((self.n_rows, self.n_partitions, self.n_words),
+                        dtype=np.uint32)
         for pi, partition in enumerate(partitions):
             w = bitset.words_for(partition.sequence_count)
             for kind, name in segments:
@@ -330,31 +337,30 @@ class DeviceEngine:
                 # the global pick); elsewhere the row is empty here.
                 idx = seg.row_map[meta["sym_ids"], meta["pos_ids"]]  # [n_stored]
                 stored = np.nonzero(idx >= 0)[0]
-                bank[pi, start + stored, :w] = seg.store.materialize(idx[stored])
+                bank[start + stored, pi, :w] = seg.store.materialize(idx[stored])
                 for j in np.nonzero(idx == -2)[0]:
-                    bank[pi, start + j, :w] = seg.plane(
+                    bank[start + j, pi, :w] = seg.plane(
                         int(meta["sym_ids"][j]), int(meta["pos_ids"][j])
                     )
-        self.bank = jax.device_put(bank, self._bank_sharding)
+        self.bank = jax.device_put(
+            bank.reshape(self.n_rows, self.n_flat_words), self._bank_sharding)
         full = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
         for pi, partition in enumerate(partitions):
             w = bitset.words_for(partition.sequence_count)
             full[pi, :w] = partition.full
-        self.full_masks = jax.device_put(full, self._words_sharding)
+        self.full_masks = jax.device_put(
+            full.reshape(self.n_flat_words), self._words_sharding)
 
-        # Flat sparse-tier CSR stream per partition, device-resident:
-        # entries (global sparse row, word idx, word), padded across
-        # partitions; pad rows point at segment n_sparse. Serves BOTH the
-        # Mutations segment-sum reduction and LOAD_SPARSE filter leaves
-        # (which gather their contiguous (start, len) slice of the stream —
-        # rows were emitted row-major, so each row's entries are adjacent).
+        # Flat GLOBAL sparse-tier CSR stream, device-resident: entries
+        # (word idx in GLOBAL word space, word), sorted leaf-major (within a
+        # leaf: partition-major, then ascending word — so one leaf's entries
+        # are ONE contiguous slice of the stream across all partitions, and
+        # its (start, len) bounds are corpus-global scalars). Serves BOTH
+        # the Mutations segmented reduction (cumsum + boundary gather, no
+        # scatter, no per-entry row-id array) and LOAD_SPARSE filter leaves.
         if n_sparse:
-            per_partition = []
-            # per (partition, global sparse row): slice length in the stream
-            self.sparse_lengths = np.zeros((self.n_partitions, n_sparse),
-                                           dtype=np.int64)
+            id_chunks, idx_chunks, word_chunks = [], [], []
             for pi, partition in enumerate(partitions):
-                chunks = []
                 for kind, name in segments:
                     meta = self.segment_meta[(kind, name)]
                     if not len(meta["sparse_sym_ids"]):
@@ -370,46 +376,55 @@ class DeviceEngine:
                         local[stored]
                     )
                     g_ids = (meta["sparse_base"] + stored).astype(np.int64)
-                    self.sparse_lengths[pi, g_ids] = lengths
-                    chunks.append((np.repeat(g_ids, lengths), idx_arr, words_arr))
-                if chunks:
-                    per_partition.append(tuple(
-                        np.concatenate([c[i] for c in chunks]) for i in range(3)
-                    ))
-                else:
-                    per_partition.append((np.zeros(0, np.int64),
-                                          np.zeros(0, np.int32),
-                                          np.zeros(0, np.uint32)))
+                    id_chunks.append(np.repeat(g_ids, lengths))
+                    idx_chunks.append(
+                        idx_arr.astype(np.int64) + pi * self.n_words)
+                    word_chunks.append(words_arr)
+            if id_chunks:
+                ids = np.concatenate(id_chunks)
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                idx = np.concatenate(idx_chunks)[order]
+                words = np.concatenate(word_chunks)[order]
+            else:
+                ids = idx = np.zeros(0, np.int64)
+                words = np.zeros(0, np.uint32)
+            self.sparse_lengths = np.bincount(
+                ids, minlength=n_sparse).astype(np.int64)
+            self.sparse_starts = np.zeros(n_sparse, dtype=np.int64)
+            np.cumsum(self.sparse_lengths[:-1], out=self.sparse_starts[1:])
             # (no tail padding needed for densify: its gather clips indices
             # and masks by each leaf's length, so over-reads never escape.
             # The Pallas sparse-vals kernel DOES need a chunk-multiple
             # entry count; pad words stay 0 so they contribute nothing.)
-            nnz_pad = max(1, max(len(c[0]) for c in per_partition))
+            nnz_pad = max(1, len(idx))
             if self.use_pallas:
                 nnz_pad = -(-nnz_pad // pk.SPARSE_CHUNK) * pk.SPARSE_CHUNK
-            sp_idx = np.zeros((self.n_partitions, nnz_pad), dtype=np.int32)
-            sp_words = np.zeros((self.n_partitions, nnz_pad), dtype=np.uint32)
-            for pi, (g, i, w) in enumerate(per_partition):
-                sp_idx[pi, : len(g)] = i
-                sp_words[pi, : len(g)] = w
-            # ascending g_ids per partition => each row's slice is contiguous;
-            # starts = exclusive prefix sum of lengths. A per-entry row-id
-            # array is NOT stored: sortedness makes every segmented reduction
-            # a cumsum + boundary gather (and saves a third of the stream).
-            self.sparse_starts = np.zeros((self.n_partitions, n_sparse),
-                                          dtype=np.int64)
-            np.cumsum(self.sparse_lengths[:, :-1], axis=1,
-                      out=self.sparse_starts[:, 1:])
+            sp_idx = np.zeros(nnz_pad, dtype=np.int32)
+            sp_words = np.zeros(nnz_pad, dtype=np.uint32)
+            sp_idx[: len(idx)] = idx
+            sp_words[: len(words)] = words
             self.sparse_stream = (jax.device_put(sp_idx),
                                   jax.device_put(sp_words))
             self._sparse_bounds_dev = (
                 jax.device_put(self.sparse_starts.astype(np.int32)),
                 jax.device_put(self.sparse_lengths.astype(np.int32)),
             )
+            if self.use_pallas:
+                # per-chunk filter hi-row (word >> 7) bounds: the gather
+                # kernel walks only [min_hi, max_hi] of each entry chunk
+                his = (sp_idx.astype(np.int64) >> 7).reshape(
+                    -1, pk.SPARSE_CHUNK)
+                self._sparse_chunk_bounds_dev = jax.device_put(np.stack(
+                    [his.min(axis=1), his.max(axis=1)], axis=1
+                ).astype(np.int32))
+            else:
+                self._sparse_chunk_bounds_dev = None
         else:
             self.sparse_stream = None
             self.sparse_starts = self.sparse_lengths = None
             self._sparse_bounds_dev = None
+            self._sparse_chunk_bounds_dev = None
         self._sparse_counts_memo: tuple | None = None
         self._filters_memo: tuple | None = None
         # Serving floors: pin the sparse K/M buckets corpus-wide so every
@@ -418,7 +433,7 @@ class DeviceEngine:
         # under live traffic).
         self.max_sparse_k = max(
             (b for b in _SPARSE_K_BUCKETS
-             if b * self.n_words * 4 <= _SPARSE_K_BYTE_CAP),
+             if b * self.n_flat_words * 4 <= _SPARSE_K_BYTE_CAP),
             default=_SPARSE_K_BUCKETS[1],
         )
         if n_sparse:
@@ -429,10 +444,9 @@ class DeviceEngine:
             # corpus's worst case (p50 609 ms at 1M x 16 partitions).
             # Queries ride the smallest rung covering their leaves' TOTAL
             # entry count; each rung is one (lazily compiled) executable.
-            lens_desc = np.sort(self.sparse_lengths, axis=1)[:, ::-1]
-            e_small_needed = int(lens_desc[:, :16].sum(axis=1).max())
-            e_big_needed = int(
-                lens_desc[:, : self.max_sparse_k].sum(axis=1).max())
+            lens_desc = np.sort(self.sparse_lengths)[::-1]
+            e_small_needed = int(lens_desc[:16].sum())
+            e_big_needed = int(lens_desc[: self.max_sparse_k].sum())
             e_bucket = lambda n: next(  # noqa: E731
                 (b for b in _SPARSE_E_BUCKETS if b >= n),
                 _SPARSE_E_BUCKETS[-1])
@@ -691,7 +705,8 @@ class DeviceEngine:
     def evaluate(self, filter_expr) -> list[np.ndarray]:
         """Returns per-partition packed bitsets (host numpy, trimmed)."""
         device_words = self.evaluate_device(filter_expr)
-        host = np.asarray(device_words)
+        host = np.ascontiguousarray(np.asarray(device_words)).reshape(
+            self.n_partitions, self.n_words)
         return [
             host[pi, : bitset.words_for(n)] for pi, n in enumerate(self.part_rows)
         ]
@@ -712,10 +727,12 @@ class DeviceEngine:
         code[2, :n] = program.regspec
         n_dyn = next(b for b in _DYN_BUCKETS if b >= len(program.dyn_rows))
         if program.dyn_rows:
-            dyn = np.zeros((self.n_partitions, n_dyn, self.n_words), dtype=np.uint32)
+            dyn = np.zeros((n_dyn, self.n_partitions, self.n_words),
+                           dtype=np.uint32)
             for di, rows in enumerate(program.dyn_rows):
                 for pi, row in enumerate(rows):
-                    dyn[pi, di] = row
+                    dyn[di, pi] = row
+            dyn = dyn.reshape(n_dyn, self.n_flat_words)
         else:
             dyn = None
         sparse_k, sparse_m, sparse_arrays = self._assemble_sparse(
@@ -732,7 +749,7 @@ class DeviceEngine:
         if not leaves or not self.sparse_shape_ladder:
             return (0, 0)
         k_act = len(leaves)
-        e_act = int(self.sparse_lengths[:, leaves].sum(axis=1).max())
+        e_act = int(self.sparse_lengths[leaves].sum())
         for k, e in self.sparse_shape_ladder:
             if k_act <= k and e_act <= e:
                 return (k, e)
@@ -741,10 +758,11 @@ class DeviceEngine:
     def _assemble_sparse(self, sparse_leaves: list[int], min_sparse_k: int = 0,
                          min_sparse_e: int = 0):
         """Per-query sparse-leaf descriptors: (start, len) into the resident
-        CSR stream, per partition. Returns (K_bucket, E_bucket,
-        (starts, lens) numpy [P, K] arrays), E being the flat ragged-entry
-        budget. The floors let callers share one compiled executable across
-        differently-shaped queries (remote TPU compiles are minutes each)."""
+        GLOBAL CSR stream (one contiguous slice per leaf across all
+        partitions). Returns (K_bucket, E_bucket, (starts, lens) numpy [K]
+        arrays), E being the flat ragged-entry budget. The floors let
+        callers share one compiled executable across differently-shaped
+        queries (remote TPU compiles are minutes each)."""
         if not sparse_leaves:
             # no sparse leaves: skip the densify dispatch entirely (floors
             # only pin buckets for queries that DO touch the sparse tier)
@@ -756,12 +774,12 @@ class DeviceEngine:
             if b >= max(len(sparse_leaves), min_sparse_k)
         )
         ids = np.asarray(sparse_leaves, dtype=np.int64)
-        starts = np.zeros((self.n_partitions, k_bucket), dtype=np.int32)
-        lens = np.zeros((self.n_partitions, k_bucket), dtype=np.int32)
+        starts = np.zeros(k_bucket, dtype=np.int32)
+        lens = np.zeros(k_bucket, dtype=np.int32)
         if len(ids):
-            starts[:, : len(ids)] = self.sparse_starts[:, ids]
-            lens[:, : len(ids)] = self.sparse_lengths[:, ids]
-        e_needed = max(int(lens.sum(axis=1).max()), min_sparse_e)
+            starts[: len(ids)] = self.sparse_starts[ids]
+            lens[: len(ids)] = self.sparse_lengths[ids]
+        e_needed = max(int(lens.sum()), min_sparse_e)
         try:
             e_bucket = next(b for b in _SPARSE_E_BUCKETS if b >= e_needed)
         except StopIteration:
@@ -769,18 +787,18 @@ class DeviceEngine:
         return k_bucket, max(e_bucket, 1), (starts, lens)
 
     def _densified(self, k: int, e: int, sp) -> jax.Array:
-        """[P, K, W] densified sparse-leaf rows (a separate small
+        """[K, PW] densified sparse-leaf rows (a separate small
         executable), or cached zeros when the query has no sparse leaves."""
         if k == 0:
             key = "zero_sparse_rows"
             cached = self._filter_cache.get(key)
             if cached is None:
                 cached = jax.device_put(np.zeros(
-                    (self.n_partitions, 1, self.n_words), dtype=np.uint32))
+                    (1, self.n_flat_words), dtype=np.uint32))
                 self._filter_cache[key] = cached
             return cached
         starts, lens = sp
-        run = _densify_jit(k, e, self.n_words)
+        run = _densify_jit(k, e, self.n_flat_words)
         return run(self.sparse_stream[0], self.sparse_stream[1],
                    jax.device_put(starts), jax.device_put(lens))
 
@@ -806,7 +824,10 @@ class DeviceEngine:
         return cached
 
     def evaluate_device(self, filter_expr) -> jax.Array:
-        """Returns the [P, W] filter bitset on device."""
+        """Returns the FLAT [PW] global-word filter bitset on device
+        (partition p's words live at [p*W, (p+1)*W); reshape host-side or
+        inside a consuming jit — a device-side reshape would cost its own
+        relay dispatch)."""
         program, _regs = self.lower(filter_expr)
         # trivial filters skip the VM dispatch (and its executable) entirely
         if len(program.opcodes) == 1 and program.opcodes[0] == ALU:
@@ -815,10 +836,10 @@ class DeviceEngine:
                 if (spec >> 28) & 0xF == B_FULL:
                     return self.full_masks
                 if (spec >> 28) & 0xF == B_ZERO:
-                    return self._zero_dyn((self.n_partitions, self.n_words))
+                    return self._zero_dyn((self.n_flat_words,))
         (bucket, n_dyn, code, dyn, n_instr, k, m, sp,
          n_regs) = self._prepare_program(program)
-        shape = (self.n_partitions, n_dyn, self.n_words)
+        shape = (n_dyn, self.n_flat_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
         return self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp, n_regs,
                               "words", n_instr)
@@ -832,8 +853,8 @@ class DeviceEngine:
         as ONE packed upload — each host->device transfer costs a relay
         round-trip of its own."""
         if k:
-            run = _interpreter(bucket, self.n_rows, n_dyn, k, self.n_words,
-                               output, n_regs, m, self.n_partitions)
+            run = _interpreter(bucket, self.n_rows, n_dyn, k,
+                               self.n_flat_words, output, n_regs, m)
             starts, lens = sp
             blob = np.concatenate([
                 code.reshape(-1),
@@ -843,7 +864,7 @@ class DeviceEngine:
             return run(jax.device_put(blob), self.bank, dyn_dev,
                        self.sparse_stream[0], self.sparse_stream[1],
                        self.full_masks, jnp.int32(_round_instr(n_instr)))
-        run = _interpreter(bucket, self.n_rows, n_dyn, 0, self.n_words,
+        run = _interpreter(bucket, self.n_rows, n_dyn, 0, self.n_flat_words,
                            output, n_regs)
         return run(jnp.asarray(code), self.bank, dyn_dev,
                    self._densified(0, 1, None), self.full_masks,
@@ -854,7 +875,7 @@ class DeviceEngine:
         device array without blocking."""
         (bucket, n_dyn, code, dyn, n_instr, k, m, sp,
          n_regs) = self._prepare(filter_expr)
-        shape = (self.n_partitions, n_dyn, self.n_words)
+        shape = (n_dyn, self.n_flat_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
         return self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp, n_regs,
                               "count", n_instr)
@@ -971,13 +992,14 @@ class DeviceEngine:
             cursor += n + 1
         n_dyn = next(b for b in _DYN_BUCKETS if b >= len(all_dyn_rows))
         if all_dyn_rows:
-            dyn = np.zeros((self.n_partitions, n_dyn, self.n_words), dtype=np.uint32)
+            dyn = np.zeros((n_dyn, self.n_partitions, self.n_words),
+                           dtype=np.uint32)
             for di, rows in enumerate(all_dyn_rows):
                 for pi, row in enumerate(rows):
-                    dyn[pi, di] = row
-            dyn_dev = self._put_dyn(dyn)
+                    dyn[di, pi] = row
+            dyn_dev = self._put_dyn(dyn.reshape(n_dyn, self.n_flat_words))
         else:
-            dyn_dev = self._zero_dyn((self.n_partitions, n_dyn, self.n_words))
+            dyn_dev = self._zero_dyn((n_dyn, self.n_flat_words))
         k, m, sp = self._assemble_sparse(all_sparse_leaves, min_sparse_k,
                                          min_sparse_e)
         n_regs = next(b for b in _REG_BUCKETS
@@ -1079,7 +1101,7 @@ class DeviceEngine:
             return None
         codes_dev, n_groups, decode = prepared
         bucket = next(b for b in self._GROUP_BUCKETS if b >= n_groups)
-        words = self.evaluate_device(filter_expr)
+        words = self.evaluate_device(filter_expr)  # flat [PW]
         per_part = np.asarray(_group_counts_jit(words, codes_dev, bucket + 1))
         per_part = per_part[:, :n_groups]  # [P, G]
         totals = per_part.sum(axis=0, dtype=np.int64)
@@ -1107,11 +1129,11 @@ class DeviceEngine:
     # -- heavy reductions -----------------------------------------------------
 
     def _filters_for(self, filter_words) -> jax.Array:
-        """Device [P, W] filter rows for a host word list or DeviceFilter
-        (memoized by identity — one Mutations query calls mutation_counts
-        once per segment with the same filter)."""
+        """Device [PW] flat global-word filter for a host word list or
+        DeviceFilter (memoized by identity — one Mutations query calls
+        mutation_counts once per segment with the same filter)."""
         if isinstance(filter_words, DeviceFilter):
-            return filter_words.words
+            return filter_words.words  # already flat [PW]
         key = tuple(id(w) for w in filter_words)
         memo = self._filters_memo
         if memo is not None and memo[0] == key:
@@ -1119,7 +1141,7 @@ class DeviceEngine:
         dyn = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
         for pi, words in enumerate(filter_words):
             dyn[pi, : len(words)] = words
-        filters = self._put_dyn(dyn)
+        filters = self._put_dyn(dyn.reshape(self.n_flat_words))
         # hold a reference to the keyed arrays so ids stay valid
         self._filters_memo = (key, list(filter_words), filters)
         return filters
@@ -1137,21 +1159,23 @@ class DeviceEngine:
         starts, lens = self._sparse_bounds_dev
         from . import pallas_kernels as pk
 
-        # The kernel walks n_words/128 filter rows per vreg (~9.4e-12 s per
-        # entry-row on v5e) while XLA gather costs a flat ~9.1 ns/entry:
-        # crossover at ~970 rows. Above it (huge UNPARTITIONED corpora,
-        # e.g. 10M x 1 partition) the gather form is the faster of the two.
+        # The kernel walks the stream's hi-rows (word>>7) per entry chunk —
+        # with the GLOBAL stream sorted leaf-major the per-chunk hi span is
+        # prefetched, so cost tracks the entries actually touched, not the
+        # full filter height. XLA gather (the fallback) costs a flat
+        # ~9.1 ns/entry.
         use_kernel = (
             self.use_pallas
             and self.mesh is None
-            and sp_idx.shape[1] % pk.SPARSE_CHUNK == 0
-            and self.n_words <= 128 * 768
+            and sp_idx.shape[0] % pk.SPARSE_CHUNK == 0
         )
-        fn = (_sparse_mutation_counts_pallas_jit if use_kernel
-              else _sparse_mutation_counts_jit)
-        out = np.asarray(fn(
-            sp_idx, sp_words, filters, starts, lens
-        ), dtype=np.int64)
+        if use_kernel:
+            out = np.asarray(_sparse_mutation_counts_pallas_jit(
+                sp_idx, sp_words, self._sparse_chunk_bounds_dev, filters,
+                starts, lens), dtype=np.int64)
+        else:
+            out = np.asarray(_sparse_mutation_counts_jit(
+                sp_idx, sp_words, filters, starts, lens), dtype=np.int64)
         self._sparse_counts_memo = (key, filter_words, out)
         return out
 
@@ -1187,7 +1211,7 @@ class DeviceEngine:
 
                 bucket = pk.seg_row_bucket(n_stored)
                 stored = np.asarray(pk.mutation_counts_banked(
-                    self.bank, filters, start, bucket, self.n_words
+                    self.bank, filters, start, bucket, self.n_flat_words
                 )[:n_stored], dtype=np.int64)
             else:
                 stored = np.asarray(
@@ -1208,8 +1232,9 @@ class DeviceEngine:
 
 
 class DeviceFilter:
-    """A filter result resident on device: [P, W] words + lazy reductions.
-    Accepted by DeviceEngine.mutation_counts in place of host word lists."""
+    """A filter result resident on device: FLAT [PW] global words + lazy
+    reductions. Accepted by DeviceEngine.mutation_counts in place of host
+    word lists."""
 
     def __init__(self, engine: DeviceEngine, words: jax.Array):
         self.engine = engine
@@ -1229,9 +1254,12 @@ def _popcount_words_jit(words):
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _group_counts_jit(words, codes, num_segments):
-    """counts[g] = number of filter-set sequences with combined group code
-    g, summed over partitions. words [P, W] u32, codes [P, W*32] int32
-    (padding rows carry an out-of-range code mapped to the last segment)."""
+    """counts[p, g] = number of filter-set sequences in partition p with
+    combined group code g. words: FLAT [PW] u32 (reshaped to codes' [P,
+    W*32] layout inside the jit — free), codes [P, W*32] int32 (padding
+    rows carry an out-of-range code mapped to the last segment)."""
+    n_partitions = codes.shape[0]
+    words = words.reshape(n_partitions, -1)
 
     def one(words_p, codes_p):
         bits = ((words_p[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :])
@@ -1329,15 +1357,17 @@ class _MicroBatcher:
 
 
 def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
-                 stream_idx_p, stream_words_p, starts_p, lens_p):
-    """[K, W] densified sparse-tier rows for one partition, via a FLAT
+                 stream_idx, stream_words, starts, lens):
+    """[K, PW] densified sparse-tier rows (global word space), via a FLAT
     ragged gather+scatter over an E-entry budget: per-element scatter cost
     ~25 ns means work must scale with the ACTUAL entry count, not the
     K x max-row-length rectangle (which paid up to ~670x padding on wide
     batches — 80 qps at 10M x 32 partitions). Slot -> leaf mapping comes
     from a marker scatter + cummax (no searchsorted: its binary search
-    would gather log K times per slot)."""
-    lens = lens_p.astype(jnp.int32)
+    would gather log K times per slot). Each leaf's entries are one
+    contiguous slice of the GLOBAL stream (leaf-major order), so (start,
+    len) are corpus-global scalars."""
+    lens = lens.astype(jnp.int32)
     cum = jnp.cumsum(lens)                                    # [K] inclusive
     total = cum[-1]
     row_start = jnp.concatenate(
@@ -1352,11 +1382,11 @@ def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
     row = jax.lax.cummax(seed) - 1                            # [E]
     row_c = jnp.clip(row, 0, n_sparse_k - 1)
     within = slots - row_start[row_c]
-    src = jnp.clip(starts_p[row_c] + within, 0,
-                   stream_idx_p.shape[0] - 1)
+    src = jnp.clip(starts[row_c] + within, 0,
+                   stream_idx.shape[0] - 1)
     valid = (slots < total) & (row >= 0)
-    gi = stream_idx_p[src].astype(jnp.int32)
-    gw = stream_words_p[src]
+    gi = stream_idx[src].astype(jnp.int32)
+    gw = stream_words[src]
     flat = jnp.where(valid, row_c * n_words + gi, n_sparse_k * n_words)
     out = jnp.zeros(n_sparse_k * n_words, jnp.uint32).at[flat].set(
         gw, mode="drop")
@@ -1367,24 +1397,24 @@ def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
 def _densify_jit(n_sparse_k: int, n_sparse_e: int, n_words: int):
     """Standalone densify executable (used by paths that keep densify as
     its own dispatch)."""
-    return jax.jit(jax.vmap(functools.partial(_densify_one, n_sparse_k,
-                                              n_sparse_e, n_words)))
+    return jax.jit(functools.partial(_densify_one, n_sparse_k,
+                                     n_sparse_e, n_words))
 
 
 @functools.lru_cache(maxsize=64)
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                  n_words: int, output: str = "words",
-                 n_regs: int = MAX_REGS, n_sparse_e: int = 0,
-                 n_partitions: int = 1):
-    """Jitted, partition-vmapped register-machine interpreter for one shape
-    bucket. output='words' returns the [P, W] bitset (reg[0]);
-    output='count' fuses the popcount reduction into the same executable
-    (one dispatch); 'multi_count' sums per-query EMIT_COUNT outputs.
+                 n_regs: int = MAX_REGS, n_sparse_e: int = 0):
+    """Jitted register-machine interpreter for one shape bucket, over the
+    FLAT global word axis (n_words = partitions x per-partition words).
+    output='words' returns the [PW] bitset (reg[0]); output='count' fuses
+    the popcount reduction into the same executable (one dispatch);
+    'multi_count' returns per-query EMIT_COUNT outputs.
 
     With n_sparse_e > 0 the sparse-leaf densification runs INSIDE the same
-    executable (stream + per-leaf bounds in, [P, K, W] block scattered on
+    executable (stream + per-leaf bounds in, [K, PW] block scattered on
     device) — sparse-touching queries stay a single dispatch. Otherwise
-    densified rows arrive as a [P, K, W] input."""
+    densified rows arrive as a [K, PW] input."""
     run_one = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words,
                                       n_sparse_k=n_sparse_k, n_regs=n_regs,
                                       with_emit=output == "multi_count")
@@ -1393,34 +1423,29 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
         if output == "count":
             return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
         if output == "multi_count":
-            return outs.sum(axis=0, dtype=jnp.int32)  # [MAX_BATCH_QUERIES]
+            return outs  # [MAX_BATCH_QUERIES]
         return words
 
     if n_sparse_e and n_sparse_k:
         densify = functools.partial(_densify_one, n_sparse_k, n_sparse_e,
                                     n_words)
         code_len = 3 * program_len
-        pk = n_partitions * n_sparse_k
 
         def run_fused(blob, bank, dyn, stream_idx, stream_words,
                       full_masks, n_instr):
             code = blob[:code_len].reshape(3, program_len)
-            starts = blob[code_len : code_len + pk].reshape(
-                n_partitions, n_sparse_k)
-            lens = blob[code_len + pk :].reshape(n_partitions, n_sparse_k)
-            sparse_rows = jax.vmap(densify)(stream_idx, stream_words,
-                                            starts, lens)
-            words, outs = jax.vmap(
-                run_one, in_axes=(None, 0, 0, 0, 0, None)
-            )(code, bank, dyn, sparse_rows, full_masks, n_instr)
+            starts = blob[code_len : code_len + n_sparse_k]
+            lens = blob[code_len + n_sparse_k :]
+            sparse_rows = densify(stream_idx, stream_words, starts, lens)
+            words, outs = run_one(code, bank, dyn, sparse_rows, full_masks,
+                                  n_instr)
             return finish(words, outs)
 
         return jax.jit(run_fused)
 
     def run(code, bank, dyn, sparse_rows, full_masks, n_instr):
-        words, outs = jax.vmap(
-            run_one, in_axes=(None, 0, 0, 0, 0, None)
-        )(code, bank, dyn, sparse_rows, full_masks, n_instr)
+        words, outs = run_one(code, bank, dyn, sparse_rows, full_masks,
+                              n_instr)
         return finish(words, outs)
 
     return jax.jit(run)
@@ -1428,9 +1453,9 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
 
 def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int,
                   n_regs: int = MAX_REGS):
-    """Single-partition VM body returning only the result words (the form
-    parallel/mesh.py and __graft_entry__ jit over a mesh); executes the full
-    padded program (NOPs write only the trash register)."""
+    """VM body returning only the result words (the form parallel/mesh.py
+    and __graft_entry__ jit over a mesh); executes the full padded program
+    (NOPs write only the trash register)."""
     full = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words,
                                    n_regs=n_regs, with_emit=False)
 
@@ -1473,15 +1498,22 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
             mode = (spec >> 24) & 0xF
             bsrc = (spec >> 28) & 0xF
 
-            a = regs[jnp.minimum(ra, n_regs - 1)]
-            # gathers (not dynamic_slice): the vmap batching rule gathers
-            # per-partition rows instead of broadcasting whole banks
-            bank_row = bank[jnp.clip(operand, 0, n_rows - 1)]
-            dyn_row = dyn[jnp.clip(operand, 0, n_dyn - 1)]
-            sparse_row = sparse_rows[jnp.clip(operand, 0, max(n_sparse_k, 1) - 1)]
+            # dynamic row slices (no vmap in sight — the partition axis is
+            # folded into the word axis, so these lower to real
+            # dynamic-slice ops, not gathers over the whole array)
+            a = jax.lax.dynamic_index_in_dim(
+                regs, jnp.minimum(ra, n_regs - 1), 0, keepdims=False)
+            bank_row = jax.lax.dynamic_index_in_dim(
+                bank, jnp.clip(operand, 0, n_rows - 1), 0, keepdims=False)
+            dyn_row = jax.lax.dynamic_index_in_dim(
+                dyn, jnp.clip(operand, 0, n_dyn - 1), 0, keepdims=False)
+            sparse_row = jax.lax.dynamic_index_in_dim(
+                sparse_rows, jnp.clip(operand, 0, max(n_sparse_k, 1) - 1), 0,
+                keepdims=False)
 
             b = jnp.where(
-                bsrc == B_REG, regs[jnp.minimum(rb, n_regs - 1)],
+                bsrc == B_REG, jax.lax.dynamic_index_in_dim(
+                    regs, jnp.minimum(rb, n_regs - 1), 0, keepdims=False),
                 jnp.where(
                     bsrc == B_BANK, bank_row,
                     jnp.where(
@@ -1536,61 +1568,54 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
     return run_one
 
 
+def _boundary_sums(vals_u32, starts, lens):
+    """Segmented sums of a flat per-entry value stream whose segments are
+    contiguous (start, len) slices: inclusive cumsum + boundary gather — NO
+    scatter (TPU scatter-add serializes). uint32 wraparound keeps boundary
+    differences exact: every true per-segment sum <= sequence count < 2**32.
+    Trailing pad entries carry zero values, so they never perturb the cumsum
+    below any segment's upper boundary."""
+    c = jnp.cumsum(vals_u32)
+    last = c.shape[0] - 1
+    hi = c[jnp.clip(starts + lens - 1, 0, last)]
+    lo = jnp.where(starts > 0, c[jnp.clip(starts - 1, 0, last)],
+                   jnp.uint32(0))
+    return jnp.where(lens > 0, hi - lo, jnp.uint32(0))
+
+
 @jax.jit
 def _sparse_mutation_counts_jit(sp_idx, sp_words, filters, starts, lens):
-    """Segmented popcount over the flat sparse-tier CSR stream:
-    counts[r] = sum over row r's stored words of popcount(word &
-    filter[word_idx]), summed over partitions.
-
-    The stream is row-major (ascending row id, contiguous slices), so the
-    segmented sum is an inclusive cumsum plus a gather of slice boundaries
-    — NO scatter (TPU scatter-add serializes; 2x on the 1M Mutations
-    action, and dropping the per-entry row-id array shrinks the resident
-    stream by a third). uint32 wraparound keeps boundary differences
-    exact: every true per-row sum <= sequence count < 2**32.
-    Trailing pad entries carry zero words, so they never perturb the cumsum
-    below any row's upper boundary."""
-
-    def one(idx, words, filt, st, ln):
-        vals = jax.lax.population_count(words & filt[idx]).astype(jnp.uint32)
-        c = jnp.cumsum(vals)
-        last = c.shape[0] - 1
-        hi = c[jnp.clip(st + ln - 1, 0, last)]
-        lo = jnp.where(st > 0, c[jnp.clip(st - 1, 0, last)], jnp.uint32(0))
-        return jnp.where(ln > 0, hi - lo, jnp.uint32(0))
-
-    return jax.vmap(one)(sp_idx, sp_words, filters, starts, lens).sum(
-        axis=0, dtype=jnp.uint32
-    )
+    """Segmented popcount over the flat GLOBAL sparse-tier CSR stream:
+    counts[r] = sum over row r's stored words (all partitions — the stream
+    is leaf-major) of popcount(word & filter[global word idx])."""
+    vals = jax.lax.population_count(
+        sp_words & filters[sp_idx]).astype(jnp.uint32)
+    return _boundary_sums(vals, starts, lens)
 
 
 @jax.jit
-def _sparse_mutation_counts_pallas_jit(sp_idx, sp_words, filters, starts, lens):
+def _sparse_mutation_counts_pallas_jit(sp_idx, sp_words, chunk_bounds,
+                                       filters, starts, lens):
     """_sparse_mutation_counts_jit with the per-entry filter lookup done by
     the Mosaic dynamic-gather kernel (pallas_kernels.sparse_filter_popcount)
     instead of XLA's generic gather — XLA gather costs ~9 ns/element on TPU
-    (313 ms at 32M entries, measured), the kernel walks the VMEM-resident
-    filter at n_words/128 selects per vreg (~77 ms at 32M entries with a
-    single 1M-row partition; a few ms once corpora partition)."""
+    (313 ms at 32M entries, measured); the kernel walks only the filter
+    hi-rows spanned by each entry chunk (prefetched per-chunk bounds)."""
     from . import pallas_kernels as pk
 
-    vals = pk.sparse_filter_popcount(filters, sp_idx, sp_words).astype(jnp.uint32)
-
-    def one(v, st, ln):
-        c = jnp.cumsum(v)
-        last = c.shape[0] - 1
-        hi = c[jnp.clip(st + ln - 1, 0, last)]
-        lo = jnp.where(st > 0, c[jnp.clip(st - 1, 0, last)], jnp.uint32(0))
-        return jnp.where(ln > 0, hi - lo, jnp.uint32(0))
-
-    return jax.vmap(one)(vals, starts, lens).sum(axis=0, dtype=jnp.uint32)
+    vals = pk.sparse_filter_popcount(
+        filters, sp_idx, sp_words, chunk_bounds).astype(jnp.uint32)
+    return _boundary_sums(vals, starts, lens)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _mutation_counts_jit(bank, filters, start, n_seg_rows):
+    """bank [R, PW] & filter [PW]: per-row popcount over the global word
+    space (= the reference's per-partition and_cardinality sums,
+    mutations.cpp:36-137, already summed over partitions)."""
     segment = jax.lax.dynamic_slice(
-        bank, (0, start, 0), (bank.shape[0], n_seg_rows, bank.shape[2])
+        bank, (start, 0), (n_seg_rows, bank.shape[1])
     )
-    masked = segment & filters[:, None, :]
+    masked = segment & filters[None, :]
     counts = jax.lax.population_count(masked).astype(jnp.int32)
-    return counts.sum(axis=(0, 2), dtype=jnp.int32)
+    return counts.sum(axis=1, dtype=jnp.int32)

@@ -139,12 +139,14 @@ def seg_row_bucket(n_rows: int) -> int:
 def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
                            row_block: int = ROW_BLOCK, word_block: int | None = None,
                            use_csa: bool | None = None, interpret: bool = False):
-    """counts[n_seg_rows]: sum over partitions of popcount(bank_row & filter).
+    """counts[n_seg_rows]: popcount(bank_row & filter) over the GLOBAL word
+    axis (partitions folded into words — the per-partition sums of the
+    reference's mutations.cpp arrive pre-merged).
 
-    bank [P, R, W] stays in HBM; the kernel streams row_block x word_block
-    tiles through VMEM against the per-partition filter. `start` (dynamic,
-    prefetched scalar — one executable serves every segment offset) must be
-    row_block-aligned (DeviceEngine aligns segment offsets), W must be a
+    bank [R, PW] stays in HBM; the kernel streams row_block x word_block
+    tiles through VMEM against the flat filter. `start` (dynamic, prefetched
+    scalar — one executable serves every segment offset) must be
+    row_block-aligned (DeviceEngine aligns segment offsets), PW must be a
     lane multiple; callers bucket n_seg_rows (seg_row_bucket) and slice the
     result. Row blocks past the bank's end clamp to the last block (their
     counts land in sliced-off output rows). `use_csa=True` selects the
@@ -154,9 +156,8 @@ def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
     bottleneck to relieve), so the default is the naive form; CSA stays for
     A/B on future hardware where the VPU/HBM ratio differs.
     """
-    n_partitions = bank.shape[0]
     start_block = jnp.asarray(start, jnp.int32).reshape(1) // row_block
-    max_block = max(bank.shape[1] // row_block - 1, 0)
+    max_block = max(bank.shape[0] // row_block - 1, 0)
     assert n_seg_rows % row_block == 0
     if word_block is None:
         # largest lane-aligned block <= WORD_BLOCK that divides n_words
@@ -170,18 +171,18 @@ def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
     if use_csa is None:
         use_csa = False
     assert not use_csa or word_block % (_CSA_GROUP * 128) == 0, word_block
-    # reduction axes (partition, word-block) innermost so each output block's
-    # revisits are consecutive
+    # word-block reduction axis innermost so each output block's revisits
+    # are consecutive
     n_j = n_words // word_block
-    grid = (n_seg_rows // row_block, n_partitions, n_j)
+    grid = (n_seg_rows // row_block, n_j)
     chunk = word_block // _CSA_GROUP
 
     def kernel_naive(start_ref, filter_ref, rows_ref, out_ref):
         del start_ref  # consumed by the index maps
-        masked = rows_ref[0] & filter_ref[0]
+        masked = rows_ref[:] & filter_ref[:]
         counts = jnp.sum(_popc(masked), axis=1, keepdims=True)
 
-        @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
+        @pl.when(pl.program_id(1) == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -190,11 +191,7 @@ def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
     def kernel_csa(start_ref, filter_ref, rows_ref, out_ref,
                    ones_ref, twos_ref, fours_ref, eights_ref, acc_ref):
         del start_ref  # consumed by the index maps
-        j = pl.program_id(2)
-
-        @pl.when((pl.program_id(1) == 0) & (j == 0))
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+        j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
@@ -204,7 +201,7 @@ def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
             eights_ref[:] = jnp.zeros_like(eights_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        masked = rows_ref[0] & filter_ref[0]
+        masked = rows_ref[:] & filter_ref[:]
         chunks = [masked[:, k * chunk:(k + 1) * chunk] for k in range(_CSA_GROUP)]
         ones, twos, fours, eights, sixteens = _harley_seal_16(
             chunks, ones_ref[:], twos_ref[:], fours_ref[:], eights_ref[:]
@@ -222,11 +219,11 @@ def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
                 + 2 * _popc(twos_ref[:])
                 + _popc(ones_ref[:])
             )
-            out_ref[:] += jnp.sum(total, axis=1, keepdims=True)
+            out_ref[:] = jnp.sum(total, axis=1, keepdims=True)
 
     try:
         compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"))
+            dimension_semantics=("parallel", "arbitrary"))
     except Exception:  # noqa: BLE001
         compiler_params = None
     scratch_shapes = (
@@ -237,13 +234,13 @@ def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, word_block), lambda i, p, j, s: (p, 0, j)),
+            pl.BlockSpec((1, word_block), lambda i, j, s: (0, j)),
             pl.BlockSpec(
-                (1, row_block, word_block),
-                lambda i, p, j, s: (p, jnp.minimum(s[0] + i, max_block), j),
+                (row_block, word_block),
+                lambda i, j, s: (jnp.minimum(s[0] + i, max_block), j),
             ),
         ],
-        out_specs=pl.BlockSpec((row_block, 1), lambda i, p, j, s: (i, 0)),
+        out_specs=pl.BlockSpec((row_block, 1), lambda i, j, s: (i, 0)),
         scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
@@ -253,11 +250,11 @@ def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
         compiler_params=compiler_params,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_partitions * n_seg_rows * n_words,
-            bytes_accessed=n_partitions * n_seg_rows * n_words * 4,
+            flops=2 * n_seg_rows * n_words,
+            bytes_accessed=n_seg_rows * n_words * 4,
             transcendentals=0,
         ),
-    )(start_block, filters.reshape(n_partitions, 1, n_words), bank)
+    )(start_block, filters.reshape(1, n_words), bank)
     return out[:, 0]
 
 
@@ -265,20 +262,24 @@ def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
 # on TPU (measured: 313 ms for 32M lookups from a 128 KB table — latency-
 # bound scalar loop, unaffected by sortedness or bounds mode). This kernel
 # replaces it with Mosaic's per-lane `tpu.dynamic_gather` (exposed through
-# take_along_axis when indices.shape == operand.shape): the filter lives in
-# VMEM as [n_hi, 128] rows; a fori_loop walks the n_hi rows, each step doing
-# ONE 128-way lane gather + select per vreg. Cost scales with n_hi =
-# n_words/128 of ONE partition, so partitioned corpora (the production
-# layout) pay a few ms where XLA gather pays 300+.
+# take_along_axis when indices.shape == operand.shape): the whole GLOBAL
+# filter lives in VMEM as [PW/128, 128] rows; a fori_loop walks filter rows,
+# each step doing ONE 128-way lane gather + select per vreg. The stream is
+# sorted (leaf-major, partition, word), so each entry chunk only spans a
+# NARROW band of filter rows — per-chunk (min_hi, max_hi) bounds are
+# precomputed host-side and prefetched, making the walk proportional to the
+# rows a chunk actually touches instead of the full filter height.
 SPARSE_CHUNK = 16384
 
 
-def _sparse_vals_kernel(filt_ref, idx_ref, words_ref, out_ref):
+def _sparse_vals_kernel(bounds_ref, filt_ref, idx_ref, words_ref, out_ref):
     idx = idx_ref[:]
     words = words_ref[:]
     lo = idx & 127
     hi = idx >> 7
-    n_hi = filt_ref.shape[0]
+    c = pl.program_id(0)
+    h0 = bounds_ref[c, 0]
+    h1 = bounds_ref[c, 1]
 
     def body(h, val):
         row = filt_ref[h, :]
@@ -286,44 +287,44 @@ def _sparse_vals_kernel(filt_ref, idx_ref, words_ref, out_ref):
         g = jnp.take_along_axis(row_b, lo, axis=1)
         return jnp.where(hi == h, g, val)
 
-    val = jax.lax.fori_loop(0, n_hi, body, jnp.zeros_like(words))
+    val = jax.lax.fori_loop(h0, h1 + 1, body, jnp.zeros_like(words))
     out_ref[:] = jax.lax.population_count(words & val).astype(jnp.int32)
 
 
-def sparse_filter_popcount(filters, sp_idx, sp_words, interpret=False):
-    """vals[P, E] i32 = popcount(sp_words & filters[p, sp_idx]) — the
-    per-entry reduction of the sparse-tier CSR stream against per-partition
-    filters (reference mutations.cpp's and_cardinality over sparse rows).
-    E must be a SPARSE_CHUNK multiple and n_words a lane multiple; pad
-    entries carry word 0 and contribute 0."""
-    n_partitions, n_words = filters.shape
-    e = sp_idx.shape[1]
+def sparse_filter_popcount(filters, sp_idx, sp_words, chunk_bounds,
+                           interpret=False):
+    """vals[E] i32 = popcount(sp_words & filters[sp_idx]) — the per-entry
+    reduction of the GLOBAL sparse-tier CSR stream against the flat filter
+    (reference mutations.cpp's and_cardinality over sparse rows). E must be
+    a SPARSE_CHUNK multiple and PW a lane multiple; pad entries carry word 0
+    and contribute 0. chunk_bounds [E/SPARSE_CHUNK, 2] int32 holds each
+    chunk's (min, max) filter hi-row (word >> 7)."""
+    n_words = filters.shape[0]
+    e = sp_idx.shape[0]
     assert e % SPARSE_CHUNK == 0 and n_words % 128 == 0, (e, n_words)
     n_hi = n_words // 128
     rows_per_chunk = SPARSE_CHUNK // 128
-    chunks_per_partition = e // SPARSE_CHUNK
-    grid = (n_partitions, chunks_per_partition)
-    # entry arrays flatten to [P * E/128, 128]; block indices are in units
-    # of whole blocks, so partition p's chunk i starts at block
-    # p*chunks_per_partition + i.
-    entry_spec = pl.BlockSpec(
-        (rows_per_chunk, 128),
-        lambda p, i, cpp=chunks_per_partition: (p * cpp + i, 0),
-    )
-    out = pl.pallas_call(
-        _sparse_vals_kernel,
+    n_chunks = e // SPARSE_CHUNK
+    grid = (n_chunks,)
+    entry_spec = pl.BlockSpec((rows_per_chunk, 128), lambda c, s: (c, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n_hi, 128), lambda p, i: (p, 0)),
+            pl.BlockSpec((n_hi, 128), lambda c, s: (0, 0)),
             entry_spec,
             entry_spec,
         ],
         out_specs=entry_spec,
-        out_shape=jax.ShapeDtypeStruct((n_partitions * e // 128, 128), jnp.int32),
+    )
+    out = pl.pallas_call(
+        _sparse_vals_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e // 128, 128), jnp.int32),
         interpret=interpret,
-    )(filters.reshape(-1, 128), sp_idx.reshape(-1, 128),
+    )(chunk_bounds, filters.reshape(-1, 128), sp_idx.reshape(-1, 128),
       sp_words.reshape(-1, 128))
-    return out.reshape(n_partitions, e)
+    return out.reshape(e)
 
 
 def pad_to_blocks(rows: np.ndarray) -> np.ndarray:

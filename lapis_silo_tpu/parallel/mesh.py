@@ -6,9 +6,10 @@ devices — every filter-VM op is word-local, so the program runs without any
 communication; only the final reductions (counts, per-position mutation
 histograms) cross chips, as XLA-inserted all-reduces over ICI.
 
-This also covers the partition axis: partitions stay whole (vmapped), words
-shard — so a database with ONE giant partition scales across a pod exactly
-like one with 32.
+This also covers the partition axis: partitions FOLD into the flat global
+word axis (partition p owns word slots [p*W, (p+1)*W)), words shard — so a
+database with ONE giant partition scales across a pod exactly like one
+with 32.
 """
 
 from __future__ import annotations
@@ -43,27 +44,26 @@ class ShardedQueryStep:
                 f"n_words={n_words} must be a multiple of mesh size "
                 f"{mesh.devices.size} (pad the word axis)"
             )
+        del n_partitions  # folded into the flat global word axis
         self.mesh = mesh
         self.axis = axis
         run_one = de.build_run_one(program_len, n_rows, n_dyn, n_words)
 
         def step(code, bank, dyn, full_masks, seg_slice):
-            words = jax.vmap(run_one, in_axes=(None, 0, 0, 0))(
-                code, bank, dyn, full_masks
-            )  # [P, W]
+            words = run_one(code, bank, dyn, full_masks)  # [PW]
             count = jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
             segment = jax.lax.dynamic_slice(
-                bank, (0, seg_slice, 0), (bank.shape[0], 64, bank.shape[2])
+                bank, (seg_slice, 0), (64, bank.shape[1])
             )
             mutation_counts = (
-                jax.lax.population_count(segment & words[:, None, :])
+                jax.lax.population_count(segment & words[None, :])
                 .astype(jnp.int32)
-                .sum(axis=(0, 2), dtype=jnp.int32)
+                .sum(axis=1, dtype=jnp.int32)
             )
             return words, count, mutation_counts
 
-        sharded = NamedSharding(mesh, P(None, None, axis))  # [P, R|D, W]
-        words_sharding = NamedSharding(mesh, P(None, axis))
+        sharded = NamedSharding(mesh, P(None, axis))  # [R|D, PW]
+        words_sharding = NamedSharding(mesh, P(axis))
         replicated = NamedSharding(mesh, P())
         self.jitted = jax.jit(
             step,

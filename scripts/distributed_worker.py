@@ -36,12 +36,14 @@ from lapis_silo_tpu.parallel.mesh import ShardedQueryStep, make_mesh  # noqa: E4
 n_devices = jax.device_count()
 assert n_devices == 4 * num_processes, (n_devices, num_processes)
 
-# Deterministic inputs, identical in every process.
-P_, R, W, LEN = 2, 64, 4 * n_devices, 16
+# Deterministic inputs, identical in every process (flat global word axis:
+# partitions fold into words).
+P_, R, LEN = 2, 64, 16
+PW = P_ * 4 * n_devices
 rng = np.random.default_rng(0)
-bank = rng.integers(0, 1 << 32, size=(P_, R, W), dtype=np.uint32)
-dyn = np.zeros((P_, 1, W), dtype=np.uint32)
-full = np.full((P_, W), 0xFFFFFFFF, dtype=np.uint32)
+bank = rng.integers(0, 1 << 32, size=(R, PW), dtype=np.uint32)
+dyn = np.zeros((1, PW), dtype=np.uint32)
+full = np.full(PW, 0xFFFFFFFF, dtype=np.uint32)
 code = np.zeros((3, LEN), dtype=np.int32)
 code[0, :] = de.NOP
 code[2, :] = de.NO_DST
@@ -54,7 +56,7 @@ code[2, :2] = [
 ]
 
 mesh = make_mesh(jax.devices())
-step = ShardedQueryStep(mesh, n_partitions=P_, n_rows=R, n_dyn=1, n_words=W,
+step = ShardedQueryStep(mesh, n_partitions=P_, n_rows=R, n_dyn=1, n_words=PW,
                         program_len=LEN)
 
 
@@ -67,9 +69,9 @@ def put(host, spec):
 
 args = (
     put(code, PartitionSpec()),
-    put(bank, PartitionSpec(None, None, "seq")),
-    put(dyn, PartitionSpec(None, None, "seq")),
-    put(full, PartitionSpec(None, "seq")),
+    put(bank, PartitionSpec(None, "seq")),
+    put(dyn, PartitionSpec(None, "seq")),
+    put(full, PartitionSpec("seq")),
 )
 words, count, mutation_counts = step(*args)
 jax.block_until_ready(words)

@@ -30,10 +30,10 @@ from lapis_silo_tpu.ops import device_engine as de  # noqa: E402
 
 N_WORDS = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
 N_PART = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-N_ROWS = 64
+N_ROWS = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 BUCKET = 4096
 N_DYN = 4
-N_REGS = 8
+N_REGS = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
 
 def build_code(mix: str, seed: int = 0) -> np.ndarray:

@@ -22,13 +22,13 @@ def _free_port() -> int:
 
 
 def _expected():
-    P_, R, W = 2, 64, 32
+    R, PW = 64, 2 * 32  # flat global word axis (partitions fold into words)
     rng = np.random.default_rng(0)
-    bank = rng.integers(0, 1 << 32, size=(P_, R, W), dtype=np.uint32)
-    words = bank[:, 3, :] & bank[:, 7, :]
+    bank = rng.integers(0, 1 << 32, size=(R, PW), dtype=np.uint32)
+    words = bank[3] & bank[7]
     count = int(np.bitwise_count(words).sum())
-    segment = bank[:, 0:64, :]
-    mut = int(np.bitwise_count(segment & words[:, None, :]).sum())
+    segment = bank[0:64]
+    mut = int(np.bitwise_count(segment & words[None, :]).sum())
     return count, mut
 
 

@@ -21,7 +21,7 @@ def test_popcount_rows_matches_numpy():
 @pytest.mark.parametrize("use_csa", [False, True])
 def test_mutation_counts_banked_matches_numpy(use_csa):
     """Banked kernel (naive and Harley-Seal CSA forms) vs numpy, over a
-    multi-partition bank with a non-zero row offset and a multi-block word
+    flat global-word bank with a non-zero row offset and a multi-block word
     axis (so the CSA accumulators carry across grid steps)."""
     from lapis_silo_tpu.ops import pallas_kernels as pk
 
@@ -29,19 +29,17 @@ def test_mutation_counts_banked_matches_numpy(use_csa):
         pytest.skip("pallas unavailable")
     rng = np.random.default_rng(1)
     row_block, word_block = 8, 2048
-    n_partitions, n_rows, n_words = 2, 4 * row_block, 3 * word_block
-    bank = rng.integers(0, 2**32, size=(n_partitions, n_rows, n_words),
-                        dtype=np.uint32)
-    filters = rng.integers(0, 2**32, size=(n_partitions, n_words),
-                           dtype=np.uint32)
+    n_rows, n_words = 4 * row_block, 3 * word_block
+    bank = rng.integers(0, 2**32, size=(n_rows, n_words), dtype=np.uint32)
+    filters = rng.integers(0, 2**32, size=n_words, dtype=np.uint32)
     start, n_seg = row_block, 2 * row_block
     got = np.asarray(pk.mutation_counts_banked(
         bank, filters, start, n_seg, n_words, row_block, word_block,
         use_csa, True,
     ))
     want = (
-        np.bitwise_count(bank[:, start:start + n_seg] & filters[:, None, :])
-        .sum(axis=(0, 2)).astype(np.int32)
+        np.bitwise_count(bank[start:start + n_seg] & filters[None, :])
+        .sum(axis=1).astype(np.int32)
     )
     np.testing.assert_array_equal(got, want)
 
@@ -56,16 +54,16 @@ def test_mutation_counts_banked_bucketed_rows():
     rng = np.random.default_rng(3)
     row_block = 8
     n_rows, n_words = 3 * row_block, 256
-    bank = rng.integers(0, 2**32, size=(2, n_rows, n_words), dtype=np.uint32)
-    filters = rng.integers(0, 2**32, size=(2, n_words), dtype=np.uint32)
+    bank = rng.integers(0, 2**32, size=(n_rows, n_words), dtype=np.uint32)
+    filters = rng.integers(0, 2**32, size=n_words, dtype=np.uint32)
     start, n_stored = row_block, 2 * row_block  # bucket == 2 blocks past end
     bucket = 4 * row_block
     got = np.asarray(pk.mutation_counts_banked(
         bank, filters, start, bucket, n_words, row_block, 128, False, True,
     ))[:n_stored]
     want = (
-        np.bitwise_count(bank[:, start:start + n_stored] & filters[:, None, :])
-        .sum(axis=(0, 2)).astype(np.int32)
+        np.bitwise_count(bank[start:start + n_stored] & filters[None, :])
+        .sum(axis=1).astype(np.int32)
     )
     np.testing.assert_array_equal(got, want)
     assert pk.seg_row_bucket(100) == 256
@@ -73,27 +71,29 @@ def test_mutation_counts_banked_bucketed_rows():
 
 
 def test_sparse_filter_popcount_matches_numpy():
-    """Mosaic dynamic-gather sparse kernel vs numpy: multi-partition,
-    multi-chunk entry streams with zero-padded tails."""
+    """Mosaic dynamic-gather sparse kernel vs numpy: a multi-chunk GLOBAL
+    entry stream (sorted word indices per chunk band) with zero-padded
+    tails and per-chunk hi bounds."""
     from lapis_silo_tpu.ops import pallas_kernels as pk
 
     if not pk.HAVE_PALLAS:
         pytest.skip("pallas unavailable")
     rng = np.random.default_rng(7)
-    n_partitions, n_words = 3, 1024
+    n_words = 3 * 1024
     e = 2 * pk.SPARSE_CHUNK
-    filters = rng.integers(0, 2**32, size=(n_partitions, n_words),
-                           dtype=np.uint32)
-    sp_idx = rng.integers(0, n_words, size=(n_partitions, e)).astype(np.int32)
-    sp_words = rng.integers(0, 2**32, size=(n_partitions, e), dtype=np.uint32)
-    # zero-padded tail like the assembled stream
-    sp_idx[:, -100:] = 0
-    sp_words[:, -100:] = 0
+    filters = rng.integers(0, 2**32, size=n_words, dtype=np.uint32)
+    # sorted indices: each chunk spans a narrow hi band (like the leaf-major
+    # stream); the tail is zero-padded like the assembled stream
+    sp_idx = np.sort(rng.integers(0, n_words, size=e)).astype(np.int32)
+    sp_words = rng.integers(0, 2**32, size=e, dtype=np.uint32)
+    sp_idx[-100:] = 0
+    sp_words[-100:] = 0
+    his = (sp_idx.astype(np.int64) >> 7).reshape(-1, pk.SPARSE_CHUNK)
+    bounds = np.stack([his.min(axis=1), his.max(axis=1)], axis=1).astype(
+        np.int32)
     got = np.asarray(pk.sparse_filter_popcount(
-        filters, sp_idx, sp_words, interpret=True))
-    want = np.bitwise_count(
-        sp_words & np.take_along_axis(filters, sp_idx, axis=1)
-    ).astype(np.int32)
+        filters, sp_idx, sp_words, bounds, interpret=True))
+    want = np.bitwise_count(sp_words & filters[sp_idx]).astype(np.int32)
     np.testing.assert_array_equal(got, want)
 
 
