@@ -1414,10 +1414,30 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
     With n_sparse_e > 0 the sparse-leaf densification runs INSIDE the same
     executable (stream + per-leaf bounds in, [K, PW] block scattered on
     device) — sparse-touching queries stay a single dispatch. Otherwise
-    densified rows arrive as a [K, PW] input."""
-    run_one = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words,
-                                      n_sparse_k=n_sparse_k, n_regs=n_regs,
-                                      with_emit=output == "multi_count")
+    densified rows arrive as a [K, PW] input.
+
+    On TPU the VM body is the Mosaic kernel (pallas_kernels.vm_run):
+    registers live in VMEM for the whole program, so each instruction costs
+    ONE row DMA instead of the XLA while_loop's ~13 register-file passes
+    (37 us/instr measured at 327680 flat words)."""
+    from . import pallas_kernels as pk
+
+    use_kernel = (
+        pk.HAVE_PALLAS
+        and jax.default_backend() != "cpu"
+        and n_words % 128 == 0
+        and pk._vm_block_hi(n_words // 128, n_regs) is not None
+        and pk.VM_MAX_BATCH == MAX_BATCH_QUERIES
+    )
+    if use_kernel:
+        def run_one(code, bank, dyn, sparse_rows, full_masks, n_instr):
+            return pk.vm_run(code[0], code[1], code[2],
+                             n_instr.reshape(1), bank, dyn, sparse_rows,
+                             full_masks, n_regs=n_regs)
+    else:
+        run_one = build_run_one_with_emit(
+            program_len, n_rows, n_dyn, n_words, n_sparse_k=n_sparse_k,
+            n_regs=n_regs, with_emit=output == "multi_count")
 
     def finish(words, outs):
         if output == "count":

@@ -336,3 +336,177 @@ def pad_to_blocks(rows: np.ndarray) -> np.ndarray:
     out = np.zeros((rp, wp), dtype=np.uint32)
     out[:r, :w] = rows
     return out
+
+
+# ---------------------------------------------------------------------------
+# The filter-VM kernel: the register machine's inner loop as a Mosaic
+# kernel. The XLA while_loop interpreter pays ~0.3 us per 1K flat words per
+# instruction of pure overhead (opcode-independent — ~13 row-passes of HBM
+# traffic through the carried register file; measured 95 us/instr at 327680
+# flat words). Here the register file lives in VMEM for the whole program,
+# so per-instruction HBM traffic is exactly ONE row DMA (the instruction's
+# b-source), the speed-of-light for a program that streams index rows.
+#
+# Layout contract (matches DeviceEngine's global word space):
+#   bank [R, PW], dyn [n_dyn, PW], sparse_rows [K, PW], full [PW], words
+#   viewed as [PW/128, 128] inside the kernel. The word axis splits into
+#   grid blocks when the register file would overflow VMEM; instruction
+#   decode re-runs per block (SMEM scalars — free next to the row DMA).
+# ---------------------------------------------------------------------------
+
+VM_MAX_BATCH = 128  # must match device_engine.MAX_BATCH_QUERIES
+_ANY = getattr(pl, "ANY", None) or (pltpu.ANY if HAVE_PALLAS else None)
+
+
+def _vm_block_hi(n_hi: int, n_regs: int, vmem_cap_bytes: int = 64 << 20):
+    """Largest per-block hi-row count (multiple of the whole-words-per-
+    partition quantum that divides n_hi) whose register file fits VMEM;
+    None when even one quantum overflows (callers fall back to XLA)."""
+    per_hi = (n_regs + 3) * 128 * 4  # regs+trash, slot, full, words out
+    cap = max(vmem_cap_bytes // per_hi, 0)
+    if cap >= n_hi:
+        return n_hi
+    for div in range(cap, 0, -1):
+        if n_hi % div == 0:
+            return div
+    return None
+
+
+def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
+           n_regs: int, interpret: bool = False,
+           vmem_cap_bytes: int = 64 << 20):
+    """Execute a register-machine program (see device_engine opcodes) over
+    flat global words. Returns (words [PW] u32 = reg[0], counts
+    [VM_MAX_BATCH] i32 from EMIT_COUNT instructions).
+
+    ops/opers/specs: int32[L] instruction stream (scalar-prefetched to
+    SMEM); n_instr: int32[1] actual instruction count (the padded NOP tail
+    is never executed — one executable serves every program length in the
+    bucket)."""
+    n_rows, pw = bank.shape
+    n_dyn = dyn.shape[0]
+    n_sparse_k = sparse_rows.shape[0]
+    assert pw % 128 == 0, pw
+    n_hi = pw // 128
+    w_hi = _vm_block_hi(n_hi, n_regs, vmem_cap_bytes)
+    assert w_hi is not None, (n_hi, n_regs)
+    n_blocks = n_hi // w_hi
+
+    bank3 = bank.reshape(n_rows, n_hi, 128)
+    dyn3 = dyn.reshape(n_dyn, n_hi, 128)
+    sparse3 = sparse_rows.reshape(n_sparse_k, n_hi, 128)
+    full2 = full.reshape(n_hi, 128)
+
+    def kernel(ops_ref, oper_ref, spec_ref, ninstr_ref,
+               bank_ref, dyn_ref, sparse_ref, full_ref,
+               words_ref, counts_ref, regs_ref, slot_ref, sem):
+        b = pl.program_id(0)
+        hi0 = b * w_hi
+
+        @pl.when(b == 0)
+        def _():
+            def zero(i, _):
+                counts_ref[i] = 0
+                return 0
+            jax.lax.fori_loop(0, VM_MAX_BATCH, zero, 0)
+
+        regs_ref[...] = jnp.zeros_like(regs_ref)
+
+        def body(i, _):
+            operand = oper_ref[i]
+            spec = spec_ref[i]
+            dst = spec & 0xFF
+            ra = (spec >> 8) & 0xFF
+            rb = (spec >> 16) & 0xFF
+            mode = (spec >> 24) & 0xF
+            bsrc = (spec >> 28) & 0xF
+
+            def dma(ref, hi):
+                cp = pltpu.make_async_copy(
+                    ref.at[jnp.clip(operand, 0, hi), pl.ds(hi0, w_hi), :],
+                    slot_ref, sem)
+                cp.start()
+                cp.wait()
+
+            @pl.when(bsrc == 1)  # B_BANK
+            def _():
+                dma(bank_ref, n_rows - 1)
+
+            @pl.when(bsrc == 2)  # B_DYN
+            def _():
+                dma(dyn_ref, n_dyn - 1)
+
+            @pl.when(bsrc == 3)  # B_SPARSE
+            def _():
+                dma(sparse_ref, n_sparse_k - 1)
+
+            a = regs_ref[jnp.minimum(ra, n_regs - 1)]
+            full_blk = full_ref[...]
+            bsel = jnp.where(
+                bsrc == 0, regs_ref[jnp.minimum(rb, n_regs - 1)],
+                jnp.where(
+                    bsrc == 4, full_blk,
+                    jnp.where(bsrc == 5, jnp.zeros_like(full_blk),
+                              slot_ref[...]),
+                ),
+            )
+            val = jnp.where(
+                mode == 0, bsel,
+                jnp.where(
+                    mode == 1, a & bsel,
+                    jnp.where(
+                        mode == 2, a | bsel,
+                        jnp.where(mode == 3, a ^ bsel,
+                                  a & (bsel ^ full_blk)),
+                    ),
+                ),
+            )
+            regs_ref[jnp.minimum(dst, n_regs)] = val
+
+            @pl.when(ops_ref[i] == 1)  # EMIT_COUNT
+            def _():
+                s = jnp.sum(_popc(a), dtype=jnp.int32)
+                oi = jnp.minimum(operand, VM_MAX_BATCH - 1)
+                counts_ref[oi] = counts_ref[oi] + s
+
+            return 0
+
+        jax.lax.fori_loop(0, ninstr_ref[0], body, 0)
+        words_ref[...] = regs_ref[0]
+
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 << 20)
+    except Exception:  # noqa: BLE001
+        compiler_params = None
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=_ANY),
+            pl.BlockSpec(memory_space=_ANY),
+            pl.BlockSpec(memory_space=_ANY),
+            pl.BlockSpec((w_hi, 128), lambda b, *s: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((w_hi, 128), lambda b, *s: (b, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_regs + 1, w_hi, 128), jnp.uint32),
+            pltpu.VMEM((w_hi, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    words, counts = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_hi, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((VM_MAX_BATCH,), jnp.int32),
+        ),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(ops, opers, specs, n_instr, bank3, dyn3, sparse3, full2)
+    return words.reshape(pw), counts

@@ -17,6 +17,7 @@ reference-like partitioned layout)
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -110,18 +111,30 @@ def build_code(mix: str, seed: int = 0) -> np.ndarray:
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(1)
+    # flat global word axis: N_PART partitions x N_WORDS words per partition
+    pw = N_PART * N_WORDS
     bank = jnp.asarray(
-        rng.integers(0, 2**32, size=(N_PART, N_ROWS, N_WORDS), dtype=np.uint64)
+        rng.integers(0, 2**32, size=(N_ROWS, pw), dtype=np.uint64)
         .astype(np.uint32)
     )
     dyn = jnp.asarray(
-        rng.integers(0, 2**32, size=(N_PART, N_DYN, N_WORDS), dtype=np.uint64)
+        rng.integers(0, 2**32, size=(N_DYN, pw), dtype=np.uint64)
         .astype(np.uint32)
     )
-    sparse = jnp.zeros((N_PART, 1, N_WORDS), jnp.uint32)
-    full = jnp.full((N_PART, N_WORDS), 0xFFFFFFFF, jnp.uint32)
-    run = de._interpreter(BUCKET, N_ROWS, N_DYN, 0, N_WORDS, "multi_count",
-                          n_regs=N_REGS)
+    sparse = jnp.zeros((1, pw), jnp.uint32)
+    full = jnp.full(pw, 0xFFFFFFFF, jnp.uint32)
+    if os.environ.get("SILO_VM_KERNEL"):
+        from lapis_silo_tpu.ops import pallas_kernels as pk
+
+        @jax.jit
+        def run(code, bank, dyn, sparse, full, n_instr):
+            _words, counts = pk.vm_run(
+                code[0], code[1], code[2],
+                n_instr.reshape(1), bank, dyn, sparse, full, n_regs=N_REGS)
+            return counts
+    else:
+        run = de._interpreter(BUCKET, N_ROWS, N_DYN, 0, pw, "multi_count",
+                              n_regs=N_REGS)
     # the relay memoizes byte-identical executions AND block_until_ready
     # does not block through it: every timed call uses a distinct code
     # variant and materializes the result with np.asarray

@@ -104,3 +104,83 @@ def test_pad_to_blocks():
     padded = pk.pad_to_blocks(rows)
     assert padded.shape == (pk.ROW_BLOCK, pk.WORD_BLOCK)
     assert padded[:10, :5].all() and padded.sum() == 50
+
+
+def test_vm_kernel_matches_xla_interpreter():
+    """The Mosaic filter-VM kernel vs the XLA while_loop interpreter on a
+    random program exercising every b-source, every ALU mode, threshold
+    circuits, EMIT_COUNT, and the padded NOP tail — single- and multi-block
+    word axes."""
+    import jax.numpy as jnp
+
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(5)
+    n_rows, n_dyn, n_k, n_regs = 24, 3, 5, 8
+    pw = 16 * 128
+    bucket = 64
+    bank = rng.integers(0, 1 << 32, size=(n_rows, pw), dtype=np.uint32)
+    dyn = rng.integers(0, 1 << 32, size=(n_dyn, pw), dtype=np.uint32)
+    sparse = rng.integers(0, 1 << 32, size=(n_k, pw), dtype=np.uint32)
+    full = np.full(pw, 0xFFFFFFFF, dtype=np.uint32)
+    full[-40:] = 0x7  # ragged tail like a real partition mask
+
+    code = np.zeros((3, bucket), dtype=np.int32)
+    code[0, :] = de.NOP
+    code[2, :] = de.NO_DST
+    n = 0
+
+    def emit(op, operand, dst, ra=0, rb=0, mode=0, bsrc=de.B_REG):
+        nonlocal n
+        code[0, n] = op
+        code[1, n] = operand
+        code[2, n] = dst | (ra << 8) | (rb << 16) | (mode << 24) | (bsrc << 28)
+        n += 1
+
+    qi = 0
+    for _ in range(12):
+        bsrc = int(rng.integers(0, 6))
+        hi = {de.B_BANK: n_rows, de.B_DYN: n_dyn, de.B_SPARSE: n_k}.get(bsrc, 1)
+        emit(de.ALU, int(rng.integers(0, hi)), int(rng.integers(0, n_regs)),
+             int(rng.integers(0, n_regs)), int(rng.integers(0, n_regs)),
+             int(rng.integers(0, 5)), bsrc)
+        if rng.random() < 0.4:
+            emit(de.EMIT_COUNT, qi, de.NO_DST)
+            qi += 1
+    n_instr = n
+
+    run_xla = de._interpreter(bucket, n_rows, n_dyn, 0, pw, "multi_count",
+                              n_regs=n_regs)
+    want_words_flat = de._interpreter(bucket, n_rows, n_dyn, 0, pw, "words",
+                                      n_regs=n_regs)
+    args = (jnp.asarray(code), jnp.asarray(bank), jnp.asarray(dyn),
+            jnp.asarray(sparse), jnp.asarray(full),
+            jnp.int32(de._round_instr(n_instr)))
+    want_counts = np.asarray(run_xla(*args))
+    want_words = np.asarray(want_words_flat(*args))
+
+    got_words, got_counts = pk.vm_run(
+        jnp.asarray(code[0]), jnp.asarray(code[1]), jnp.asarray(code[2]),
+        jnp.asarray([de._round_instr(n_instr)], dtype=np.int32),
+        jnp.asarray(bank), jnp.asarray(dyn), jnp.asarray(sparse),
+        jnp.asarray(full), n_regs=n_regs, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_words), want_words)
+    np.testing.assert_array_equal(np.asarray(got_counts)[:qi],
+                                  want_counts[:qi])
+
+    # multi-block: force a tiny VMEM cap so the word axis splits; results
+    # (including cross-block EMIT accumulation) must be identical
+    cap = (n_regs + 3) * 128 * 4 * 4  # 4 hi-rows per block
+    assert pk._vm_block_hi(pw // 128, n_regs, cap) < pw // 128
+    got_words_mb, got_counts_mb = pk.vm_run(
+        jnp.asarray(code[0]), jnp.asarray(code[1]), jnp.asarray(code[2]),
+        jnp.asarray([de._round_instr(n_instr)], dtype=np.int32),
+        jnp.asarray(bank), jnp.asarray(dyn), jnp.asarray(sparse),
+        jnp.asarray(full), n_regs=n_regs, interpret=True,
+        vmem_cap_bytes=cap)
+    np.testing.assert_array_equal(np.asarray(got_words_mb), want_words)
+    np.testing.assert_array_equal(np.asarray(got_counts_mb)[:qi],
+                                  want_counts[:qi])
