@@ -140,15 +140,21 @@ def main():
     assert batch_counts == counts
     lowered = [engine.lower(q.filter)[0] for q in queries]
     repeats = 5
+    # Rotate the batch per repeat: relayed TPU backends memoize
+    # byte-identical executions, so every repeat must pack a distinct
+    # instruction blob to actually touch the chip.
     t_start = time.perf_counter()
     in_flight = []
-    for _ in range(repeats):
+    for r in range(repeats):
         in_flight.extend(engine.count_dispatches(
-            lowered, floors["min_bucket"], floors["min_sparse_k"],
-            floors["min_sparse_e"]))
+            lowered[r:] + lowered[:r], floors["min_bucket"],
+            floors["min_sparse_k"], floors["min_sparse_e"]))
     forced = [np.asarray(arr)[:n] for arr, n in in_flight]
     total = time.perf_counter() - t_start
-    assert all(list(f) == counts for f in forced)
+    got = [c for f in forced for c in f]
+    want = [counts[(r + i) % len(counts)]
+            for r in range(repeats) for i in range(len(counts))]
+    assert got == want, (got[:8], want[:8])
     qps = repeats * len(queries) / total
     if profile_dir:
         jax.profiler.stop_trace()
