@@ -198,8 +198,16 @@ class DeviceEngine:
             and jax.default_backend() != "cpu"
             and self.n_words >= 512
         )
-        if self.use_pallas and self.n_words % 128:
+        # bank3: keep the dense bank at rest in the Mosaic kernels' shape
+        # [R, PW/128, 128]. A 2-D [R, PW] bank is not bitcast-compatible
+        # with that view under TPU tiled layouts, so every kernel executable
+        # would otherwise materialize a full relayout copy of the bank in
+        # HBM (OOM at 1M rows: 11 GB bank + 11 GB copy). SILO_FORCE_BANK3
+        # lets CPU tests exercise the 3-D plumbing.
+        force_bank3 = os.environ.get("SILO_FORCE_BANK3") == "1"
+        if (self.use_pallas or force_bank3) and self.n_words % 128:
             self.n_words += 128 - self.n_words % 128
+        self.bank3 = (self.use_pallas or force_bank3) and self.mesh is None
         align = pk.ROW_BLOCK if self.use_pallas else 1
 
         # COMPACT bank layout (the TPU-native analog of the reference's
@@ -342,8 +350,12 @@ class DeviceEngine:
                     bank[start + j, pi, :w] = seg.plane(
                         int(meta["sym_ids"][j]), int(meta["pos_ids"][j])
                     )
-        self.bank = jax.device_put(
-            bank.reshape(self.n_rows, self.n_flat_words), self._bank_sharding)
+        bank_dev = (
+            bank.reshape(self.n_rows, self.n_flat_words // 128, 128)
+            if self.bank3
+            else bank.reshape(self.n_rows, self.n_flat_words)
+        )
+        self.bank = jax.device_put(bank_dev, self._bank_sharding)
         full = np.zeros((self.n_partitions, self.n_words), dtype=np.uint32)
         for pi, partition in enumerate(partitions):
             w = bitset.words_for(partition.sequence_count)
@@ -1435,9 +1447,19 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                              n_instr.reshape(1), bank, dyn, sparse_rows,
                              full_masks, n_regs=n_regs)
     else:
-        run_one = build_run_one_with_emit(
+        base_run = build_run_one_with_emit(
             program_len, n_rows, n_dyn, n_words, n_sparse_k=n_sparse_k,
             n_regs=n_regs, with_emit=output == "multi_count")
+
+        def run_one(code, bank, dyn, sparse_rows, full_masks, n_instr):
+            # a bank3 engine may still land here (e.g. a program whose
+            # register file overflows the kernel's VMEM budget): flatten
+            # the 3-D bank inside the jit — correct everywhere, and the
+            # relayout cost only hits this rare fallback
+            if bank.ndim == 3:
+                bank = bank.reshape(bank.shape[0], -1)
+            return base_run(code, bank, dyn, sparse_rows, full_masks,
+                            n_instr)
 
     def finish(words, outs):
         if output == "count":
@@ -1633,6 +1655,8 @@ def _mutation_counts_jit(bank, filters, start, n_seg_rows):
     """bank [R, PW] & filter [PW]: per-row popcount over the global word
     space (= the reference's per-partition and_cardinality sums,
     mutations.cpp:36-137, already summed over partitions)."""
+    if bank.ndim == 3:  # bank3 engines (see DeviceEngine.__init__)
+        bank = bank.reshape(bank.shape[0], -1)
     segment = jax.lax.dynamic_slice(
         bank, (start, 0), (n_seg_rows, bank.shape[1])
     )

@@ -159,6 +159,62 @@ def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
     start_block = jnp.asarray(start, jnp.int32).reshape(1) // row_block
     max_block = max(bank.shape[0] // row_block - 1, 0)
     assert n_seg_rows % row_block == 0
+    if bank.ndim == 3:
+        # Bank at rest in the VM kernel's shape [R, PW/128, 128] (see
+        # vm_run): stream (row_block, w_blk, 128) tiles. Reshaping it to
+        # 2-D would materialize a full relayout copy of the bank in HBM.
+        assert bank.shape[1] * 128 == n_words and bank.shape[2] == 128
+        assert not use_csa
+        n_hi = bank.shape[1]
+        w_blk = next(
+            b for b in range(min(WORD_BLOCK // 128, n_hi), 0, -1)
+            if n_hi % b == 0
+        )
+        n_j3 = n_hi // w_blk
+        grid3 = (n_seg_rows // row_block, n_j3)
+
+        def kernel3(start_ref, filter_ref, rows_ref, out_ref):
+            del start_ref  # consumed by the index maps
+            masked = rows_ref[:] & filter_ref[:]
+            counts = jnp.sum(jnp.sum(_popc(masked), axis=2), axis=1,
+                             keepdims=True)
+
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+            out_ref[:] += counts
+
+        try:
+            params3 = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"))
+        except Exception:  # noqa: BLE001
+            params3 = None
+        grid_spec3 = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid3,
+            in_specs=[
+                pl.BlockSpec((1, w_blk, 128), lambda i, j, s: (0, j, 0)),
+                pl.BlockSpec(
+                    (row_block, w_blk, 128),
+                    lambda i, j, s: (jnp.minimum(s[0] + i, max_block), j, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec((row_block, 1), lambda i, j, s: (i, 0)),
+        )
+        out = pl.pallas_call(
+            kernel3,
+            grid_spec=grid_spec3,
+            out_shape=jax.ShapeDtypeStruct((n_seg_rows, 1), jnp.int32),
+            compiler_params=params3,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n_seg_rows * n_words,
+                bytes_accessed=n_seg_rows * n_words * 4,
+                transcendentals=0,
+            ),
+        )(start_block, filters.reshape(1, n_hi, 128), bank)
+        return out[:, 0]
     if word_block is None:
         # largest lane-aligned block <= WORD_BLOCK that divides n_words
         # exactly — a floor grid would silently drop trailing words (and
@@ -382,17 +438,29 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
     ops/opers/specs: int32[L] instruction stream (scalar-prefetched to
     SMEM); n_instr: int32[1] actual instruction count (the padded NOP tail
     is never executed — one executable serves every program length in the
-    bucket)."""
-    n_rows, pw = bank.shape
+    bucket).
+
+    The bank may arrive pre-shaped [R, PW/128, 128] (DeviceEngine stores it
+    that way at rest): a 2-D [R, PW] bank is NOT bitcast-compatible with the
+    kernel's 3-D view under TPU tiled layouts, so reshaping it here would
+    materialize a full HBM copy of the bank INSIDE the executable (10.97 GB
+    at 1M rows — an OOM, and a per-dispatch relayout)."""
+    if bank.ndim == 3:
+        n_rows, bank_hi, lanes = bank.shape
+        assert lanes == 128, bank.shape
+        pw = bank_hi * 128
+        bank3 = bank
+    else:
+        n_rows, pw = bank.shape
+        assert pw % 128 == 0, pw
+        bank3 = bank.reshape(n_rows, pw // 128, 128)
     n_dyn = dyn.shape[0]
     n_sparse_k = sparse_rows.shape[0]
-    assert pw % 128 == 0, pw
     n_hi = pw // 128
     w_hi = _vm_block_hi(n_hi, n_regs, vmem_cap_bytes)
     assert w_hi is not None, (n_hi, n_regs)
     n_blocks = n_hi // w_hi
 
-    bank3 = bank.reshape(n_rows, n_hi, 128)
     dyn3 = dyn.reshape(n_dyn, n_hi, 128)
     sparse3 = sparse_rows.reshape(n_sparse_k, n_hi, 128)
     full2 = full.reshape(n_hi, 128)

@@ -184,3 +184,72 @@ def test_vm_kernel_matches_xla_interpreter():
     np.testing.assert_array_equal(np.asarray(got_words_mb), want_words)
     np.testing.assert_array_equal(np.asarray(got_counts_mb)[:qi],
                                   want_counts[:qi])
+
+def test_vm_kernel_accepts_bank3():
+    """vm_run with the bank pre-shaped [R, PW/128, 128] (the at-rest layout
+    bank3 engines use to avoid the in-executable relayout copy) must match
+    the 2-D form bit for bit."""
+    import jax.numpy as jnp
+
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(11)
+    n_rows, n_dyn, n_regs = 16, 2, 8
+    pw = 8 * 128
+    bucket = 16
+    bank = rng.integers(0, 1 << 32, size=(n_rows, pw), dtype=np.uint32)
+    dyn = rng.integers(0, 1 << 32, size=(n_dyn, pw), dtype=np.uint32)
+    sparse = np.zeros((1, pw), dtype=np.uint32)
+    full = np.full(pw, 0xFFFFFFFF, dtype=np.uint32)
+
+    code = np.zeros((3, bucket), dtype=np.int32)
+    code[0, :] = de.NOP
+    code[2, :] = de.NO_DST
+    # r1 = bank[3]; r1 &= dyn[1]; r0 = NOT r1 (vs full); emit
+    code[:, 0] = (de.ALU, 3, 1 | (de.M_MOVB << 24) | (de.B_BANK << 28))
+    code[:, 1] = (de.ALU, 1,
+                  1 | (1 << 8) | (de.M_AND << 24) | (de.B_DYN << 28))
+    code[:, 2] = (de.ALU, 0,
+                  0 | (1 << 8) | (de.M_ANDN << 24) | (de.B_FULL << 28))
+    code[:, 3] = (de.EMIT_COUNT, 0, de.NO_DST)
+    n_instr = de._round_instr(4)
+
+    args_tail = (jnp.asarray(dyn), jnp.asarray(sparse), jnp.asarray(full))
+    got2_w, got2_c = pk.vm_run(
+        jnp.asarray(code[0]), jnp.asarray(code[1]), jnp.asarray(code[2]),
+        jnp.asarray([n_instr], dtype=np.int32), jnp.asarray(bank),
+        *args_tail, n_regs=n_regs, interpret=True)
+    got3_w, got3_c = pk.vm_run(
+        jnp.asarray(code[0]), jnp.asarray(code[1]), jnp.asarray(code[2]),
+        jnp.asarray([n_instr], dtype=np.int32),
+        jnp.asarray(bank.reshape(n_rows, pw // 128, 128)),
+        *args_tail, n_regs=n_regs, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2_w), np.asarray(got3_w))
+    np.testing.assert_array_equal(np.asarray(got2_c), np.asarray(got3_c))
+
+
+def test_mutation_counts_banked_bank3():
+    """The 3-D (bank3) Mutations kernel path vs numpy, with a non-dividing
+    word-block and a dynamic start offset."""
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(13)
+    row_block = 8
+    n_rows, n_words = 4 * row_block, 24 * 128  # n_hi=24 (not a WORD_BLOCK/128 multiple)
+    bank = rng.integers(0, 2**32, size=(n_rows, n_words), dtype=np.uint32)
+    filters = rng.integers(0, 2**32, size=n_words, dtype=np.uint32)
+    start, n_seg = 2 * row_block, 2 * row_block
+    got = np.asarray(pk.mutation_counts_banked(
+        bank.reshape(n_rows, n_words // 128, 128), filters, start, n_seg,
+        n_words, row_block, None, False, True,
+    ))
+    want = (
+        np.bitwise_count(bank[start:start + n_seg] & filters[None, :])
+        .sum(axis=1).astype(np.int32)
+    )
+    np.testing.assert_array_equal(got, want)
