@@ -26,7 +26,7 @@ def main():
     n_rows = int(os.environ.get("SILO_BENCH_ROWS", 65536))
     length = int(os.environ.get("SILO_BENCH_LENGTH", 29903))
     n_partitions = int(os.environ.get("SILO_BENCH_PARTITIONS", 1))
-    n_queries = int(os.environ.get("SILO_BENCH_QUERIES", 128))
+    n_queries = int(os.environ.get("SILO_BENCH_QUERIES", 512))
 
     import jax
 
@@ -68,7 +68,8 @@ def main():
     # (program length AND sparse-leaf K/M — each remote compile is minutes).
     programs = [engine.lower(q.filter)[0] for q in queries]
     total_len = sum(len(p.opcodes) + 1 for p in programs)
-    bucket = next(b for b in (64, 256, 1024, 4096) if b >= total_len)
+    bucket = next((b for b in (64, 256, 1024, 4096, 8192) if b >= total_len),
+                  8192)  # larger batches split into multiple dispatches
     distinct_sparse = sorted({r for p in programs for r in p.sparse_leaves})
     min_k = len(distinct_sparse)
     min_e = (int(engine.sparse_lengths[distinct_sparse].sum())

@@ -72,7 +72,10 @@ M_ANDN = 4  # a & (b ^ full_mask)
 NO_DST = 255
 
 _LEN_BUCKETS = (16, 64, 256, 512)
-_BATCH_LEN_BUCKETS = (64, 256, 1024, 4096)
+# top bucket sized for ~512-query batches (the bench mix lowers to ~6.5k
+# instructions); the instruction stream is scalar-prefetched to SMEM
+# (3 x bucket i32 = 96 KB at 8192), so the bucket can't grow unboundedly
+_BATCH_LEN_BUCKETS = (64, 256, 1024, 4096, 8192)
 _DYN_BUCKETS = (1, 4, 16, 64, 256)
 # sparse-leaf count per dispatch and per-leaf segment-length budget (the
 # leaves gather straight from the device-resident CSR stream; the per-query
@@ -83,7 +86,11 @@ _SPARSE_K_BYTE_CAP = 384 << 20
 # flat per-partition entry budgets for the ragged densify (gathered +
 # scattered entries per dispatch; cost ~25 ns per entry)
 _SPARSE_E_BUCKETS = (0, 4096, 32768, 262144, 1 << 21, 1 << 24)
-MAX_BATCH_QUERIES = 128
+# Per-dispatch query cap. Every dispatch costs a full relay round trip
+# (~25 ms) and the relay serializes dispatches, so throughput is
+# RTT-capped at (1/RTT) * MAX_BATCH_QUERIES — the batch must be as wide
+# as the instruction stream (3 x bucket i32 in SMEM) allows.
+MAX_BATCH_QUERIES = 512
 MAX_REGS = 32
 # register-file buckets: one executable per bucket; N-Of threshold circuits
 # use ceil(log2(max(n,k)+1)) + 3 registers above their operand slot
@@ -428,7 +435,7 @@ class DeviceEngine:
                 his = (sp_idx.astype(np.int64) >> 7).reshape(
                     -1, pk.SPARSE_CHUNK)
                 self._sparse_chunk_bounds_dev = jax.device_put(np.stack(
-                    [his.min(axis=1), his.max(axis=1)], axis=1
+                    [his.min(axis=1), his.max(axis=1)], axis=0
                 ).astype(np.int32))
             else:
                 self._sparse_chunk_bounds_dev = None

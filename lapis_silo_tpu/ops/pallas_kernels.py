@@ -334,8 +334,8 @@ def _sparse_vals_kernel(bounds_ref, filt_ref, idx_ref, words_ref, out_ref):
     lo = idx & 127
     hi = idx >> 7
     c = pl.program_id(0)
-    h0 = bounds_ref[c, 0]
-    h1 = bounds_ref[c, 1]
+    h0 = bounds_ref[0, c]
+    h1 = bounds_ref[1, c]
 
     def body(h, val):
         row = filt_ref[h, :]
@@ -353,8 +353,11 @@ def sparse_filter_popcount(filters, sp_idx, sp_words, chunk_bounds,
     reduction of the GLOBAL sparse-tier CSR stream against the flat filter
     (reference mutations.cpp's and_cardinality over sparse rows). E must be
     a SPARSE_CHUNK multiple and PW a lane multiple; pad entries carry word 0
-    and contribute 0. chunk_bounds [E/SPARSE_CHUNK, 2] int32 holds each
-    chunk's (min, max) filter hi-row (word >> 7)."""
+    and contribute 0. chunk_bounds [2, E/SPARSE_CHUNK] int32 holds each
+    chunk's (min, max) filter hi-row (word >> 7) — bounds-major so the SMEM
+    prefetch pads 2 rows to the lane multiple instead of padding every
+    2-element row to 128 lanes (a 64x SMEM blowup that overflowed the 1 MB
+    SMEM at a 312M-entry stream)."""
     n_words = filters.shape[0]
     e = sp_idx.shape[0]
     assert e % SPARSE_CHUNK == 0 and n_words % 128 == 0, (e, n_words)
@@ -410,7 +413,7 @@ def pad_to_blocks(rows: np.ndarray) -> np.ndarray:
 #   decode re-runs per block (SMEM scalars — free next to the row DMA).
 # ---------------------------------------------------------------------------
 
-VM_MAX_BATCH = 128  # must match device_engine.MAX_BATCH_QUERIES
+VM_MAX_BATCH = 512  # must match device_engine.MAX_BATCH_QUERIES
 _ANY = getattr(pl, "ANY", None) or (pltpu.ANY if HAVE_PALLAS else None)
 
 

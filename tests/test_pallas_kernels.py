@@ -89,7 +89,7 @@ def test_sparse_filter_popcount_matches_numpy():
     sp_idx[-100:] = 0
     sp_words[-100:] = 0
     his = (sp_idx.astype(np.int64) >> 7).reshape(-1, pk.SPARSE_CHUNK)
-    bounds = np.stack([his.min(axis=1), his.max(axis=1)], axis=1).astype(
+    bounds = np.stack([his.min(axis=1), his.max(axis=1)], axis=0).astype(
         np.int32)
     got = np.asarray(pk.sparse_filter_popcount(
         filters, sp_idx, sp_words, bounds, interpret=True))
