@@ -1441,32 +1441,32 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
     (37 us/instr measured at 327680 flat words)."""
     from . import pallas_kernels as pk
 
-    use_kernel = (
+    maybe_kernel = (
         pk.HAVE_PALLAS
         and jax.default_backend() != "cpu"
         and n_words % 128 == 0
         and pk._vm_block_hi(n_words // 128, n_regs) is not None
         and pk.VM_MAX_BATCH == MAX_BATCH_QUERIES
     )
-    if use_kernel:
-        def run_one(code, bank, dyn, sparse_rows, full_masks, n_instr):
+
+    def run_one(code, bank, dyn, sparse_rows, full_masks, n_instr):
+        # The Mosaic kernel runs only for bank3 engines (single device,
+        # bank at rest in the kernel's 3-D shape): a 2-D bank would force
+        # a full in-executable relayout copy, and a MESH-sharded bank
+        # can't feed a plain pallas_call (XLA would gather it whole).
+        if maybe_kernel and bank.ndim == 3:
             return pk.vm_run(code[0], code[1], code[2],
                              n_instr.reshape(1), bank, dyn, sparse_rows,
                              full_masks, n_regs=n_regs)
-    else:
+        if bank.ndim == 3:
+            # rare fallback (e.g. register file past the kernel's VMEM
+            # budget): flatten inside the jit — correct everywhere, the
+            # relayout cost only hits this path
+            bank = bank.reshape(bank.shape[0], -1)
         base_run = build_run_one_with_emit(
             program_len, n_rows, n_dyn, n_words, n_sparse_k=n_sparse_k,
             n_regs=n_regs, with_emit=output == "multi_count")
-
-        def run_one(code, bank, dyn, sparse_rows, full_masks, n_instr):
-            # a bank3 engine may still land here (e.g. a program whose
-            # register file overflows the kernel's VMEM budget): flatten
-            # the 3-D bank inside the jit — correct everywhere, and the
-            # relayout cost only hits this rare fallback
-            if bank.ndim == 3:
-                bank = bank.reshape(bank.shape[0], -1)
-            return base_run(code, bank, dyn, sparse_rows, full_masks,
-                            n_instr)
+        return base_run(code, bank, dyn, sparse_rows, full_masks, n_instr)
 
     def finish(words, outs):
         if output == "count":
