@@ -70,10 +70,10 @@ def main():
     total_len = sum(len(p.opcodes) + 1 for p in programs)
     bucket = next((b for b in (64, 256, 1024, 4096, 8192) if b >= total_len),
                   8192)  # larger batches split into multiple dispatches
-    distinct_sparse = sorted({r for p in programs for r in p.sparse_leaves})
-    min_k = len(distinct_sparse)
-    min_e = (int(engine.sparse_lengths[distinct_sparse].sum())
-             if distinct_sparse else 0)
+    # sparse floors come from the engine's shape LADDER (the serving
+    # behavior): pinning the whole batch union here inflated every
+    # split-out sub-dispatch to the union's E budget
+    min_k, min_e = engine.sparse_floors(programs)
     floors = {"min_bucket": bucket, "min_sparse_k": min_k, "min_sparse_e": min_e}
     t0 = time.time()
     engine.count_batch([queries[0].filter], **floors)

@@ -371,14 +371,21 @@ class DeviceEngine:
             full.reshape(self.n_flat_words), self._words_sharding)
 
         # Flat GLOBAL sparse-tier CSR stream, device-resident: entries
-        # (word idx in GLOBAL word space, word), sorted leaf-major (within a
-        # leaf: partition-major, then ascending word — so one leaf's entries
-        # are ONE contiguous slice of the stream across all partitions, and
-        # its (start, len) bounds are corpus-global scalars). Serves BOTH
-        # the Mutations segmented reduction (cumsum + boundary gather, no
-        # scatter, no per-entry row-id array) and LOAD_SPARSE filter leaves.
+        # (word idx in GLOBAL word space, word), sorted PARTITION-major
+        # (partition, leaf, word). A leaf's entries are n_partitions
+        # contiguous slices addressed by the per-(leaf, partition) bounds
+        # (seg = leaf * P + pi). Partition-major keeps every 16384-entry
+        # kernel chunk's word indices inside ONE partition's narrow hi-row
+        # window — leaf-major spanned the whole global word range per chunk
+        # (a leaf's entries sweep all partitions), making the gather
+        # kernel's bounded walk as expensive as a full-filter walk. Serves
+        # BOTH the Mutations segmented reduction (cumsum + boundary gather,
+        # no scatter) and LOAD_SPARSE filter leaves (densify).
         if n_sparse:
-            id_chunks, idx_chunks, word_chunks = [], [], []
+            idx_chunks, word_chunks = [], []
+            starts_pp = np.zeros((n_sparse, self.n_partitions), dtype=np.int64)
+            lens_pp = np.zeros((n_sparse, self.n_partitions), dtype=np.int64)
+            offset_e = 0
             for pi, partition in enumerate(partitions):
                 for kind, name in segments:
                     meta = self.segment_meta[(kind, name)]
@@ -395,23 +402,23 @@ class DeviceEngine:
                         local[stored]
                     )
                     g_ids = (meta["sparse_base"] + stored).astype(np.int64)
-                    id_chunks.append(np.repeat(g_ids, lengths))
+                    within = np.zeros(len(lengths), dtype=np.int64)
+                    np.cumsum(lengths[:-1], out=within[1:])
+                    starts_pp[g_ids, pi] = offset_e + within
+                    lens_pp[g_ids, pi] = lengths
+                    offset_e += int(lengths.sum())
                     idx_chunks.append(
                         idx_arr.astype(np.int64) + pi * self.n_words)
                     word_chunks.append(words_arr)
-            if id_chunks:
-                ids = np.concatenate(id_chunks)
-                order = np.argsort(ids, kind="stable")
-                ids = ids[order]
-                idx = np.concatenate(idx_chunks)[order]
-                words = np.concatenate(word_chunks)[order]
+            if idx_chunks:
+                idx = np.concatenate(idx_chunks)
+                words = np.concatenate(word_chunks)
             else:
-                ids = idx = np.zeros(0, np.int64)
+                idx = np.zeros(0, np.int64)
                 words = np.zeros(0, np.uint32)
-            self.sparse_lengths = np.bincount(
-                ids, minlength=n_sparse).astype(np.int64)
-            self.sparse_starts = np.zeros(n_sparse, dtype=np.int64)
-            np.cumsum(self.sparse_lengths[:-1], out=self.sparse_starts[1:])
+            self.sparse_lengths = lens_pp.sum(axis=1)  # per-leaf totals
+            self.sparse_starts_pp = starts_pp
+            self.sparse_lengths_pp = lens_pp
             # (no tail padding needed for densify: its gather clips indices
             # and masks by each leaf's length, so over-reads never escape.
             # The Pallas sparse-vals kernel DOES need a chunk-multiple
@@ -425,25 +432,37 @@ class DeviceEngine:
             sp_words[: len(words)] = words
             self.sparse_stream = (jax.device_put(sp_idx),
                                   jax.device_put(sp_words))
+            # Mutations-reduction bounds: one (start, len) per
+            # (leaf, partition) segment, flattened seg = leaf * P + pi
             self._sparse_bounds_dev = (
-                jax.device_put(self.sparse_starts.astype(np.int32)),
-                jax.device_put(self.sparse_lengths.astype(np.int32)),
+                jax.device_put(starts_pp.reshape(-1).astype(np.int32)),
+                jax.device_put(lens_pp.reshape(-1).astype(np.int32)),
             )
+            self._sparse_kernel_ok = False
             if self.use_pallas:
                 # per-chunk filter hi-row (word >> 7) bounds: the gather
-                # kernel walks only [min_hi, max_hi] of each entry chunk
+                # kernel walks only [min_hi, max_hi] of each entry chunk.
+                # If chunks still span wide hi bands (a corpus with very
+                # long per-(leaf, partition) runs), the walk costs more
+                # than XLA's flat ~9 ns/entry gather — gate on the mean
+                # span (kernel processes one 16384-entry chunk per ~span
+                # row steps; crossover measured near ~1k rows).
                 his = (sp_idx.astype(np.int64) >> 7).reshape(
                     -1, pk.SPARSE_CHUNK)
+                spans = his.max(axis=1) - his.min(axis=1) + 1
+                self._sparse_kernel_ok = float(spans.mean()) <= 1024.0
                 self._sparse_chunk_bounds_dev = jax.device_put(np.stack(
                     [his.min(axis=1), his.max(axis=1)], axis=0
                 ).astype(np.int32))
             else:
                 self._sparse_chunk_bounds_dev = None
         else:
+            self.sparse_starts_pp = self.sparse_lengths_pp = None
             self.sparse_stream = None
-            self.sparse_starts = self.sparse_lengths = None
+            self.sparse_lengths = None
             self._sparse_bounds_dev = None
             self._sparse_chunk_bounds_dev = None
+            self._sparse_kernel_ok = False
         self._sparse_counts_memo: tuple | None = None
         self._filters_memo: tuple | None = None
         # Serving floors: pin the sparse K/M buckets corpus-wide so every
@@ -777,11 +796,12 @@ class DeviceEngine:
     def _assemble_sparse(self, sparse_leaves: list[int], min_sparse_k: int = 0,
                          min_sparse_e: int = 0):
         """Per-query sparse-leaf descriptors: (start, len) into the resident
-        GLOBAL CSR stream (one contiguous slice per leaf across all
-        partitions). Returns (K_bucket, E_bucket, (starts, lens) numpy [K]
-        arrays), E being the flat ragged-entry budget. The floors let
-        callers share one compiled executable across differently-shaped
-        queries (remote TPU compiles are minutes each)."""
+        GLOBAL CSR stream — n_partitions contiguous slices per leaf
+        (partition-major stream), flattened seg = leaf * P + pi. Returns
+        (K_bucket, E_bucket, (starts, lens) numpy [K*P] arrays), E being the
+        flat ragged-entry budget. The floors let callers share one compiled
+        executable across differently-shaped queries (remote TPU compiles
+        are minutes each)."""
         if not sparse_leaves:
             # no sparse leaves: skip the densify dispatch entirely (floors
             # only pin buckets for queries that DO touch the sparse tier)
@@ -793,11 +813,12 @@ class DeviceEngine:
             if b >= max(len(sparse_leaves), min_sparse_k)
         )
         ids = np.asarray(sparse_leaves, dtype=np.int64)
-        starts = np.zeros(k_bucket, dtype=np.int32)
-        lens = np.zeros(k_bucket, dtype=np.int32)
+        n_p = self.n_partitions
+        starts = np.zeros(k_bucket * n_p, dtype=np.int32)
+        lens = np.zeros(k_bucket * n_p, dtype=np.int32)
         if len(ids):
-            starts[: len(ids)] = self.sparse_starts[ids]
-            lens[: len(ids)] = self.sparse_lengths[ids]
+            starts[: len(ids) * n_p] = self.sparse_starts_pp[ids].reshape(-1)
+            lens[: len(ids) * n_p] = self.sparse_lengths_pp[ids].reshape(-1)
         e_needed = max(int(lens.sum()), min_sparse_e)
         try:
             e_bucket = next(b for b in _SPARSE_E_BUCKETS if b >= e_needed)
@@ -817,7 +838,7 @@ class DeviceEngine:
                 self._filter_cache[key] = cached
             return cached
         starts, lens = sp
-        run = _densify_jit(k, e, self.n_flat_words)
+        run = _densify_jit(k, e, self.n_flat_words, self.n_partitions)
         return run(self.sparse_stream[0], self.sparse_stream[1],
                    jax.device_put(starts), jax.device_put(lens))
 
@@ -873,7 +894,8 @@ class DeviceEngine:
         round-trip of its own."""
         if k:
             run = _interpreter(bucket, self.n_rows, n_dyn, k,
-                               self.n_flat_words, output, n_regs, m)
+                               self.n_flat_words, output, n_regs, m,
+                               self.n_partitions)
             starts, lens = sp
             blob = np.concatenate([
                 code.reshape(-1),
@@ -1179,22 +1201,24 @@ class DeviceEngine:
         from . import pallas_kernels as pk
 
         # The kernel walks the stream's hi-rows (word>>7) per entry chunk —
-        # with the GLOBAL stream sorted leaf-major the per-chunk hi span is
-        # prefetched, so cost tracks the entries actually touched, not the
-        # full filter height. XLA gather (the fallback) costs a flat
-        # ~9.1 ns/entry.
+        # with the GLOBAL stream sorted partition-major each chunk's hi
+        # span stays inside one partition's window, so cost tracks the
+        # entries actually touched, not the full filter height. XLA gather
+        # (the fallback, also for wide-span corpora) costs ~9.1 ns/entry.
         use_kernel = (
             self.use_pallas
             and self.mesh is None
+            and self._sparse_kernel_ok
             and sp_idx.shape[0] % pk.SPARSE_CHUNK == 0
         )
         if use_kernel:
             out = np.asarray(_sparse_mutation_counts_pallas_jit(
                 sp_idx, sp_words, self._sparse_chunk_bounds_dev, filters,
-                starts, lens), dtype=np.int64)
+                starts, lens, self.n_partitions), dtype=np.int64)
         else:
             out = np.asarray(_sparse_mutation_counts_jit(
-                sp_idx, sp_words, filters, starts, lens), dtype=np.int64)
+                sp_idx, sp_words, filters, starts, lens,
+                self.n_partitions), dtype=np.int64)
         self._sparse_counts_memo = (key, filter_words, out)
         return out
 
@@ -1376,54 +1400,59 @@ class _MicroBatcher:
 
 
 def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
-                 stream_idx, stream_words, starts, lens):
+                 n_per_leaf: int, stream_idx, stream_words, starts, lens):
     """[K, PW] densified sparse-tier rows (global word space), via a FLAT
     ragged gather+scatter over an E-entry budget: per-element scatter cost
     ~25 ns means work must scale with the ACTUAL entry count, not the
     K x max-row-length rectangle (which paid up to ~670x padding on wide
-    batches — 80 qps at 10M x 32 partitions). Slot -> leaf mapping comes
+    batches — 80 qps at 10M x 32 partitions). Slot -> segment mapping comes
     from a marker scatter + cummax (no searchsorted: its binary search
-    would gather log K times per slot). Each leaf's entries are one
-    contiguous slice of the GLOBAL stream (leaf-major order), so (start,
-    len) are corpus-global scalars."""
+    would gather log K times per slot). The stream is PARTITION-major, so
+    each leaf is n_per_leaf contiguous slices: starts/lens hold
+    K * n_per_leaf segments, seg = leaf * n_per_leaf + partition."""
+    n_seg = n_sparse_k * n_per_leaf
     lens = lens.astype(jnp.int32)
-    cum = jnp.cumsum(lens)                                    # [K] inclusive
+    cum = jnp.cumsum(lens)                                    # [K*P] inclusive
     total = cum[-1]
     row_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), cum[:-1]])                  # [K]
+        [jnp.zeros(1, jnp.int32), cum[:-1]])                  # [K*P]
     slots = jnp.arange(n_sparse_e, dtype=jnp.int32)
-    k_idx = jnp.arange(n_sparse_k, dtype=jnp.int32)
-    # seed each leaf's first slot with its index+1 (empty leaves dropped),
-    # cummax fills the gaps
+    s_idx = jnp.arange(n_seg, dtype=jnp.int32)
+    # seed each segment's first slot with its index+1 (empty segments
+    # dropped; ties resolve to the LAST segment at that slot, which is the
+    # only non-empty one), cummax fills the gaps
     seed = jnp.zeros(n_sparse_e, jnp.int32).at[
         jnp.where(lens > 0, row_start, n_sparse_e)
-    ].max(k_idx + 1, mode="drop")
-    row = jax.lax.cummax(seed) - 1                            # [E]
-    row_c = jnp.clip(row, 0, n_sparse_k - 1)
-    within = slots - row_start[row_c]
-    src = jnp.clip(starts[row_c] + within, 0,
+    ].max(s_idx + 1, mode="drop")
+    seg = jax.lax.cummax(seed) - 1                            # [E]
+    seg_c = jnp.clip(seg, 0, n_seg - 1)
+    within = slots - row_start[seg_c]
+    src = jnp.clip(starts[seg_c] + within, 0,
                    stream_idx.shape[0] - 1)
-    valid = (slots < total) & (row >= 0)
+    valid = (slots < total) & (seg >= 0)
     gi = stream_idx[src].astype(jnp.int32)
     gw = stream_words[src]
-    flat = jnp.where(valid, row_c * n_words + gi, n_sparse_k * n_words)
+    leaf = seg_c // n_per_leaf
+    flat = jnp.where(valid, leaf * n_words + gi, n_sparse_k * n_words)
     out = jnp.zeros(n_sparse_k * n_words, jnp.uint32).at[flat].set(
         gw, mode="drop")
     return out.reshape(n_sparse_k, n_words)
 
 
 @functools.lru_cache(maxsize=16)
-def _densify_jit(n_sparse_k: int, n_sparse_e: int, n_words: int):
+def _densify_jit(n_sparse_k: int, n_sparse_e: int, n_words: int,
+                 n_per_leaf: int):
     """Standalone densify executable (used by paths that keep densify as
     its own dispatch)."""
     return jax.jit(functools.partial(_densify_one, n_sparse_k,
-                                     n_sparse_e, n_words))
+                                     n_sparse_e, n_words, n_per_leaf))
 
 
 @functools.lru_cache(maxsize=64)
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                  n_words: int, output: str = "words",
-                 n_regs: int = MAX_REGS, n_sparse_e: int = 0):
+                 n_regs: int = MAX_REGS, n_sparse_e: int = 0,
+                 n_per_leaf: int = 1):
     """Jitted register-machine interpreter for one shape bucket, over the
     FLAT global word axis (n_words = partitions x per-partition words).
     output='words' returns the [PW] bitset (reg[0]); output='count' fuses
@@ -1477,14 +1506,15 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
 
     if n_sparse_e and n_sparse_k:
         densify = functools.partial(_densify_one, n_sparse_k, n_sparse_e,
-                                    n_words)
+                                    n_words, n_per_leaf)
         code_len = 3 * program_len
+        n_seg = n_sparse_k * n_per_leaf
 
         def run_fused(blob, bank, dyn, stream_idx, stream_words,
                       full_masks, n_instr):
             code = blob[:code_len].reshape(3, program_len)
-            starts = blob[code_len : code_len + n_sparse_k]
-            lens = blob[code_len + n_sparse_k :]
+            starts = blob[code_len : code_len + n_seg]
+            lens = blob[code_len + n_seg :]
             sparse_rows = densify(stream_idx, stream_words, starts, lens)
             words, outs = run_one(code, bank, dyn, sparse_rows, full_masks,
                                   n_instr)
@@ -1632,29 +1662,38 @@ def _boundary_sums(vals_u32, starts, lens):
     return jnp.where(lens > 0, hi - lo, jnp.uint32(0))
 
 
-@jax.jit
-def _sparse_mutation_counts_jit(sp_idx, sp_words, filters, starts, lens):
+@functools.partial(jax.jit, static_argnums=(5,))
+def _sparse_mutation_counts_jit(sp_idx, sp_words, filters, starts, lens,
+                                n_per_leaf):
     """Segmented popcount over the flat GLOBAL sparse-tier CSR stream:
-    counts[r] = sum over row r's stored words (all partitions — the stream
-    is leaf-major) of popcount(word & filter[global word idx])."""
+    counts[r] = sum over row r's stored words of popcount(word &
+    filter[global word idx]). The stream is PARTITION-major, so each leaf
+    is n_per_leaf (start, len) segments, seg = leaf * P + pi — boundary
+    sums per segment, then a per-leaf partition reduce (still on device:
+    the [n_sparse * P] intermediate would cost a relay transfer)."""
     vals = jax.lax.population_count(
         sp_words & filters[sp_idx]).astype(jnp.uint32)
-    return _boundary_sums(vals, starts, lens)
+    per_seg = _boundary_sums(vals, starts, lens)
+    return per_seg.reshape(-1, n_per_leaf).sum(
+        axis=1, dtype=jnp.uint32)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnums=(6,))
 def _sparse_mutation_counts_pallas_jit(sp_idx, sp_words, chunk_bounds,
-                                       filters, starts, lens):
+                                       filters, starts, lens, n_per_leaf):
     """_sparse_mutation_counts_jit with the per-entry filter lookup done by
     the Mosaic dynamic-gather kernel (pallas_kernels.sparse_filter_popcount)
     instead of XLA's generic gather — XLA gather costs ~9 ns/element on TPU
     (313 ms at 32M entries, measured); the kernel walks only the filter
-    hi-rows spanned by each entry chunk (prefetched per-chunk bounds)."""
+    hi-rows spanned by each entry chunk (prefetched per-chunk bounds —
+    narrow under the partition-major stream order)."""
     from . import pallas_kernels as pk
 
     vals = pk.sparse_filter_popcount(
         filters, sp_idx, sp_words, chunk_bounds).astype(jnp.uint32)
-    return _boundary_sums(vals, starts, lens)
+    per_seg = _boundary_sums(vals, starts, lens)
+    return per_seg.reshape(-1, n_per_leaf).sum(
+        axis=1, dtype=jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
