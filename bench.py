@@ -150,6 +150,11 @@ def main():
         in_flight.extend(engine.count_dispatches(
             lowered[r:] + lowered[:r], floors["min_bucket"],
             floors["min_sparse_k"], floors["min_sparse_e"]))
+    for arr, _n in in_flight:
+        try:
+            arr.copy_to_host_async()
+        except Exception:  # noqa: BLE001
+            pass
     forced = [np.asarray(arr)[:n] for arr, n in in_flight]
     total = time.perf_counter() - t_start
     got = [c for f in forced for c in f]

@@ -941,10 +941,19 @@ class DeviceEngine:
                        min_sparse_k: int = 0, min_sparse_e: int = 0) -> list[int]:
         """count_batch over already-lowered programs (the micro-batcher
         lowers per query so one bad query can't poison a whole batch)."""
+        dispatches = self.count_dispatches(lowered, min_bucket,
+                                           min_sparse_k, min_sparse_e)
+        # Overlap the device->host readbacks: a synchronous np.asarray
+        # costs a full relay round trip PER dispatch (~27 ms); issuing the
+        # copies async first collapses N reads into ~one round trip.
+        for counts, _q in dispatches:
+            try:
+                counts.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — optional fast path
+                pass
         return [
             int(c)
-            for counts, q in self.count_dispatches(lowered, min_bucket,
-                                                   min_sparse_k, min_sparse_e)
+            for counts, q in dispatches
             for c in np.asarray(counts)[:q]
         ]
 
