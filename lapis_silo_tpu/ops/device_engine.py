@@ -1231,56 +1231,90 @@ class DeviceEngine:
         self._sparse_counts_memo = (key, filter_words, out)
         return out
 
-    def mutation_counts(self, kind: str, name: str, filter_words: list[np.ndarray]):
-        """counts[S, L]: per (symbol, position) popcount of plane & filter,
-        summed over partitions. THE flagship reduction — Pallas streaming
-        kernel over the dense tier plus a segment-sum over the sparse-tier
-        CSR stream. Majority rows reconstruct as |filter| - sum(stored
-        counts at pos) (reference mutations.cpp:74-96, exact under the
-        one-symbol-per-position invariant)."""
-        meta = self.segment_meta[(kind, name)]
-        start, n_stored = meta["offset"], meta["n_stored"]
-        length, s_count = meta["length"], meta["s_count"]
+    def mutation_counts(self, kind: str, name: str, filter_words):
+        """counts[S, L] for one segment (see mutation_counts_many)."""
+        return self.mutation_counts_many(kind, [name], filter_words)[name]
+
+    def mutation_counts_many(self, kind: str, names: list[str], filter_words):
+        """{name: counts[S, L]}: per (symbol, position) popcount of plane &
+        filter, summed over partitions, for MANY segments of one kind. THE
+        flagship reduction — Pallas streaming kernel over the dense tier
+        plus a segment-sum over the sparse-tier CSR stream. Majority rows
+        reconstruct as |filter| - sum(stored counts at pos) (reference
+        mutations.cpp:74-96, exact under the one-symbol-per-position
+        invariant).
+
+        All device dispatches are issued up front and read back with
+        overlapped transfers: a synchronous per-segment np.asarray costs a
+        relay round trip apiece (~27 ms x 25 gene segments for a bare
+        AminoAcidMutations query)."""
         if isinstance(filter_words, DeviceFilter):
             filter_total = filter_words.popcount()
         else:
             filter_total = sum(bitset.popcount(w) for w in filter_words)
-        # Full/empty-filter fast paths (the reference's full-partition path
-        # uses stored cardinalities, mutations.cpp:36-73): filter words are
-        # always masked to valid sequences, so popcount == N iff the filter
-        # is everything — answer from the ingest-time count matrix with no
-        # device work at all.
-        if filter_total == sum(self.part_rows):
-            return meta["totals"].copy()
-        if filter_total == 0:
-            return np.zeros((s_count, length), dtype=np.int64)
-        counts = np.zeros((s_count, length), dtype=np.int64)
-        per_pos = np.zeros(length, dtype=np.int64)
-        if n_stored:
-            filters = self._filters_for(filter_words)
-            if self.use_pallas:
-                from . import pallas_kernels as pk
+        full = filter_total == sum(self.part_rows)
+        results: dict[str, np.ndarray] = {}
+        pending = []
+        need_sparse = False
+        for name in names:
+            meta = self.segment_meta[(kind, name)]
+            # Full/empty-filter fast paths (the reference's full-partition
+            # path uses stored cardinalities, mutations.cpp:36-73): filter
+            # words are always masked to valid sequences, so popcount == N
+            # iff the filter is everything — answer from the ingest-time
+            # count matrix with no device work at all.
+            if full:
+                results[name] = meta["totals"].copy()
+                continue
+            if filter_total == 0:
+                results[name] = np.zeros(
+                    (meta["s_count"], meta["length"]), dtype=np.int64)
+                continue
+            dev = None
+            if meta["n_stored"]:
+                filters = self._filters_for(filter_words)
+                if self.use_pallas:
+                    from . import pallas_kernels as pk
 
-                bucket = pk.seg_row_bucket(n_stored)
-                stored = np.asarray(pk.mutation_counts_banked(
-                    self.bank, filters, start, bucket, self.n_flat_words
-                )[:n_stored], dtype=np.int64)
-            else:
-                stored = np.asarray(
-                    _mutation_counts_jit(self.bank, filters, start, n_stored),
-                    dtype=np.int64,
-                )
-            counts[meta["sym_ids"], meta["pos_ids"]] = stored
-            np.add.at(per_pos, meta["pos_ids"], stored)
-        n_seg_sparse = len(meta["sparse_sym_ids"])
-        if n_seg_sparse:
-            seg_sparse = self._sparse_counts(filter_words)[
-                meta["sparse_base"] : meta["sparse_base"] + n_seg_sparse
-            ]
-            counts[meta["sparse_sym_ids"], meta["sparse_pos_ids"]] = seg_sparse
-            np.add.at(per_pos, meta["sparse_pos_ids"], seg_sparse)
-        counts[meta["majority"], np.arange(length)] = filter_total - per_pos
-        return counts
+                    bucket = pk.seg_row_bucket(meta["n_stored"])
+                    dev = pk.mutation_counts_banked(
+                        self.bank, filters, meta["offset"], bucket,
+                        self.n_flat_words)
+                else:
+                    dev = _mutation_counts_jit(
+                        self.bank, filters, meta["offset"], meta["n_stored"])
+            need_sparse = need_sparse or bool(len(meta["sparse_sym_ids"]))
+            pending.append((name, meta, dev))
+        # one sparse reduction covers every segment's sparse rows (memoized
+        # per filter); its sync readback overlaps the dense dispatches above
+        sparse_all = (self._sparse_counts(filter_words)
+                      if need_sparse and pending else None)
+        for _name, _meta, dev in pending:
+            if dev is not None:
+                try:
+                    dev.copy_to_host_async()
+                except Exception:  # noqa: BLE001 — optional fast path
+                    pass
+        for name, meta, dev in pending:
+            length, s_count = meta["length"], meta["s_count"]
+            counts = np.zeros((s_count, length), dtype=np.int64)
+            per_pos = np.zeros(length, dtype=np.int64)
+            if dev is not None:
+                stored = np.asarray(dev, dtype=np.int64)[: meta["n_stored"]]
+                counts[meta["sym_ids"], meta["pos_ids"]] = stored
+                np.add.at(per_pos, meta["pos_ids"], stored)
+            n_seg_sparse = len(meta["sparse_sym_ids"])
+            if n_seg_sparse:
+                seg_sparse = sparse_all[
+                    meta["sparse_base"] : meta["sparse_base"] + n_seg_sparse
+                ]
+                counts[meta["sparse_sym_ids"], meta["sparse_pos_ids"]] = (
+                    seg_sparse)
+                np.add.at(per_pos, meta["sparse_pos_ids"], seg_sparse)
+            counts[meta["majority"], np.arange(length)] = (
+                filter_total - per_pos)
+            results[name] = counts
+        return results
 
 
 class DeviceFilter:

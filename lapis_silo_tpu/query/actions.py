@@ -328,12 +328,17 @@ class Mutations(Action):
 
         kind = "nuc" if self.alphabet is NUCLEOTIDE else "aa"
         device_engine = getattr(db, "device_engine", None)
+        device_counts = (
+            # fused popcount reductions over the device-resident bank, all
+            # segments dispatched up front with overlapped readbacks
+            device_engine.mutation_counts_many(kind, names_to_evaluate, bitmaps)
+            if device_engine is not None else None
+        )
         output: list[dict] = []
         for name in names_to_evaluate:
             reference_ids = stores[name]
-            if device_engine is not None:
-                # one fused popcount reduction over the device-resident bank
-                counts = device_engine.mutation_counts(kind, name, bitmaps)
+            if device_counts is not None:
+                counts = device_counts[name]
                 if not (counts != 0).any():
                     continue
             else:
