@@ -504,6 +504,10 @@ class DeviceEngine:
 
         self._lower_lock = threading.Lock()
         self._batcher: _MicroBatcher | None = None
+        from collections import OrderedDict
+
+        self._program_memo: "OrderedDict[str, tuple]" = OrderedDict()
+        self._program_memo_lock = threading.Lock()
 
     # -- lowering ---------------------------------------------------------
 
@@ -1163,7 +1167,28 @@ class DeviceEngine:
         order = np.lexsort((hits, first_partition))
         return [(decode(int(g)), int(totals[g])) for g in hits[order]]
 
-    def count_coalesced(self, filter_expr) -> int:
+    def lower_cached(self, filter_expr, key: str | None = None):
+        """lower() with an LRU memo keyed by the filter's canonical JSON:
+        serving workloads repeat filters, and lowering walks every
+        partition in pure Python (the GIL is the scarce resource under
+        concurrent HTTP load). Lowered programs are read-only downstream
+        (count_dispatches copies the instruction lists it rewrites)."""
+        if key is None:
+            return self.lower(filter_expr)
+        memo = self._program_memo
+        with self._program_memo_lock:
+            hit = memo.get(key)
+            if hit is not None:
+                memo.move_to_end(key)
+                return hit
+        result = self.lower(filter_expr)
+        with self._program_memo_lock:
+            memo[key] = result
+            if len(memo) > 4096:
+                memo.popitem(last=False)
+        return result
+
+    def count_coalesced(self, filter_expr, key: str | None = None) -> int:
         """Count through the serving micro-batcher: concurrent callers are
         coalesced into ONE device dispatch (EMIT_COUNT program concat).
 
@@ -1174,7 +1199,7 @@ class DeviceEngine:
             if self._batcher is None:
                 self._batcher = _MicroBatcher(self)
             batcher = self._batcher
-        return batcher.count(filter_expr)
+        return batcher.count(filter_expr, key)
 
     # -- heavy reductions -----------------------------------------------------
 
@@ -1384,10 +1409,10 @@ class _MicroBatcher:
         )
         self._thread.start()
 
-    def count(self, filter_expr) -> int:
+    def count(self, filter_expr, key: str | None = None) -> int:
         import threading
 
-        item = {"filter": filter_expr, "done": threading.Event(),
+        item = {"filter": filter_expr, "key": key, "done": threading.Event(),
                 "result": None, "error": None}
         with self._cv:
             self._queue.append(item)
@@ -1414,7 +1439,8 @@ class _MicroBatcher:
             ready = []
             for item in batch:
                 try:
-                    item["program"] = engine.lower(item["filter"])[0]
+                    item["program"] = engine.lower_cached(
+                        item["filter"], item.get("key"))[0]
                     ready.append(item)
                 except Exception as ex:  # noqa: BLE001 — per-query isolation
                     item["error"] = ex

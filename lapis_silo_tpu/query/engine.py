@@ -34,6 +34,11 @@ class Query:
             raise QueryParseError("Query json must contain filterExpression and action.")
         self.filter = ast.parse_expression(data["filterExpression"])
         self.action = parse_action(data["action"])
+        # canonical key for the device engine's lowered-program cache:
+        # serving workloads repeat filters, and lowering walks every
+        # partition in pure Python
+        self.filter_key = json.dumps(
+            data["filterExpression"], sort_keys=True, separators=(",", ":"))
 
 
 class QueryEngine:
@@ -142,7 +147,8 @@ class QueryEngine:
                     return None  # unsupported column kinds: host path
                 rows = action.rows_from_group_counts(self.database, groups)
             else:
-                rows = [{"count": self._device_engine.count_coalesced(query.filter)}]
+                rows = [{"count": self._device_engine.count_coalesced(
+                    query.filter, key=query.filter_key)}]
         except (ImportError, NotImplementedError):
             self._use_device = False
             return None

@@ -36,9 +36,18 @@ class DatabaseMutex:
             self._database = database
 
 
+class SiloHTTPServer(ThreadingHTTPServer):
+    # Hundreds of concurrent clients open fresh connections per request:
+    # the stdlib default listen backlog of 5 resets the overflow, and
+    # Nagle + delayed ACK adds ~40 ms to every small keep-alive response.
+    daemon_threads = True
+    request_queue_size = 1024
+
+
 class SiloRequestHandler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
     server_version = "lapis-silo-tpu"
+    disable_nagle_algorithm = True
 
     # set by make_server
     database_mutex: DatabaseMutex = None
@@ -129,7 +138,7 @@ def make_server(database_mutex: DatabaseMutex, port: int = 8081) -> ThreadingHTT
     handler = type(
         "BoundSiloRequestHandler", (SiloRequestHandler,), {"database_mutex": database_mutex}
     )
-    return ThreadingHTTPServer(("0.0.0.0", port), handler)
+    return SiloHTTPServer(("0.0.0.0", port), handler)
 
 
 class CoordinatorRequestHandler(SiloRequestHandler):
@@ -184,4 +193,4 @@ class CoordinatorRequestHandler(SiloRequestHandler):
 def make_coordinator_server(coordinator, port: int = 8081) -> ThreadingHTTPServer:
     handler = type("BoundCoordinatorRequestHandler", (CoordinatorRequestHandler,),
                    {"coordinator": coordinator})
-    return ThreadingHTTPServer(("0.0.0.0", port), handler)
+    return SiloHTTPServer(("0.0.0.0", port), handler)

@@ -13,6 +13,8 @@ import threading
 import time
 import urllib.request
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
