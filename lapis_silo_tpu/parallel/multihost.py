@@ -630,9 +630,13 @@ class Coordinator:
         return merged
 
 
+_INVARIANT_INFO_KEYS = {"sectionLength"}  # identical per host, never summed
+
+
 def _sum_numeric_tree(a, b):
     if isinstance(a, dict):
-        return {k: _sum_numeric_tree(a[k], b[k]) if k in b else a[k]
+        return {k: (a[k] if k in _INVARIANT_INFO_KEYS
+                    else _sum_numeric_tree(a[k], b[k])) if k in b else a[k]
                 for k in a}
     if isinstance(a, list):
         if len(a) != len(b):  # ragged across hosts (different lengths): keep longer

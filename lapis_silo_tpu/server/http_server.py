@@ -104,7 +104,11 @@ class SiloRequestHandler(BaseHTTPRequestHandler):
                 return
             params = parse_qs(parsed.query)
             detailed = params.get("details", ["false"])[0] == "true"
-            info = database.detailed_info() if detailed else database.info()
+            tpu = params.get("tpu", ["false"])[0] == "true"
+            if tpu:
+                info = database.tpu_info()
+            else:
+                info = database.detailed_info() if detailed else database.info()
             self._send_json(200, info, data_version=database.data_version.value)
             return
         if parsed.path == "/query":

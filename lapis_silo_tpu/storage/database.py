@@ -53,6 +53,7 @@ class Database:
         self.unaligned_nuc_sequences: dict[str, list] = {}
         self.data_version: DataVersion = DataVersion("")
         self._engine = None  # lazily created query engine
+        self._roaring_stats = None  # lazily computed /info size model
         import threading
 
         self._engine_lock = threading.Lock()
@@ -95,84 +96,133 @@ class Database:
 
     # -- info ---------------------------------------------------------------
 
+    def _nuc_roaring_stats(self):
+        """Cached Roaring-model stats per (partition, nuc segment) — the
+        reference's /info numbers modeled over our compact bitplane layout
+        (storage/roaring_stats.py). Content-determined, so dense and CSR
+        builds report identical values. Computed once per immutable
+        database."""
+        if self._roaring_stats is None:
+            from . import roaring_stats
+
+            self._roaring_stats = [
+                {name: roaring_stats.segment_stats(seg)
+                 for name, seg in partition.nuc_sequences.items()}
+                for partition in self.partitions
+            ]
+        return self._roaring_stats
+
     def info(self) -> dict:
-        sequence_count = sum(p.sequence_count for p in self.partitions)
-        total_size = 0
-        n_bitmaps_size = 0
-        for partition in self.partitions:
-            for seg in list(partition.nuc_sequences.values()) + list(
-                partition.aa_sequences.values()
-            ):
-                total_size += seg.size_in_bytes()
-                # the missing-symbol plane is the analog of the reference's
-                # per-sequence N bitmaps (dense-analog bytes: [L, W])
-                n_bitmaps_size += seg.plane_nbytes()
+        """/info — reference-exact (database.cpp getDatabaseInfo): totalSize
+        sums non-portable Roaring sizes over every nucleotide position
+        bitmap; nBitmapsSize over the per-sequence missing-symbol bitmaps.
+        Pinned byte-for-byte by endToEndTests/test/info.test.js."""
+        stats = self._nuc_roaring_stats()
         return {
-            "sequenceCount": sequence_count,
-            "totalSize": total_size,
-            "nBitmapsSize": n_bitmaps_size,
+            "sequenceCount": sum(p.sequence_count for p in self.partitions),
+            "totalSize": sum(st.total_nonportable
+                             for per in stats for st in per.values()),
+            "nBitmapsSize": sum(st.missing_nonportable_total
+                                for per in stats for st in per.values()),
         }
 
     def detailed_info(self) -> dict:
-        """Index introspection: same JSON structure as the reference's
-        /info?details=true (info_handler.cpp:18-71, database.cpp:122-323),
-        with dense-plane analogs of the Roaring container statistics:
-        every stored row is one 'bitset container'; sizes are packed-word
-        bytes; per-section sizes count set-bit bytes per 500-position slice
-        of the default nucleotide sequence."""
+        """/info?details=true — reference-exact (info_handler.cpp:18-71,
+        database.cpp detailedDatabaseInfo): Roaring-model portable sizes
+        per symbol and container census for the literal "main" nucleotide
+        store (the reference serializes `sequences.at("main")` only).
+        Pinned byte-for-byte by endToEndTests/test/info.test.js.
+
+        Faithfully replicated quirks:
+        - no "main" store -> error (reference: std::out_of_range -> 500);
+        - sizePerGenomeSymbolAndSection has keys "-", "N", "NOT_N_NOT_GAP",
+          but GAP bitset containers are recorded under a "GAP" key that the
+          constructor never creates (database.cpp:257-323), so the "-"
+          array is always zero and a GAP bitset container raises (-> 500).
+        """
         import numpy as np
 
+        if "main" not in self.nuc_sequences:
+            # reference: DetailedDatabaseInfo::sequences.at("main") throws
+            raise KeyError("main")
         section_length = 500
-        default = self.config.default_nucleotide_sequence
-        per_symbol: dict[str, int] = {}
-        per_section: dict[str, list] = {}
-        total_bytes = 0
-        total_set_bits = 0
-        n_rows_nonzero = 0
-        for partition in self.partitions:
-            seg = partition.nuc_sequences.get(default)
-            if seg is None:
-                continue
-            alphabet = seg.alphabet
-            set_bits = seg.set_bits_matrix()
-            n_sections = -(-seg.length // section_length)
-            pad = n_sections * section_length - seg.length
-            padded = np.pad(set_bits, ((0, 0), (0, pad)))
-            sections = padded.reshape(alphabet.count, n_sections, section_length).sum(
-                axis=-1
-            )
-            gap_id, missing_id = 0, alphabet.missing_id
-            other_ids = [i for i in range(alphabet.count)
-                         if i not in (gap_id, missing_id)]
-            for key, ids in (("-", [gap_id]), ("N", [missing_id]),
-                             ("NOT_N_NOT_GAP", other_ids)):
-                arr = (sections[ids].sum(axis=0) // 8).tolist()
-                if key in per_section:
-                    per_section[key] = [a + b for a, b in zip(per_section[key], arr)]
-                else:
-                    per_section[key] = arr
-            for char in alphabet.chars:
-                per_symbol[char] = per_symbol.get(char, 0) + seg.plane_nbytes()
-            total_bytes += seg.size_in_bytes()
-            total_set_bits += int(set_bits.sum())
-            n_rows_nonzero += int((set_bits > 0).sum())
+        length = len(self.nuc_sequences["main"])
+        n_sections = length // section_length + 1
+
+        mains = [per["main"] for per in self._nuc_roaring_stats()
+                 if "main" in per]
+        from ..common.symbols import NUCLEOTIDE
+
+        per_symbol = {c: 0 for c in NUCLEOTIDE.chars}
+        census = {
+            "numberOfArrayContainers": 0,
+            "numberOfRunContainers": 0,
+            "numberOfBitsetContainers": 0,
+            "numberOfValuesStoredInArrayContainers": 0,
+            "numberOfValuesStoredInRunContainers": 0,
+            "numberOfValuesStoredInBitsetContainers": 0,
+            "totalBitmapSizeArrayContainers": 0,
+            "totalBitmapSizeRunContainers": 0,
+            "totalBitmapSizeBitsetContainers": 0,
+        }
+        frozen_total = 0
+        computed_total = 0
+        bitset_missing = np.zeros(length, dtype=np.int64)
+        bitset_other = np.zeros(length, dtype=np.int64)
+        for st in mains:
+            for i, c in enumerate(NUCLEOTIDE.chars):
+                per_symbol[c] += int(st.per_symbol_portable[i])
+            for key in census:
+                census[key] += st.census[key]
+            frozen_total += st.frozen_total
+            computed_total += st.portable_total
+            if st.bitset_gap.any():
+                # reference bug: size_per_genome_symbol_and_section.at("GAP")
+                # on a map with keys {"-", "N", "NOT_N_NOT_GAP"} only
+                raise KeyError("GAP")
+            bitset_missing += st.bitset_missing
+            bitset_other += st.bitset_other
+
+        sections = np.arange(length) // section_length
+
+        def per_section(arr):
+            return np.bincount(sections, weights=arr,
+                               minlength=n_sections).astype(np.int64).tolist()
+
         return {
             "bitmapSizePerSymbol": per_symbol,
             "bitmapContainerSizePerGenomeSection": {
                 "sectionLength": section_length,
-                "sizePerGenomeSymbolAndSection": per_section,
-                "bitmapContainerSizeStatistic": {
-                    "numberOfArrayContainers": 0,
-                    "numberOfRunContainers": 0,
-                    "numberOfBitsetContainers": n_rows_nonzero,
-                    "numberOfValuesStoredInArrayContainers": 0,
-                    "numberOfValuesStoredInRunContainers": 0,
-                    "numberOfValuesStoredInBitsetContainers": total_set_bits,
-                    "totalBitmapSizeArrayContainers": 0,
-                    "totalBitmapSizeRunContainers": 0,
-                    "totalBitmapSizeBitsetContainers": total_bytes,
+                "sizePerGenomeSymbolAndSection": {
+                    "-": [0] * n_sections,
+                    "N": per_section(bitset_missing),
+                    "NOT_N_NOT_GAP": per_section(bitset_other),
                 },
-                "totalBitmapSizeFrozen": total_bytes,
-                "totalBitmapSizeComputed": total_bytes,
+                "bitmapContainerSizeStatistic": census,
+                "totalBitmapSizeFrozen": frozen_total,
+                "totalBitmapSizeComputed": computed_total,
             },
+        }
+
+    def tpu_info(self) -> dict:
+        """/info?tpu=true — the TPU-native observability surface (SURVEY
+        §5.5): actual dense-analog HBM bytes per segment and partition
+        layout, i.e. what the device banks cost, as opposed to the
+        reference-compatible Roaring-model numbers in info()."""
+        segments = {}
+        for partition in self.partitions:
+            for name, seg in list(partition.nuc_sequences.items()) + list(
+                partition.aa_sequences.items()
+            ):
+                entry = segments.setdefault(name, {
+                    "denseSizeBytes": 0, "compactSizeBytes": 0,
+                    "storedRows": 0, "length": seg.length,
+                })
+                entry["denseSizeBytes"] += seg.size_in_bytes()
+                entry["compactSizeBytes"] += seg.store.nbytes()
+                entry["storedRows"] += int(len(seg.sym_ids))
+        return {
+            "sequenceCount": sum(p.sequence_count for p in self.partitions),
+            "partitions": len(self.partitions),
+            "segments": segments,
         }
