@@ -22,10 +22,21 @@ performance_logger = logging.getLogger("lapis_silo_tpu.performance")
 
 class Query:
     def __init__(self, query_string: str):
+        def _reject_constant(name):
+            # nlohmann rejects NaN/Infinity literals that Python's json
+            # accepts by default; force the reference behavior
+            raise ValueError(f"invalid constant {name}")
+
         try:
-            data = json.loads(query_string)
-        except json.JSONDecodeError as ex:
-            raise QueryParseError(f"The query was not a valid JSON: {ex}") from ex
+            data = json.loads(query_string, parse_constant=_reject_constant)
+        except ValueError as ex:
+            # reference query.cpp:24-26 wraps nlohmann's ex.what(); replicate
+            # its exact message text (query/nlohmann_errors.py)
+            from .nlohmann_errors import parse_error_message
+
+            message = parse_error_message(query_string) or str(ex)
+            raise QueryParseError(
+                f"The query was not a valid JSON: {message}") from ex
         if (
             not isinstance(data, dict)
             or not isinstance(data.get("filterExpression"), dict)
