@@ -33,6 +33,23 @@ def _build() -> bool:
         return False
 
 
+_named_libs: dict = {}
+
+
+def get_named_lib(so_name: str):
+    """Load (building if needed) an arbitrary shared library from native/
+    — e.g. libsilo_http.so. Returns None when unavailable."""
+    with _lock:
+        if so_name in _named_libs:
+            return _named_libs[so_name]
+        path = os.path.join(_NATIVE_DIR, so_name)
+        if os.path.isdir(_NATIVE_DIR):
+            _build()  # make is a no-op when the .so is fresh
+        lib = ctypes.CDLL(path) if os.path.exists(path) else None
+        _named_libs[so_name] = lib
+        return lib
+
+
 def get_lib():
     global _lib, _tried
     with _lock:

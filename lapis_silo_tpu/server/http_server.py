@@ -3,18 +3,24 @@
 Protocol parity with reference src/silo_api/ (Poco): response formats,
 status codes, the data-version header on every data endpoint, 404/405 error
 bodies, and the reader/writer snapshot swap (DatabaseMutex).
+
+Two interchangeable front-ends serve the same router (server/router.py):
+the native epoll server (native/silo_http.cpp, the default — the reference's
+API layer is native too) and this pure-Python http.server fallback.
+make_server()/make_coordinator_server() pick automatically; set
+SILO_HTTP_IMPL=python|native to force one.
 """
 
 from __future__ import annotations
 
 import json
 import logging
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
 
-from ..query.errors import QueryParseError
 from ..storage.database import Database
+from .router import CoordinatorBackend, DatabaseBackend, route_request
 
 logger = logging.getLogger(__name__)
 
@@ -49,152 +55,59 @@ class SiloRequestHandler(BaseHTTPRequestHandler):
     server_version = "lapis-silo-tpu"
     disable_nagle_algorithm = True
 
-    # set by make_server
-    database_mutex: DatabaseMutex = None
+    # set by make_server / make_coordinator_server
+    backend = None
 
     def log_message(self, fmt, *args):  # route to logging, not stderr
         logger.info("%s %s", self.address_string(), fmt % args)
 
-    def _send_json(self, status: int, payload: dict, data_version: str | None = None):
-        body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+    def _handle(self):
+        length = int(self.headers.get("Content-Length", 0) or 0)
+        body = self.rfile.read(length) if length else b""
+        status, payload, data_version = route_request(
+            self.backend, self.command, self.path, body)
+        encoded = json.dumps(payload, ensure_ascii=False).encode("utf-8")
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Content-Length", str(len(encoded)))
         if data_version is not None:
             self.send_header("data-version", data_version)
         self.end_headers()
-        self.wfile.write(body)
+        self.wfile.write(encoded)
 
-    def _not_found(self):
-        path = urlparse(self.path).path
-        self._send_json(
-            404, {"error": "Not found", "message": f"Resource {path} does not exist"}
-        )
-
-    def _method_not_allowed(self):
-        path = urlparse(self.path).path
-        self._send_json(
-            405,
-            {
-                "error": "Method not allowed",
-                "message": f"{self.command} is not allowed on resource {path}",
-            },
-        )
-
-    # Any method other than GET/POST: 405 (reference rest_resource.cpp)
-    def do_PUT(self):
-        self._method_not_allowed()
-
-    def do_DELETE(self):
-        self._method_not_allowed()
-
-    def do_PATCH(self):
-        self._method_not_allowed()
-
-    def do_HEAD(self):
-        self._method_not_allowed()
-
-    def do_GET(self):
-        parsed = urlparse(self.path)
-        if parsed.path == "/info":
-            try:
-                database = self.database_mutex.get_database()
-            except Exception as ex:
-                self._send_json(500, {"error": "Internal Server Error", "message": str(ex)})
-                return
-            params = parse_qs(parsed.query)
-            detailed = params.get("details", ["false"])[0] == "true"
-            tpu = params.get("tpu", ["false"])[0] == "true"
-            if tpu:
-                info = database.tpu_info()
-            else:
-                info = database.detailed_info() if detailed else database.info()
-            self._send_json(200, info, data_version=database.data_version.value)
-            return
-        if parsed.path == "/query":
-            self._method_not_allowed()
-            return
-        self._not_found()
-
-    def do_POST(self):
-        parsed = urlparse(self.path)
-        if parsed.path == "/info":
-            self._method_not_allowed()
-            return
-        if parsed.path != "/query":
-            self._not_found()
-            return
-        length = int(self.headers.get("Content-Length", 0))
-        query = self.rfile.read(length).decode("utf-8")
-        try:
-            database = self.database_mutex.get_database()
-            result = database.execute_query(query)
-            self._send_json(200, result, data_version=database.data_version.value)
-        except QueryParseError as ex:
-            logger.info("Query is invalid: %s", query)
-            self._send_json(400, {"error": "Bad request", "message": str(ex)})
-        except Exception as ex:  # noqa: BLE001 — parity: 500 without crashing
-            logger.exception("query failed")
-            self._send_json(500, {"error": "Internal Server Error", "message": str(ex)})
+    do_GET = _handle
+    do_POST = _handle
+    # Any other method: 405 via the router (reference rest_resource.cpp)
+    do_PUT = _handle
+    do_DELETE = _handle
+    do_PATCH = _handle
+    do_HEAD = _handle
 
 
-def make_server(database_mutex: DatabaseMutex, port: int = 8081) -> ThreadingHTTPServer:
-    handler = type(
-        "BoundSiloRequestHandler", (SiloRequestHandler,), {"database_mutex": database_mutex}
-    )
+def _python_server(backend, port: int) -> ThreadingHTTPServer:
+    handler = type("BoundSiloRequestHandler", (SiloRequestHandler,),
+                   {"backend": backend})
     return SiloHTTPServer(("0.0.0.0", port), handler)
 
 
-class CoordinatorRequestHandler(SiloRequestHandler):
+def _make(backend, port: int):
+    impl = os.environ.get("SILO_HTTP_IMPL", "native")
+    if impl != "python":
+        from .native_http import NativeHTTPServer, native_http_available
+
+        if native_http_available():
+            return NativeHTTPServer(backend, port=port)
+        if impl == "native":
+            logger.warning("native HTTP library unavailable; "
+                           "falling back to the Python server")
+    return _python_server(backend, port)
+
+
+def make_server(database_mutex: DatabaseMutex, port: int = 8081):
+    return _make(DatabaseBackend(database_mutex), port)
+
+
+def make_coordinator_server(coordinator, port: int = 8081):
     """The same public /query + /info protocol, answered by a multi-host
-    Coordinator (fan-out + merge) instead of a local database. The
-    data-version header is the slice's consistent version (the
-    coordinator rejects mixed-version fan-outs, parallel/multihost.py)."""
-
-    coordinator = None  # set by make_coordinator_server
-
-    def do_GET(self):
-        parsed = urlparse(self.path)
-        if parsed.path == "/info":
-            try:
-                params = parse_qs(parsed.query)
-                detailed = params.get("details", ["false"])[0] == "true"
-                info = (self.coordinator.detailed_info() if detailed
-                        else self.coordinator.info())
-                version = self.coordinator.database.data_version.value
-                self._send_json(200, info, data_version=version)
-            except Exception as ex:  # noqa: BLE001
-                self._send_json(500, {"error": "Internal Server Error",
-                                      "message": str(ex)})
-            return
-        if parsed.path == "/query":
-            self._method_not_allowed()
-            return
-        self._not_found()
-
-    def do_POST(self):
-        parsed = urlparse(self.path)
-        if parsed.path == "/info":
-            self._method_not_allowed()
-            return
-        if parsed.path != "/query":
-            self._not_found()
-            return
-        length = int(self.headers.get("Content-Length", 0))
-        query = self.rfile.read(length).decode("utf-8")
-        try:
-            result = self.coordinator.execute_query(query)
-            version = self.coordinator.database.data_version.value
-            self._send_json(200, result, data_version=version)
-        except QueryParseError as ex:
-            logger.info("Query is invalid: %s", query)
-            self._send_json(400, {"error": "Bad request", "message": str(ex)})
-        except Exception as ex:  # noqa: BLE001 — parity: 500 without crashing
-            logger.exception("coordinated query failed")
-            self._send_json(500, {"error": "Internal Server Error", "message": str(ex)})
-
-
-def make_coordinator_server(coordinator, port: int = 8081) -> ThreadingHTTPServer:
-    handler = type("BoundCoordinatorRequestHandler", (CoordinatorRequestHandler,),
-                   {"coordinator": coordinator})
-    return SiloHTTPServer(("0.0.0.0", port), handler)
+    Coordinator (fan-out + merge) instead of a local database."""
+    return _make(CoordinatorBackend(coordinator), port)

@@ -1,0 +1,548 @@
+// Native HTTP/1.1 server for the lapis-silo-tpu API layer.
+//
+// The reference's API layer is native (Poco HTTPServer,
+// reference src/silo_api/api.cpp:174-204, request_handler_factory.cpp);
+// this is the TPU-repo equivalent: a small epoll server that owns every
+// socket byte — accept, parse, keep-alive, response framing — and calls a
+// registered handler (the Python router, via ctypes) only for the actual
+// routing + query work. The Python front-end measured ~437 req/s on two
+// vCPUs with per-request thread spawns and email.parser header parsing;
+// this layer removes all of that from the request path.
+//
+// Threading model:
+//   - ONE I/O thread owns all connection state (accept, epoll, reads,
+//     writes) — no locks on the socket path.
+//   - N worker threads pop parsed requests from a queue and run the
+//     handler callback (the Python side blocks on the device micro-batcher
+//     with the GIL released, so concurrent workers pipeline).
+//   - Workers hand finished responses back through a completion queue +
+//     eventfd; the I/O thread writes them out.
+//
+// Contract with the handler: it must call silo_http_respond(req, ...)
+// exactly once before returning (synchronous model); if it does not, the
+// worker sends a generic 500 so a lost response can never wedge a client.
+
+#include <arpa/inet.h>
+#include <errno.h>
+#include <fcntl.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <string.h>
+#include <sys/epoll.h>
+#include <sys/eventfd.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr size_t kMaxHeaderBytes = 64 * 1024;
+constexpr size_t kMaxBodyBytes = 256ull * 1024 * 1024;
+constexpr int kListenBacklog = 1024;
+
+struct PendingResponse {
+  bool set = false;
+  int status = 500;
+  std::string body;
+  bool has_data_version = false;
+  std::string data_version;
+};
+
+using HandlerFn = void (*)(void* req, const char* method, const char* target,
+                           const char* body, int64_t body_len);
+
+struct Task {
+  uint64_t conn_key = 0;
+  bool keep_alive = true;
+  std::string method;
+  std::string target;
+  std::string body;
+};
+
+struct Completion {
+  uint64_t conn_key = 0;
+  bool close_after = false;
+  std::string bytes;
+};
+
+const char* status_reason(int status) {
+  switch (status) {
+    case 200: return "OK";
+    case 400: return "Bad Request";
+    case 404: return "Not Found";
+    case 405: return "Method Not Allowed";
+    case 408: return "Request Timeout";
+    case 413: return "Payload Too Large";
+    case 431: return "Request Header Fields Too Large";
+    case 500: return "Internal Server Error";
+    case 503: return "Service Unavailable";
+    default: return "Unknown";
+  }
+}
+
+std::string build_response(const PendingResponse& r, bool keep_alive) {
+  std::string out;
+  out.reserve(r.body.size() + 160);
+  out += "HTTP/1.1 ";
+  out += std::to_string(r.status);
+  out += ' ';
+  out += status_reason(r.status);
+  out += "\r\nContent-Type: application/json\r\nContent-Length: ";
+  out += std::to_string(r.body.size());
+  if (r.has_data_version) {
+    out += "\r\ndata-version: ";
+    out += r.data_version;
+  }
+  if (!keep_alive) out += "\r\nConnection: close";
+  out += "\r\n\r\n";
+  out += r.body;
+  return out;
+}
+
+bool iequals(const std::string& a, const char* b) {
+  size_t n = strlen(b);
+  if (a.size() != n) return false;
+  for (size_t i = 0; i < n; i++) {
+    if (tolower((unsigned char)a[i]) != tolower((unsigned char)b[i])) return false;
+  }
+  return true;
+}
+
+struct Server {
+  int listen_fd = -1;
+  int epoll_fd = -1;
+  int event_fd = -1;
+  int port = 0;
+  HandlerFn handler = nullptr;
+  std::atomic<bool> stopping{false};
+
+  std::thread io_thread;
+  std::vector<std::thread> workers;
+
+  std::mutex q_mu;
+  std::condition_variable q_cv;
+  std::deque<Task> queue;
+
+  std::mutex c_mu;
+  std::deque<Completion> completions;
+
+  struct Conn {
+    int fd = -1;
+    uint32_t gen = 0;
+    std::string in;
+    std::string out;
+    bool busy = false;         // a request is with a worker
+    bool close_after = false;  // close once out drains
+    bool want_write = false;   // EPOLLOUT subscribed
+  };
+  std::vector<Conn> conns;
+  std::vector<uint32_t> free_slots;
+
+  uint64_t key_of(uint32_t slot) const {
+    return (uint64_t(slot) << 32) | conns[slot].gen;
+  }
+
+  void update_events(uint32_t slot) {
+    Conn& c = conns[slot];
+    if (c.fd < 0) return;
+    epoll_event ev{};
+    ev.events = EPOLLIN | (c.want_write ? EPOLLOUT : 0u);
+    ev.data.u64 = slot;
+    epoll_ctl(epoll_fd, EPOLL_CTL_MOD, c.fd, &ev);
+  }
+
+  void close_conn(uint32_t slot) {
+    Conn& c = conns[slot];
+    if (c.fd < 0) return;
+    epoll_ctl(epoll_fd, EPOLL_CTL_DEL, c.fd, nullptr);
+    ::close(c.fd);
+    c.fd = -1;
+    c.gen++;  // stale completions for this slot are dropped
+    c.in.clear();
+    c.in.shrink_to_fit();
+    c.out.clear();
+    c.out.shrink_to_fit();
+    c.busy = false;
+    c.close_after = false;
+    c.want_write = false;
+    free_slots.push_back(slot);
+  }
+
+  void send_error_and_close(uint32_t slot, int status) {
+    PendingResponse r;
+    r.set = true;
+    r.status = status;
+    r.body = "{\"error\":\"";
+    r.body += status_reason(status);
+    r.body += "\",\"message\":\"\"}";
+    conns[slot].out += build_response(r, /*keep_alive=*/false);
+    conns[slot].close_after = true;
+    try_write(slot);
+  }
+
+  // Parse as many complete requests as are buffered (one at a time: the
+  // connection goes busy until its response is written).
+  void try_parse(uint32_t slot) {
+    Conn& c = conns[slot];
+    while (c.fd >= 0 && !c.busy) {
+      size_t head_end = c.in.find("\r\n\r\n");
+      if (head_end == std::string::npos) {
+        if (c.in.size() > kMaxHeaderBytes) send_error_and_close(slot, 431);
+        return;
+      }
+      // request line
+      size_t line_end = c.in.find("\r\n");
+      size_t sp1 = c.in.find(' ');
+      size_t sp2 = (sp1 == std::string::npos) ? std::string::npos
+                                              : c.in.find(' ', sp1 + 1);
+      if (sp1 == std::string::npos || sp2 == std::string::npos ||
+          sp2 > line_end) {
+        send_error_and_close(slot, 400);
+        return;
+      }
+      std::string method = c.in.substr(0, sp1);
+      std::string target = c.in.substr(sp1 + 1, sp2 - sp1 - 1);
+      std::string version = c.in.substr(sp2 + 1, line_end - sp2 - 1);
+      bool keep_alive = version != "HTTP/1.0";
+
+      size_t content_length = 0;
+      bool chunked = false;
+      size_t pos = line_end + 2;
+      while (pos < head_end) {
+        size_t eol = c.in.find("\r\n", pos);
+        if (eol == std::string::npos || eol > head_end) eol = head_end;
+        size_t colon = c.in.find(':', pos);
+        if (colon != std::string::npos && colon < eol) {
+          std::string name = c.in.substr(pos, colon - pos);
+          size_t vstart = colon + 1;
+          while (vstart < eol && c.in[vstart] == ' ') vstart++;
+          std::string value = c.in.substr(vstart, eol - vstart);
+          if (iequals(name, "content-length")) {
+            content_length = strtoull(value.c_str(), nullptr, 10);
+          } else if (iequals(name, "connection")) {
+            if (iequals(value, "close")) keep_alive = false;
+            else if (iequals(value, "keep-alive")) keep_alive = true;
+          } else if (iequals(name, "transfer-encoding")) {
+            if (value.find("chunked") != std::string::npos) chunked = true;
+          } else if (iequals(name, "expect")) {
+            if (iequals(value, "100-continue")) {
+              c.out += "HTTP/1.1 100 Continue\r\n\r\n";
+              try_write(slot);
+              if (c.fd < 0) return;
+            }
+          }
+        }
+        pos = eol + 2;
+      }
+      if (chunked) {  // not used by any known client of this API
+        send_error_and_close(slot, 400);
+        return;
+      }
+      if (content_length > kMaxBodyBytes) {
+        send_error_and_close(slot, 413);
+        return;
+      }
+      size_t body_start = head_end + 4;
+      if (c.in.size() < body_start + content_length) return;  // need more
+
+      Task task;
+      task.conn_key = key_of(slot);
+      task.keep_alive = keep_alive;
+      task.method = std::move(method);
+      task.target = std::move(target);
+      task.body = c.in.substr(body_start, content_length);
+      c.in.erase(0, body_start + content_length);
+      c.busy = true;
+      if (!keep_alive) c.close_after = true;
+      {
+        std::lock_guard<std::mutex> lk(q_mu);
+        queue.push_back(std::move(task));
+      }
+      q_cv.notify_one();
+    }
+  }
+
+  void try_write(uint32_t slot) {
+    Conn& c = conns[slot];
+    while (c.fd >= 0 && !c.out.empty()) {
+      ssize_t n = ::send(c.fd, c.out.data(), c.out.size(), MSG_NOSIGNAL);
+      if (n > 0) {
+        c.out.erase(0, size_t(n));
+        continue;
+      }
+      if (n < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
+        if (!c.want_write) {
+          c.want_write = true;
+          update_events(slot);
+        }
+        return;
+      }
+      close_conn(slot);
+      return;
+    }
+    if (c.fd < 0) return;
+    if (c.want_write) {
+      c.want_write = false;
+      update_events(slot);
+    }
+    if (c.close_after) close_conn(slot);
+  }
+
+  void on_readable(uint32_t slot) {
+    Conn& c = conns[slot];
+    char buf[16384];
+    bool eof = false;
+    while (c.fd >= 0) {
+      ssize_t n = ::recv(c.fd, buf, sizeof(buf), 0);
+      if (n > 0) {
+        c.in.append(buf, size_t(n));
+        if (size_t(n) < sizeof(buf)) break;
+        continue;
+      }
+      if (n < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) break;
+      eof = true;  // peer closed its write side (or hard error)
+      break;
+    }
+    if (c.fd < 0) return;
+    // parse BEFORE deciding to drop: a client may send request + FIN in one
+    // round (shutdown(SHUT_WR) then read the response)
+    try_parse(slot);
+    if (eof && c.fd >= 0) {
+      if (!c.busy && c.out.empty()) close_conn(slot);
+      else c.close_after = true;
+    }
+  }
+
+  void on_accept() {
+    while (true) {
+      int fd = accept4(listen_fd, nullptr, nullptr, SOCK_NONBLOCK);
+      if (fd < 0) return;
+      int one = 1;
+      setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+      uint32_t slot;
+      if (!free_slots.empty()) {
+        slot = free_slots.back();
+        free_slots.pop_back();
+      } else {
+        slot = uint32_t(conns.size());
+        conns.emplace_back();
+      }
+      Conn& c = conns[slot];
+      c.fd = fd;
+      epoll_event ev{};
+      ev.events = EPOLLIN;
+      ev.data.u64 = slot;
+      epoll_ctl(epoll_fd, EPOLL_CTL_ADD, fd, &ev);
+    }
+  }
+
+  void drain_completions() {
+    uint64_t tick;
+    while (read(event_fd, &tick, sizeof(tick)) > 0) {
+    }
+    std::deque<Completion> done;
+    {
+      std::lock_guard<std::mutex> lk(c_mu);
+      done.swap(completions);
+    }
+    for (Completion& comp : done) {
+      uint32_t slot = uint32_t(comp.conn_key >> 32);
+      if (slot >= conns.size()) continue;
+      Conn& c = conns[slot];
+      if (c.fd < 0 || c.gen != uint32_t(comp.conn_key)) continue;  // stale
+      c.out += comp.bytes;
+      c.busy = false;
+      if (comp.close_after) c.close_after = true;
+      try_write(slot);
+      if (c.fd >= 0 && !c.close_after) try_parse(slot);  // pipelined next
+    }
+  }
+
+  void io_loop() {
+    epoll_event events[128];
+    while (!stopping.load(std::memory_order_relaxed)) {
+      int n = epoll_wait(epoll_fd, events, 128, 500);
+      for (int i = 0; i < n; i++) {
+        uint64_t tag = events[i].data.u64;
+        if (tag == UINT64_MAX) {
+          on_accept();
+        } else if (tag == UINT64_MAX - 1) {
+          drain_completions();
+        } else {
+          uint32_t slot = uint32_t(tag);
+          if (slot >= conns.size() || conns[slot].fd < 0) continue;
+          // read first: EPOLLHUP can arrive together with final data
+          if (events[i].events & EPOLLIN) on_readable(slot);
+          if (conns[slot].fd < 0) continue;
+          if (events[i].events & EPOLLERR) {
+            close_conn(slot);
+            continue;
+          }
+          if (events[i].events & EPOLLHUP) {
+            Conn& c = conns[slot];
+            if (!c.busy && c.out.empty()) {
+              close_conn(slot);
+              continue;
+            }
+            c.close_after = true;
+          }
+          if (events[i].events & EPOLLOUT) try_write(slot);
+        }
+      }
+    }
+    for (uint32_t slot = 0; slot < conns.size(); slot++) {
+      if (conns[slot].fd >= 0) close_conn(slot);
+    }
+  }
+
+  void worker_loop() {
+    while (true) {
+      Task task;
+      {
+        std::unique_lock<std::mutex> lk(q_mu);
+        q_cv.wait(lk, [&] { return stopping.load() || !queue.empty(); });
+        if (queue.empty()) {
+          if (stopping.load()) return;
+          continue;
+        }
+        task = std::move(queue.front());
+        queue.pop_front();
+      }
+      PendingResponse resp;
+      handler(&resp, task.method.c_str(), task.target.c_str(),
+              task.body.data(), int64_t(task.body.size()));
+      if (!resp.set) {
+        resp.status = 500;
+        resp.body =
+            "{\"error\":\"Internal Server Error\","
+            "\"message\":\"handler produced no response\"}";
+      }
+      Completion comp;
+      comp.conn_key = task.conn_key;
+      comp.close_after = !task.keep_alive;
+      comp.bytes = build_response(resp, task.keep_alive);
+      {
+        std::lock_guard<std::mutex> lk(c_mu);
+        completions.push_back(std::move(comp));
+      }
+      uint64_t one = 1;
+      ssize_t ignored = write(event_fd, &one, sizeof(one));
+      (void)ignored;
+    }
+  }
+
+  bool start(const char* bind_addr, int want_port, int n_workers) {
+    listen_fd = socket(AF_INET, SOCK_STREAM | SOCK_NONBLOCK, 0);
+    if (listen_fd < 0) return false;
+    int one = 1;
+    setsockopt(listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons(uint16_t(want_port));
+    if (inet_pton(AF_INET, bind_addr, &addr.sin_addr) != 1) {
+      addr.sin_addr.s_addr = INADDR_ANY;
+    }
+    if (bind(listen_fd, (sockaddr*)&addr, sizeof(addr)) < 0) return false;
+    if (listen(listen_fd, kListenBacklog) < 0) return false;
+    socklen_t len = sizeof(addr);
+    getsockname(listen_fd, (sockaddr*)&addr, &len);
+    port = ntohs(addr.sin_port);
+
+    epoll_fd = epoll_create1(0);
+    event_fd = eventfd(0, EFD_NONBLOCK);
+    if (epoll_fd < 0 || event_fd < 0) return false;
+    epoll_event ev{};
+    ev.events = EPOLLIN;
+    ev.data.u64 = UINT64_MAX;
+    epoll_ctl(epoll_fd, EPOLL_CTL_ADD, listen_fd, &ev);
+    ev.data.u64 = UINT64_MAX - 1;
+    epoll_ctl(epoll_fd, EPOLL_CTL_ADD, event_fd, &ev);
+
+    io_thread = std::thread([this] { io_loop(); });
+    for (int i = 0; i < n_workers; i++) {
+      workers.emplace_back([this] { worker_loop(); });
+    }
+    return true;
+  }
+
+  void stop() {
+    stopping.store(true);
+    q_cv.notify_all();
+    uint64_t one = 1;
+    ssize_t ignored = write(event_fd, &one, sizeof(one));
+    (void)ignored;
+    if (io_thread.joinable()) io_thread.join();
+    for (auto& w : workers) {
+      if (w.joinable()) w.join();
+    }
+    if (listen_fd >= 0) ::close(listen_fd);
+    if (epoll_fd >= 0) ::close(epoll_fd);
+    if (event_fd >= 0) ::close(event_fd);
+    listen_fd = epoll_fd = event_fd = -1;
+  }
+};
+
+std::mutex g_servers_mu;
+std::vector<std::unique_ptr<Server>> g_servers;
+
+}  // namespace
+
+extern "C" {
+
+// Fill the response for a request handle received by the handler callback.
+// Must be called exactly once, inside the callback, before it returns.
+void silo_http_respond(void* req, int status, const char* body,
+                       int64_t body_len, const char* data_version) {
+  auto* r = static_cast<PendingResponse*>(req);
+  r->set = true;
+  r->status = status;
+  r->body.assign(body, size_t(body_len));
+  if (data_version != nullptr) {
+    r->has_data_version = true;
+    r->data_version = data_version;
+  }
+}
+
+// Start a server; returns a server id >= 0, or -1 on failure.
+int silo_http_create(const char* bind_addr, int port, int n_workers,
+                     HandlerFn handler) {
+  auto server = std::make_unique<Server>();
+  server->handler = handler;
+  if (!server->start(bind_addr, port, n_workers > 0 ? n_workers : 8)) {
+    return -1;
+  }
+  std::lock_guard<std::mutex> lk(g_servers_mu);
+  g_servers.push_back(std::move(server));
+  return int(g_servers.size()) - 1;
+}
+
+int silo_http_port(int server_id) {
+  std::lock_guard<std::mutex> lk(g_servers_mu);
+  if (server_id < 0 || size_t(server_id) >= g_servers.size() ||
+      !g_servers[size_t(server_id)]) {
+    return -1;
+  }
+  return g_servers[size_t(server_id)]->port;
+}
+
+void silo_http_stop(int server_id) {
+  std::unique_ptr<Server> server;
+  {
+    std::lock_guard<std::mutex> lk(g_servers_mu);
+    if (server_id < 0 || size_t(server_id) >= g_servers.size()) return;
+    server = std::move(g_servers[size_t(server_id)]);
+  }
+  if (server) server->stop();
+}
+
+}  // extern "C"
