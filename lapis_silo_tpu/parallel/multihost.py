@@ -405,12 +405,71 @@ class _FixedMutex:
         self._database = database
 
 
-def start_worker(database, port: int = 0) -> ThreadingHTTPServer:
+def _worker_router(mutex, watcher):
+    """Native-server router for the worker control plane (the same protocol
+    WorkerHandler speaks): (status, payload, data_version=None) tuples."""
+
+    def route(method: str, target: str, body: bytes):
+        path = target.split("?", 1)[0]
+        if method == "GET":
+            if path == "/internal/info":
+                return 200, mutex.get_database().info(), None
+            if path == "/internal/detailed_info":
+                return 200, mutex.get_database().detailed_info(), None
+            if path == "/internal/version":
+                if watcher is not None:
+                    return 200, watcher.versions(), None
+                version = mutex.get_database().data_version.value
+                return 200, {"serving": version, "staged": ""}, None
+            return 404, {"error": "Not found",
+                         "message": f"Resource {path} does not exist"}, None
+        if method == "POST":
+            if path == "/internal/commit":
+                version = json.loads(body)["version"]
+                if watcher is not None:
+                    committed = watcher.commit(version)
+                else:
+                    committed = (mutex.get_database().data_version.value
+                                 == version)
+                return (200 if committed else 409,
+                        {"committed": committed}, None)
+            if path == "/internal/partial":
+                try:
+                    return (200, execute_partial(
+                        mutex.get_database(), body.decode("utf-8", "replace")),
+                        None)
+                except QueryParseError as ex:
+                    return 400, {"error": "Bad request",
+                                 "message": str(ex)}, None
+                except Exception as ex:  # noqa: BLE001 — keep serving
+                    return 500, {"error": "Internal Server Error",
+                                 "message": str(ex)}, None
+        return 404, {"error": "Not found",
+                     "message": f"Resource {path} does not exist"}, None
+
+    return route
+
+
+def _start_worker_server(mutex, watcher, port: int):
+    """Native epoll server when available (the fan-out hot path: every
+    public query pays one worker round trip per host), Python fallback."""
+    import os
+
+    if os.environ.get("SILO_HTTP_IMPL", "native") != "python":
+        from ..server.native_http import NativeHTTPServer, native_http_available
+
+        if native_http_available():
+            return NativeHTTPServer(router=_worker_router(mutex, watcher),
+                                    port=port)
     handler = type("BoundWorkerHandler", (WorkerHandler,),
-                   {"mutex": _FixedMutex(database), "watcher": None})
+                   {"mutex": mutex, "watcher": watcher})
     server = ThreadingHTTPServer(("0.0.0.0", port), handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server
+
+
+def start_worker(database, port: int = 0):
+    return _start_worker_server(_FixedMutex(database), None, port)
 
 
 def start_replicated_worker(data_directory: str, port: int = 0,
@@ -425,11 +484,66 @@ def start_replicated_worker(data_directory: str, port: int = 0,
     watcher = StagedSnapshotWatcher(data_directory, mutex, poll_seconds)
     if start_watcher:
         watcher.start()
-    handler = type("BoundWorkerHandler", (WorkerHandler,),
-                   {"mutex": mutex, "watcher": watcher})
-    server = ThreadingHTTPServer(("0.0.0.0", port), handler)
-    threading.Thread(target=server.serve_forever, daemon=True).start()
+    server = _start_worker_server(mutex, watcher, port)
     return server, watcher, mutex
+
+
+class _WorkerClient:
+    """Persistent keep-alive connections to one worker (an http.client
+    pool). urllib opened a fresh TCP connection per fan-out request — at
+    fan-out rates the handshakes and TIME_WAIT churn tax every public
+    query with one round trip's worth of setup per host."""
+
+    def __init__(self, url: str):
+        from urllib.parse import urlparse
+
+        parsed = urlparse(url)
+        self._host = parsed.hostname
+        self._port = parsed.port or 80
+        self._pool: list = []
+        self._lock = threading.Lock()
+
+    def request(self, method: str, path: str, body: bytes | None = None,
+                timeout: float = 60.0) -> tuple[int, bytes]:
+        import http.client
+
+        with self._lock:
+            conn = self._pool.pop() if self._pool else None
+        for attempt in (0, 1):
+            if conn is None:
+                conn = http.client.HTTPConnection(
+                    self._host, self._port, timeout=timeout)
+            try:
+                conn.request(method, path, body=body)
+                resp = conn.getresponse()
+                data = resp.read()
+                status = resp.status
+                break
+            except Exception:
+                # a pooled keep-alive connection may have been dropped by
+                # the server between requests: retry ONCE on a fresh one
+                try:
+                    conn.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                conn = None
+                if attempt:
+                    raise
+        with self._lock:
+            self._pool.append(conn)
+        return status, data
+
+
+_worker_clients: dict = {}
+_worker_clients_lock = threading.Lock()
+
+
+def _client_for(url: str) -> _WorkerClient:
+    with _worker_clients_lock:
+        client = _worker_clients.get(url)
+        if client is None:
+            client = _worker_clients[url] = _WorkerClient(url)
+        return client
 
 
 class FlipController:
@@ -463,24 +577,19 @@ class FlipController:
                 logging.getLogger(__name__).exception("flip poll failed")
 
     def _worker_versions(self, url: str) -> dict:
-        import urllib.request
-
-        with urllib.request.urlopen(url + "/internal/version", timeout=10) as resp:
-            return json.loads(resp.read())
+        status, data = _client_for(url).request("GET", "/internal/version",
+                                                timeout=10)
+        if status != 200:
+            raise RuntimeError(f"version poll failed: HTTP {status}")
+        return json.loads(data)
 
     def _worker_commit(self, url: str, version: str) -> bool:
-        import urllib.error
-        import urllib.request
-
-        req = urllib.request.Request(
-            url + "/internal/commit",
-            data=json.dumps({"version": version}).encode(), method="POST")
-        try:
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                return json.loads(resp.read()).get("committed", False)
-        except urllib.error.HTTPError as err:
-            err.read()
+        status, data = _client_for(url).request(
+            "POST", "/internal/commit",
+            body=json.dumps({"version": version}).encode())
+        if status != 200:
             return False
+        return json.loads(data).get("committed", False)
 
     def check_once(self) -> str | None:
         """One poll: returns the committed version if a flip happened."""
@@ -555,45 +664,49 @@ class Coordinator:
             time.sleep(self.flip_retry_seconds)
         raise last_error
 
-    def _gather_partials(self, db, query_string: str) -> list[dict]:
-        import urllib.request
+    def _executor(self):
+        ex = getattr(self, "_fanout_executor", None)
+        if ex is None:
+            from concurrent.futures import ThreadPoolExecutor
 
+            ex = self._fanout_executor = ThreadPoolExecutor(
+                max_workers=max(4, 2 * len(self.worker_urls)),
+                thread_name_prefix="silo-fanout")
+        return ex
+
+    def _gather_partials(self, db, query_string: str) -> list[dict]:
         # Coordinator's local partitions are host 0 (first in global
         # partition order); workers follow in worker_urls order.
         offset = 1 if (self._include_local_requested and db.partitions) else 0
         partials: list[dict | None] = [None] * (len(self.worker_urls) + offset)
         errors: list[Exception] = []
+        body = query_string.encode()
 
         def fetch(i, url):
             try:
-                req = urllib.request.Request(
-                    url + "/internal/partial", data=query_string.encode(),
-                    method="POST")
-                with urllib.request.urlopen(req) as resp:
-                    partials[i] = json.loads(resp.read())
-            except urllib.error.HTTPError as err:
-                raw = err.read()
+                status, raw = _client_for(url).request(
+                    "POST", "/internal/partial", body=body)
+                if status == 200:
+                    partials[i] = json.loads(raw)
+                    return
                 try:
                     payload = json.loads(raw)
                 except Exception:  # non-JSON error body (proxy, send_error)
                     payload = {"message": raw.decode(errors="replace")[:500]}
-                if err.code == 400:
+                if status == 400:
                     errors.append(QueryParseError(payload["message"]))
                 else:
-                    errors.append(RuntimeError(payload.get("message", str(err))))
+                    errors.append(RuntimeError(
+                        payload.get("message", f"HTTP {status}")))
             except Exception as ex:  # noqa: BLE001
                 errors.append(ex)
 
-        threads = [
-            threading.Thread(target=fetch, args=(offset + i, url))
-            for i, url in enumerate(self.worker_urls)
-        ]
-        for t in threads:
-            t.start()
+        futures = [self._executor().submit(fetch, offset + i, url)
+                   for i, url in enumerate(self.worker_urls)]
         if offset:
             partials[0] = execute_partial(db, query_string)
-        for t in threads:
-            t.join()
+        for f in futures:
+            f.result()
         for ex in errors:
             raise ex
         if any(p is None for p in partials):
@@ -602,14 +715,17 @@ class Coordinator:
             raise RuntimeError("worker returned no partial result")
         return partials
 
-    def info(self) -> dict:
-        import urllib.request
+    def _worker_get(self, url: str, path: str) -> dict:
+        status, data = _client_for(url).request("GET", path)
+        if status != 200:
+            raise RuntimeError(f"worker {path} failed: HTTP {status}")
+        return json.loads(data)
 
+    def info(self) -> dict:
         total = self.database.info() if self.include_local else {
             "sequenceCount": 0, "totalSize": 0, "nBitmapsSize": 0}
         for url in self.worker_urls:
-            with urllib.request.urlopen(url + "/internal/info") as resp:
-                info = json.loads(resp.read())
+            info = self._worker_get(url, "/internal/info")
             for key in total:
                 total[key] += info.get(key, 0)
         return total
@@ -618,12 +734,9 @@ class Coordinator:
         """/info?details=true across the slice: numeric leaves (byte
         counts, per-section sizes) sum across hosts, structure and string
         leaves are identical everywhere."""
-        import urllib.request
-
         parts = [self.database.detailed_info()] if self.include_local else []
         for url in self.worker_urls:
-            with urllib.request.urlopen(url + "/internal/detailed_info") as resp:
-                parts.append(json.loads(resp.read()))
+            parts.append(self._worker_get(url, "/internal/detailed_info"))
         merged = parts[0]
         for part in parts[1:]:
             merged = _sum_numeric_tree(merged, part)

@@ -66,15 +66,23 @@ _FALLBACK_500 = json.dumps(
 
 
 class NativeHTTPServer:
-    """Epoll HTTP server fronting a router backend
-    (server/router.py DatabaseBackend | CoordinatorBackend)."""
+    """Epoll HTTP server fronting a router: either a backend object
+    (server/router.py DatabaseBackend | CoordinatorBackend, routed through
+    route_request) or a callable `router(method, target, body) ->
+    (status, payload_dict, data_version | None)` for custom protocols
+    (e.g. the multi-host worker control plane)."""
 
-    def __init__(self, backend, port: int = 8081, n_workers: int | None = None):
+    def __init__(self, backend=None, port: int = 8081,
+                 n_workers: int | None = None, router=None):
         lib = _get_lib()
         if lib is None:
             raise RuntimeError("native HTTP library unavailable")
+        if router is None:
+            if backend is None:
+                raise ValueError("need a backend or a router")
+            router = lambda method, target, body: route_request(  # noqa: E731
+                backend, method, target, body)
         self._lib = lib
-        self._backend = backend
         self._stopped = threading.Event()
         if n_workers is None:
             # Workers spend their life WAITING (micro-batcher events, with
@@ -87,8 +95,7 @@ class NativeHTTPServer:
             try:
                 body = (ctypes.string_at(body_ptr, body_len)
                         if body_len else b"")
-                status, payload, data_version = route_request(
-                    self._backend,
+                status, payload, data_version = router(
                     method.decode("ascii", "replace"),
                     target.decode("utf-8", "replace"),
                     body,
