@@ -83,9 +83,14 @@ _DYN_BUCKETS = (1, 4, 16, 64, 256)
 # [K, W] block stays under ~256 MB HBM (see max_sparse_k).
 _SPARSE_K_BUCKETS = (0, 4, 16, 64, 256, 1024, 4096)
 _SPARSE_K_BYTE_CAP = 384 << 20
-# flat per-partition entry budgets for the ragged densify (gathered +
-# scattered entries per dispatch; cost ~25 ns per entry)
-_SPARSE_E_BUCKETS = (0, 4096, 32768, 262144, 1 << 21, 1 << 24)
+# flat per-partition entry budgets for the ragged densify. The densify
+# pays ~45 ns per budget SLOT (gather + scatter + cumsum passes run over
+# the whole static budget, not the live entries), so bucket granularity is
+# a direct multiplier on sparse-batch cost — an 8x jump from 262144 to
+# 2**21 measured 330 ms/batch at 1M x 16 where ~2x-stepped rungs cost half
+# that. Each rung in live use is one (lazily compiled) executable.
+_SPARSE_E_BUCKETS = (0, 4096, 32768, 262144, 1 << 19, 1 << 20, 1 << 21,
+                     1 << 22, 1 << 23, 1 << 24)
 # Per-dispatch query cap. Every dispatch costs a full relay round trip
 # (~25 ms) and the relay serializes dispatches, so throughput is
 # RTT-capped at (1/RTT) * MAX_BATCH_QUERIES — the batch must be as wide
@@ -326,6 +331,28 @@ class DeviceEngine:
         self.n_rows = max(offset, 1)
         self.n_sparse = n_sparse
 
+        # Ingest-time row cardinalities (the reference's stored-cardinality
+        # fast path, aggregated.cpp:58-66): a bank/sparse row's popcount
+        # equals its (symbol, position) total from the segment count
+        # matrices — dense rows reconstruct local-majority slices, which
+        # totals already include — so single-leaf count queries need no
+        # device work at all (DeviceEngine.host_count).
+        dense_counts = np.zeros(self.n_rows, dtype=np.int64)
+        sparse_counts = np.zeros(max(n_sparse, 1), dtype=np.int64)
+        for meta in self.segment_meta.values():
+            if meta["n_stored"]:
+                dense_counts[
+                    meta["offset"] : meta["offset"] + meta["n_stored"]
+                ] = meta["totals"][meta["sym_ids"], meta["pos_ids"]]
+            n_seg_sparse = len(meta["sparse_sym_ids"])
+            if n_seg_sparse:
+                sparse_counts[
+                    meta["sparse_base"] : meta["sparse_base"] + n_seg_sparse
+                ] = meta["totals"][meta["sparse_sym_ids"],
+                                   meta["sparse_pos_ids"]]
+        self._dense_row_counts = dense_counts
+        self._sparse_row_counts = sparse_counts
+
         # Build bank[R, P*W]: GLOBAL WORD SPACE — the partition axis folds
         # into the word axis (every VM op is word-local; partition p's
         # sequences occupy the word slot [p*W, (p+1)*W)). Rows are
@@ -369,6 +396,7 @@ class DeviceEngine:
             full[pi, :w] = partition.full
         self.full_masks = jax.device_put(
             full.reshape(self.n_flat_words), self._words_sharding)
+        self._full_host = full  # [P, W]; host_count interprets against it
 
         # Flat GLOBAL sparse-tier CSR stream, device-resident: entries
         # (word idx in GLOBAL word space, word), sorted PARTITION-major
@@ -941,25 +969,109 @@ class DeviceEngine:
             min_sparse_k, min_sparse_e,
         )
 
+    def host_count(self, program: _Program,
+                   allow_interpret: bool = True) -> int | None:
+        """A count answerable with NO device dispatch, or None.
+
+        (a) single static-row loads — the reference's stored-cardinality
+        fast path (aggregated.cpp:58-66): a bare NucleotideEquals /
+        indexed-value count is the row's ingest-time popcount;
+        (b) programs touching no bank/sparse rows (metadata-only filters:
+        dyn rows are host-evaluated already) — interpreted over numpy
+        words. `allow_interpret=False` skips (b): inside a wide batch the
+        dispatch RTT is already amortized and ~0.2 ms of serial host
+        numpy per program is the worse trade.
+        """
+        n = len(program.opcodes)
+        if n == 1 and program.opcodes[0] == ALU:
+            spec = program.regspec[0]
+            if (spec >> 24) & 0xF == M_MOVB:
+                bsrc = (spec >> 28) & 0xF
+                operand = program.operands[0]
+                if bsrc == B_BANK:
+                    return int(self._dense_row_counts[operand])
+                if bsrc == B_SPARSE:
+                    return int(self._sparse_row_counts[
+                        program.sparse_leaves[operand]])
+                if bsrc == B_FULL:
+                    return sum(self.part_rows)
+                if bsrc == B_ZERO:
+                    return 0
+                if bsrc == B_DYN:
+                    return sum(int(bitset.popcount(row))
+                               for row in program.dyn_rows[operand])
+        if not allow_interpret or n > 64:  # keep host-side cost bounded
+            return None
+        for i in range(n):
+            if program.opcodes[i] != ALU:
+                return None
+            if (program.regspec[i] >> 28) & 0xF in (B_BANK, B_SPARSE):
+                return None
+        full = self._full_host  # [P, W]
+        n_regs = program.max_regs
+        regs = np.zeros((n_regs + 1,) + full.shape, dtype=np.uint32)
+        for i in range(n):
+            spec = program.regspec[i]
+            dst = min(spec & 0xFF, n_regs)
+            ra = min((spec >> 8) & 0xFF, n_regs - 1) if n_regs else 0
+            rb = min((spec >> 16) & 0xFF, n_regs - 1) if n_regs else 0
+            mode = (spec >> 24) & 0xF
+            bsrc = (spec >> 28) & 0xF
+            a = regs[ra]
+            if bsrc == B_REG:
+                b = regs[rb]
+            elif bsrc == B_DYN:
+                b = np.stack(program.dyn_rows[program.operands[i]])
+            elif bsrc == B_FULL:
+                b = full
+            else:  # B_ZERO
+                b = np.zeros_like(full)
+            if mode == M_MOVB:
+                regs[dst] = b
+            elif mode == M_AND:
+                regs[dst] = a & b
+            elif mode == M_OR:
+                regs[dst] = a | b
+            elif mode == M_XOR:
+                regs[dst] = a ^ b
+            else:  # M_ANDN
+                regs[dst] = a & (b ^ full)
+        return int(bitset.popcount(regs[0].reshape(-1)))
+
     def count_programs(self, lowered: list[_Program], min_bucket: int = 0,
                        min_sparse_k: int = 0, min_sparse_e: int = 0) -> list[int]:
         """count_batch over already-lowered programs (the micro-batcher
-        lowers per query so one bad query can't poison a whole batch)."""
-        dispatches = self.count_dispatches(lowered, min_bucket,
-                                           min_sparse_k, min_sparse_e)
-        # Overlap the device->host readbacks: a synchronous np.asarray
-        # costs a full relay round trip PER dispatch (~27 ms); issuing the
-        # copies async first collapses N reads into ~one round trip.
-        for counts, _q in dispatches:
-            try:
-                counts.copy_to_host_async()
-            except Exception:  # noqa: BLE001 — optional fast path
-                pass
-        return [
-            int(c)
-            for counts, q in dispatches
-            for c in np.asarray(counts)[:q]
-        ]
+        lowers per query so one bad query can't poison a whole batch).
+        Host-answerable programs (stored cardinalities, metadata-only
+        filters) never reach the device — they'd otherwise drag their
+        sparse leaves into the batch's densify budget."""
+        results: list[int | None] = [None] * len(lowered)
+        device_idx: list[int] = []
+        device_programs: list[_Program] = []
+        allow_interpret = len(lowered) <= 8
+        for i, program in enumerate(lowered):
+            host = self.host_count(program, allow_interpret=allow_interpret)
+            if host is None:
+                device_idx.append(i)
+                device_programs.append(program)
+            else:
+                results[i] = host
+        if device_programs:
+            dispatches = self.count_dispatches(device_programs, min_bucket,
+                                               min_sparse_k, min_sparse_e)
+            # Overlap the device->host readbacks: a synchronous np.asarray
+            # costs a full relay round trip PER dispatch (~27 ms); issuing
+            # the copies async first collapses N reads into ~one round trip.
+            for counts, _q in dispatches:
+                try:
+                    counts.copy_to_host_async()
+                except Exception:  # noqa: BLE001 — optional fast path
+                    pass
+            flat = (int(c) for counts, q in dispatches
+                    for c in np.asarray(counts)[:q])
+            for i, count in zip(device_idx, flat):
+                results[i] = count
+        return results
 
     def count_dispatches(self, lowered: list[_Program], min_bucket: int = 0,
                          min_sparse_k: int = 0, min_sparse_e: int = 0,
@@ -1064,7 +1176,12 @@ class DeviceEngine:
 
     def count(self, filter_expr) -> int:
         """Fused filter + popcount on device (Aggregated without group-by:
-        nothing but one scalar crosses back to the host)."""
+        nothing but one scalar crosses back to the host) — or, for
+        host-answerable programs, no device work at all (host_count)."""
+        program, _regs = self.lower(filter_expr)
+        host = self.host_count(program)
+        if host is not None:
+            return host
         return int(self.count_async(filter_expr))
 
     def device_filter(self, filter_expr) -> "DeviceFilter":

@@ -115,3 +115,56 @@ def test_bank3_engine_matches_host(example_dataset_db, monkeypatch):
         got_m = engine.mutation_counts(kind, name, engine.evaluate(sel.filter))
         want_m = flat.mutation_counts(kind, name, flat.evaluate(sel.filter))
         np.testing.assert_array_equal(got_m, want_m, err_msg=f"{kind}:{name}")
+
+
+def test_host_count_fast_paths(example_dataset_db):
+    """host_count answers single-leaf and metadata-only counts without a
+    dispatch, bit-identical to the device/oracle path."""
+    from lapis_silo_tpu.ops.device_engine import DeviceEngine
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.query.ir import HostEvaluator
+    from lapis_silo_tpu.ops import bitset
+
+    engine = DeviceEngine(example_dataset_db)
+    host_answerable = [
+        {"type": "True"},
+        {"type": "False"},
+        {"type": "NucleotideEquals", "position": 25, "symbol": "T"},
+        {"type": "NucleotideEquals", "position": 25, "symbol": "."},
+        {"type": "AminoAcidEquals", "position": 4, "symbol": "L",
+         "sequenceName": "E"},
+        {"type": "StringEquals", "column": "country", "value": "Switzerland"},
+        {"type": "And", "children": [
+            {"type": "StringEquals", "column": "country", "value": "Switzerland"},
+            {"type": "IntBetween", "column": "age", "from": 20, "to": 70},
+        ]},
+        {"type": "DateBetween", "column": "date", "from": "2021-01-01",
+         "to": "2021-03-31"},
+    ]
+    for filter_json in host_answerable + REPRESENTATIVE:
+        query = Query(json.dumps({"filterExpression": filter_json,
+                                  "action": {"type": "Aggregated"}}))
+        program, _ = engine.lower(query.filter)
+        got = engine.host_count(program)
+        # oracle: per-partition host evaluation
+        want = 0
+        db = example_dataset_db
+        db.uniform_compile = True
+        try:
+            from lapis_silo_tpu.query import ast
+            for partition in db.partitions:
+                ir_node = query.filter.compile(db, partition, ast.NONE)
+                want += int(bitset.popcount(
+                    HostEvaluator(partition.sequence_count).evaluate(ir_node)))
+        finally:
+            db.uniform_compile = False
+        if got is not None:
+            assert got == want, filter_json
+        # count_programs must agree regardless of which path answered
+        assert engine.count_programs([program]) == [want], filter_json
+    # the plain-leaf and metadata-only cases must actually take the fast path
+    for filter_json in host_answerable:
+        query = Query(json.dumps({"filterExpression": filter_json,
+                                  "action": {"type": "Aggregated"}}))
+        program, _ = engine.lower(query.filter)
+        assert engine.host_count(program) is not None, filter_json
