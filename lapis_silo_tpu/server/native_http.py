@@ -119,6 +119,11 @@ class NativeHTTPServer:
         if self._id < 0:
             raise OSError(f"could not bind native HTTP server on port {port}")
         self.server_address = ("0.0.0.0", lib.silo_http_port(self._id))
+        # C++ workers must never call back into a finalizing interpreter:
+        # stop (and join) the native threads before Python tears down.
+        import atexit
+
+        atexit.register(self.shutdown)
 
     def serve_forever(self):
         """Blocks until shutdown() — the native threads do all the work;
