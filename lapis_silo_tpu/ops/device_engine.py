@@ -192,22 +192,22 @@ class DeviceEngine:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
             self.mesh = Mesh(np.asarray(devices), ("seq",))
-            self._bank_sharding = NamedSharding(self.mesh, PartitionSpec(None, "seq"))
             self._words_sharding = NamedSharding(self.mesh, PartitionSpec("seq"))
             if self.n_words % len(devices):
                 self.n_words += len(devices) - self.n_words % len(devices)
         else:
             self.mesh = None
-            self._bank_sharding = None
             self._words_sharding = None
 
         # Pallas streaming kernels want lane-aligned words and block-aligned
         # segment offsets; only worth the padding on large corpora.
+        # SILO_PALLAS_INTERPRET=1 lets CPU meshes run the kernel paths in
+        # interpret mode (tests for the shard_map-wrapped kernels).
         from . import pallas_kernels as pk
 
         self.use_pallas = (
             pk.HAVE_PALLAS
-            and jax.default_backend() != "cpu"
+            and (jax.default_backend() != "cpu" or pk.interpret_default())
             and self.n_words >= 512
         )
         # bank3: keep the dense bank at rest in the Mosaic kernels' shape
@@ -215,11 +215,21 @@ class DeviceEngine:
         # with that view under TPU tiled layouts, so every kernel executable
         # would otherwise materialize a full relayout copy of the bank in
         # HBM (OOM at 1M rows: 11 GB bank + 11 GB copy). SILO_FORCE_BANK3
-        # lets CPU tests exercise the 3-D plumbing.
+        # lets CPU tests exercise the 3-D plumbing. On a mesh, every
+        # device's shard must hold whole 128-lane rows (vm_run_sharded
+        # splits the hi axis), so the word quantum scales with the mesh.
         force_bank3 = os.environ.get("SILO_FORCE_BANK3") == "1"
-        if (self.use_pallas or force_bank3) and self.n_words % 128:
-            self.n_words += 128 - self.n_words % 128
-        self.bank3 = (self.use_pallas or force_bank3) and self.mesh is None
+        quantum = 128 * (len(devices) if self.mesh is not None else 1)
+        if (self.use_pallas or force_bank3) and self.n_words % quantum:
+            self.n_words += quantum - self.n_words % quantum
+        self.bank3 = self.use_pallas or force_bank3
+        if self.mesh is not None:
+            self._bank_sharding = NamedSharding(
+                self.mesh,
+                PartitionSpec(None, "seq", None) if self.bank3
+                else PartitionSpec(None, "seq"))
+        else:
+            self._bank_sharding = None
         align = pk.ROW_BLOCK if self.use_pallas else 1
 
         # COMPACT bank layout (the TPU-native analog of the reference's
@@ -865,7 +875,8 @@ class DeviceEngine:
             key = "zero_sparse_rows"
             cached = self._filter_cache.get(key)
             if cached is None:
-                cached = jax.device_put(np.zeros(
+                # word-sharded like dyn rows: the shard_map VM consumes it
+                cached = self._put_dyn(np.zeros(
                     (1, self.n_flat_words), dtype=np.uint32))
                 self._filter_cache[key] = cached
             return cached
@@ -927,7 +938,7 @@ class DeviceEngine:
         if k:
             run = _interpreter(bucket, self.n_rows, n_dyn, k,
                                self.n_flat_words, output, n_regs, m,
-                               self.n_partitions)
+                               self.n_partitions, self.mesh)
             starts, lens = sp
             blob = np.concatenate([
                 code.reshape(-1),
@@ -938,7 +949,7 @@ class DeviceEngine:
                        self.sparse_stream[0], self.sparse_stream[1],
                        self.full_masks, jnp.int32(_round_instr(n_instr)))
         run = _interpreter(bucket, self.n_rows, n_dyn, 0, self.n_flat_words,
-                           output, n_regs)
+                           output, n_regs, mesh=self.mesh)
         return run(jnp.asarray(code), self.bank, dyn_dev,
                    self._densified(0, 1, None), self.full_masks,
                    jnp.int32(_round_instr(n_instr)))
@@ -1170,6 +1181,13 @@ class DeviceEngine:
                                          min_sparse_e)
         n_regs = next(b for b in _REG_BUCKETS
                       if b >= max(p.max_regs for p in lowered))
+        if os.environ.get("SILO_DEBUG_DISPATCH") == "1":
+            import sys
+
+            print(f"[dispatch] q={q} instr={cursor} bucket={bucket} "
+                  f"dyn={len(all_dyn_rows)}/{n_dyn} "
+                  f"sparse_k={len(all_sparse_leaves)}/{k} e={m} "
+                  f"regs={n_regs}", file=sys.stderr, flush=True)
         counts = self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp,
                                 n_regs, "multi_count", cursor)
         return [(counts, q)]
@@ -1419,9 +1437,14 @@ class DeviceEngine:
                     from . import pallas_kernels as pk
 
                     bucket = pk.seg_row_bucket(meta["n_stored"])
-                    dev = pk.mutation_counts_banked(
-                        self.bank, filters, meta["offset"], bucket,
-                        self.n_flat_words)
+                    if self.mesh is not None:
+                        dev = pk.mutation_counts_banked_sharded(
+                            self.mesh, "seq", self.bank, filters,
+                            meta["offset"], bucket, self.n_flat_words)
+                    else:
+                        dev = pk.mutation_counts_banked(
+                            self.bank, filters, meta["offset"], bucket,
+                            self.n_flat_words)
                 else:
                     dev = _mutation_counts_jit(
                         self.bank, filters, meta["offset"], meta["n_stored"])
@@ -1638,7 +1661,7 @@ def _densify_jit(n_sparse_k: int, n_sparse_e: int, n_words: int,
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                  n_words: int, output: str = "words",
                  n_regs: int = MAX_REGS, n_sparse_e: int = 0,
-                 n_per_leaf: int = 1):
+                 n_per_leaf: int = 1, mesh=None):
     """Jitted register-machine interpreter for one shape bucket, over the
     FLAT global word axis (n_words = partitions x per-partition words).
     output='words' returns the [PW] bitset (reg[0]); output='count' fuses
@@ -1656,20 +1679,27 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
     (37 us/instr measured at 327680 flat words)."""
     from . import pallas_kernels as pk
 
+    n_dev = mesh.devices.size if mesh is not None else 1
     maybe_kernel = (
         pk.HAVE_PALLAS
-        and jax.default_backend() != "cpu"
-        and n_words % 128 == 0
-        and pk._vm_block_hi(n_words // 128, n_regs) is not None
+        and (jax.default_backend() != "cpu" or pk.interpret_default())
+        and n_words % (128 * n_dev) == 0
+        and pk._vm_block_hi(n_words // n_dev // 128, n_regs) is not None
         and pk.VM_MAX_BATCH == MAX_BATCH_QUERIES
     )
 
     def run_one(code, bank, dyn, sparse_rows, full_masks, n_instr):
-        # The Mosaic kernel runs only for bank3 engines (single device,
-        # bank at rest in the kernel's 3-D shape): a 2-D bank would force
-        # a full in-executable relayout copy, and a MESH-sharded bank
-        # can't feed a plain pallas_call (XLA would gather it whole).
+        # The Mosaic kernel needs the bank at rest in its 3-D shape (a 2-D
+        # bank would force a full in-executable relayout copy). On a mesh
+        # the kernel runs per word shard under shard_map with EMIT counts
+        # psum-merged (vm_run_sharded) — a bare pallas_call over a sharded
+        # bank would make XLA gather it whole.
         if maybe_kernel and bank.ndim == 3:
+            if mesh is not None:
+                return pk.vm_run_sharded(
+                    mesh, "seq", code[0], code[1], code[2],
+                    n_instr.reshape(1), bank, dyn, sparse_rows,
+                    full_masks, n_regs=n_regs)
             return pk.vm_run(code[0], code[1], code[2],
                              n_instr.reshape(1), bank, dyn, sparse_rows,
                              full_masks, n_regs=n_regs)

@@ -19,10 +19,19 @@ Pallas is unavailable for the platform.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def interpret_default() -> bool:
+    """SILO_PALLAS_INTERPRET=1 flips every kernel entry point to pallas
+    interpret mode (pure-JAX emulation): CPU test meshes can then exercise
+    the exact kernel code paths the TPU runs — including vm_run_sharded
+    under shard_map — without hardware."""
+    return os.environ.get("SILO_PALLAS_INTERPRET") == "1"
 
 try:
     from jax.experimental import pallas as pl
@@ -92,12 +101,14 @@ def _popcount_rows_kernel(filter_ref, rows_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def popcount_rows_and_filter(rows, filter_words, interpret=False):
+def popcount_rows_and_filter(rows, filter_words, interpret=None):
     """counts[i] = popcount(rows[i] & filter) for a [R, W] u32 row bank.
 
     R and W must be padded to ROW_BLOCK / WORD_BLOCK multiples by the caller
     (zero padding is exact: zero words contribute nothing).
     """
+    if interpret is None:
+        interpret = interpret_default()
     n_rows, n_words = rows.shape
     assert n_rows % ROW_BLOCK == 0 and n_words % WORD_BLOCK == 0, (rows.shape,)
     grid = (n_rows // ROW_BLOCK, n_words // WORD_BLOCK)
@@ -138,7 +149,8 @@ def seg_row_bucket(n_rows: int) -> int:
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
                            row_block: int = ROW_BLOCK, word_block: int | None = None,
-                           use_csa: bool | None = None, interpret: bool = False):
+                           use_csa: bool | None = None,
+                           interpret: bool | None = None):
     """counts[n_seg_rows]: popcount(bank_row & filter) over the GLOBAL word
     axis (partitions folded into words — the per-partition sums of the
     reference's mutations.cpp arrive pre-merged).
@@ -156,6 +168,8 @@ def mutation_counts_banked(bank, filters, start, n_seg_rows: int, n_words: int,
     bottleneck to relieve), so the default is the naive form; CSA stays for
     A/B on future hardware where the VPU/HBM ratio differs.
     """
+    if interpret is None:
+        interpret = interpret_default()
     start_block = jnp.asarray(start, jnp.int32).reshape(1) // row_block
     max_block = max(bank.shape[0] // row_block - 1, 0)
     assert n_seg_rows % row_block == 0
@@ -348,7 +362,7 @@ def _sparse_vals_kernel(bounds_ref, filt_ref, idx_ref, words_ref, out_ref):
 
 
 def sparse_filter_popcount(filters, sp_idx, sp_words, chunk_bounds,
-                           interpret=False):
+                           interpret=None):
     """vals[E] i32 = popcount(sp_words & filters[sp_idx]) — the per-entry
     reduction of the GLOBAL sparse-tier CSR stream against the flat filter
     (reference mutations.cpp's and_cardinality over sparse rows). E must be
@@ -358,6 +372,9 @@ def sparse_filter_popcount(filters, sp_idx, sp_words, chunk_bounds,
     prefetch pads 2 rows to the lane multiple instead of padding every
     2-element row to 128 lanes (a 64x SMEM blowup that overflowed the 1 MB
     SMEM at a 312M-entry stream)."""
+    if interpret is None:
+        interpret = interpret_default()
+
     n_words = filters.shape[0]
     e = sp_idx.shape[0]
     assert e % SPARSE_CHUNK == 0 and n_words % 128 == 0, (e, n_words)
@@ -432,7 +449,7 @@ def _vm_block_hi(n_hi: int, n_regs: int, vmem_cap_bytes: int = 64 << 20):
 
 
 def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
-           n_regs: int, interpret: bool = False,
+           n_regs: int, interpret: bool | None = None,
            vmem_cap_bytes: int = 64 << 20):
     """Execute a register-machine program (see device_engine opcodes) over
     flat global words. Returns (words [PW] u32 = reg[0], counts
@@ -448,6 +465,8 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
     kernel's 3-D view under TPU tiled layouts, so reshaping it here would
     materialize a full HBM copy of the bank INSIDE the executable (10.97 GB
     at 1M rows — an OOM, and a per-dispatch relayout)."""
+    if interpret is None:
+        interpret = interpret_default()
     if bank.ndim == 3:
         n_rows, bank_hi, lanes = bank.shape
         assert lanes == 128, bank.shape
@@ -581,3 +600,71 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
         interpret=interpret,
     )(ops, opers, specs, n_instr, bank3, dyn3, sparse3, full2)
     return words.reshape(pw), counts
+
+
+def vm_run_sharded(mesh, axis: str, ops, opers, specs, n_instr, bank, dyn,
+                   sparse_rows, full, n_regs: int,
+                   interpret: bool | None = None):
+    """vm_run over a word-sharded Mesh: each device runs the Mosaic kernel
+    on its LOCAL word shard (the VM is word-local, so no communication
+    until the end), EMIT_COUNT outputs merge with one psum over ICI.
+
+    Expects the flat global word axis sharded over `axis`:
+    bank [R, PW/128, 128] with the hi axis sharded, dyn [n_dyn, PW] /
+    sparse_rows [K, PW] / full [PW] word-sharded. The local shard must keep
+    whole 128-lane rows (DeviceEngine pads n_words so PW % (128 * n_devices)
+    == 0). Without this wrapper a mesh engine falls back to the XLA
+    while_loop VM (~13 register-file passes of HBM traffic per instruction
+    instead of one row DMA)."""
+    from jax.sharding import PartitionSpec as P
+
+    # pallas_call out_shapes carry no varying-mesh-axes annotation, so the
+    # replication/vma check must be off (flag name differs across versions)
+    if hasattr(jax, "shard_map"):
+        shard_map = functools.partial(jax.shard_map, check_vma=False)
+    else:
+        from jax.experimental.shard_map import shard_map as _sm
+
+        shard_map = functools.partial(_sm, check_rep=False)
+
+    def local(ops_l, opers_l, specs_l, ninstr_l, bank_l, dyn_l, sp_l, full_l):
+        words, counts = vm_run(ops_l, opers_l, specs_l, ninstr_l, bank_l,
+                               dyn_l, sp_l, full_l, n_regs=n_regs,
+                               interpret=interpret)
+        return words, jax.lax.psum(counts, axis)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(None, axis, None), P(None, axis),
+                  P(None, axis), P(axis)),
+        out_specs=(P(axis), P()),
+    )(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full)
+
+
+def mutation_counts_banked_sharded(mesh, axis: str, bank3, filters, start,
+                                   n_seg_rows: int, n_words: int,
+                                   interpret: bool | None = None):
+    """mutation_counts_banked over a word-sharded Mesh: each device reduces
+    its local word shard of every segment row, per-row counts psum-merge
+    over ICI. bank3 [R, PW/128, 128] with the hi axis sharded; filters [PW]
+    word-sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    if hasattr(jax, "shard_map"):
+        shard_map = functools.partial(jax.shard_map, check_vma=False)
+    else:
+        from jax.experimental.shard_map import shard_map as _sm
+
+        shard_map = functools.partial(_sm, check_rep=False)
+    n_words_local = n_words // mesh.devices.size
+
+    def local(bank_l, filters_l):
+        counts = mutation_counts_banked(bank_l, filters_l, start, n_seg_rows,
+                                        n_words_local, interpret=interpret)
+        return jax.lax.psum(counts, axis)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P(axis)),
+        out_specs=P(),
+    )(bank3, filters)

@@ -253,3 +253,71 @@ def test_mutation_counts_banked_bank3():
         .sum(axis=1).astype(np.int32)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_vm_run_sharded_matches_single_device():
+    """vm_run under shard_map over the 8-device CPU mesh (interpret mode):
+    word-sharded bank/dyn/sparse/full, psum-merged EMIT counts — must be
+    bit-identical to the single-shard kernel and the XLA interpreter."""
+    import jax
+    import jax.numpy as jnp
+
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+    from lapis_silo_tpu.parallel.mesh import make_mesh
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(11)
+    n_rows, n_dyn, n_k, n_regs = 12, 2, 3, 8
+    pw = n_dev * 2 * 128  # whole 128-lane rows per shard
+    bucket = 64
+    bank = rng.integers(0, 1 << 32, size=(n_rows, pw), dtype=np.uint32)
+    dyn = rng.integers(0, 1 << 32, size=(n_dyn, pw), dtype=np.uint32)
+    sparse = rng.integers(0, 1 << 32, size=(n_k, pw), dtype=np.uint32)
+    full = np.full(pw, 0xFFFFFFFF, dtype=np.uint32)
+    full[-40:] = 0x7
+
+    code = np.zeros((3, bucket), dtype=np.int32)
+    code[0, :] = de.NOP
+    code[2, :] = de.NO_DST
+    n = 0
+
+    def emit(op, operand, dst, ra=0, rb=0, mode=0, bsrc=de.B_REG):
+        nonlocal n
+        code[0, n] = op
+        code[1, n] = operand
+        code[2, n] = dst | (ra << 8) | (rb << 16) | (mode << 24) | (bsrc << 28)
+        n += 1
+
+    qi = 0
+    for _ in range(10):
+        bsrc = int(rng.integers(0, 6))
+        hi = {de.B_BANK: n_rows, de.B_DYN: n_dyn, de.B_SPARSE: n_k}.get(bsrc, 1)
+        emit(de.ALU, int(rng.integers(0, hi)), int(rng.integers(0, n_regs)),
+             int(rng.integers(0, n_regs)), int(rng.integers(0, n_regs)),
+             int(rng.integers(0, 5)), bsrc)
+        if rng.random() < 0.5:
+            emit(de.EMIT_COUNT, qi, de.NO_DST)
+            qi += 1
+    ni = jnp.asarray([de._round_instr(n)], dtype=np.int32)
+
+    want_words, want_counts = pk.vm_run(
+        jnp.asarray(code[0]), jnp.asarray(code[1]), jnp.asarray(code[2]),
+        ni, jnp.asarray(bank), jnp.asarray(dyn), jnp.asarray(sparse),
+        jnp.asarray(full), n_regs=n_regs, interpret=True)
+
+    bank3 = jnp.asarray(bank.reshape(n_rows, pw // 128, 128))
+    got_words, got_counts = pk.vm_run_sharded(
+        mesh, "seq", jnp.asarray(code[0]), jnp.asarray(code[1]),
+        jnp.asarray(code[2]), ni, bank3, jnp.asarray(dyn),
+        jnp.asarray(sparse), jnp.asarray(full), n_regs=n_regs,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_words),
+                                  np.asarray(want_words))
+    np.testing.assert_array_equal(np.asarray(got_counts)[:qi],
+                                  np.asarray(want_counts)[:qi])

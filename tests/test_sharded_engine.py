@@ -56,3 +56,60 @@ def test_sharded_engine_sparse_tier_matches_single_device():
     m1 = single.mutation_counts("nuc", "main", single.evaluate(filt))
     m2 = sharded.mutation_counts("nuc", "main", sharded.evaluate(filt))
     np.testing.assert_array_equal(m1, m2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_engine_kernel_path_matches_xla(monkeypatch):
+    """The mesh engine with the Mosaic kernel paths FORCED (bank3 +
+    interpret-mode pallas under shard_map — the configuration a real
+    multi-chip TPU runs) must stay bit-identical to the plain XLA mesh
+    engine and the single-device engine."""
+    monkeypatch.setenv("SILO_FORCE_BANK3", "1")
+    monkeypatch.setenv("SILO_PALLAS_INTERPRET", "1")
+    from lapis_silo_tpu.ops.device_engine import DeviceEngine
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.testing import sample_count_queries, synthetic_database
+
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    calls = {"sharded": 0}
+    real = pk.vm_run_sharded
+
+    def spy(*args, **kwargs):
+        calls["sharded"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "vm_run_sharded", spy)
+    # a fresh interpreter cache: cached closures may hold the un-spied fn
+    # and gates evaluated under different env values
+    from lapis_silo_tpu.ops import device_engine as de
+    de._interpreter.cache_clear()
+
+    db = synthetic_database(n_rows=2048, length=256, n_partitions=3)
+    kernel = DeviceEngine(db, devices=jax.devices()[:8])
+    assert kernel.mesh is not None and kernel.bank3
+    assert kernel.bank.ndim == 3
+    # reference values from the HOST oracle (env-independent)
+    from lapis_silo_tpu.ops import bitset
+    from lapis_silo_tpu.query import ast
+    from lapis_silo_tpu.query.ir import HostEvaluator
+
+    def oracle_count(filter_expr):
+        total = 0
+        db.uniform_compile = True
+        try:
+            for partition in db.partitions:
+                node = filter_expr.compile(db, partition, ast.NONE)
+                total += int(bitset.popcount(
+                    HostEvaluator(partition.sequence_count).evaluate(node)))
+        finally:
+            db.uniform_compile = False
+        return total
+
+    queries = [Query(q) for q in sample_count_queries(db, 12)]
+    batch = [q.filter for q in queries]
+    got = kernel.count_batch(batch)
+    want = [oracle_count(f) for f in batch]
+    assert got == want
+    assert calls["sharded"] > 0, "vm_run_sharded was never reached"
+    de._interpreter.cache_clear()  # drop closures over the spy/env
