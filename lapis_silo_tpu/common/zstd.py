@@ -123,9 +123,12 @@ class _ZstdRawReader:
         _check(_lib.ZSTD_initDStream(self._ds))
         self._in_chunk = _lib.ZSTD_DStreamInSize()
         self._src = b""
+        self._src_ptr = None
         self._src_pos = 0
         self._eof = False
         self._io = io
+        self._dst = None  # grow-only scratch (create_string_buffer zeroes
+        self._dst_cap = 0  # its whole capacity per call — O(cap) memset)
 
     def readable(self):
         return True
@@ -134,8 +137,11 @@ class _ZstdRawReader:
         if self._eof:
             return 0
         view = memoryview(b)
-        dst = ctypes.create_string_buffer(len(view))
-        out_buf = _Buffer(ctypes.cast(dst, ctypes.c_void_p), len(view), 0)
+        need = len(view)
+        if need > self._dst_cap:
+            self._dst = ctypes.create_string_buffer(need)
+            self._dst_cap = need
+        out_buf = _Buffer(ctypes.cast(self._dst, ctypes.c_void_p), need, 0)
         while out_buf.pos == 0:
             if self._src_pos >= len(self._src):
                 self._src = self._f.read(self._in_chunk)
@@ -143,13 +149,14 @@ class _ZstdRawReader:
                 if not self._src:
                     self._eof = True
                     break
-            src = ctypes.create_string_buffer(self._src, len(self._src))
-            in_buf = _Buffer(ctypes.cast(src, ctypes.c_void_p), len(self._src),
-                             self._src_pos)
+                # zstd only READS the input: borrow the bytes in place
+                self._src_ptr = ctypes.cast(ctypes.c_char_p(self._src),
+                                            ctypes.c_void_p)
+            in_buf = _Buffer(self._src_ptr, len(self._src), self._src_pos)
             _check(_lib.ZSTD_decompressStream(
                 self._ds, ctypes.byref(out_buf), ctypes.byref(in_buf)))
             self._src_pos = in_buf.pos
-        view[: out_buf.pos] = dst.raw[: out_buf.pos]
+        view[: out_buf.pos] = self._dst[: out_buf.pos]
         return out_buf.pos
 
     def close(self):
@@ -187,14 +194,18 @@ class DictCompressor:
         self._dict = dictionary
         self._level = level
         self._cctx = _lib.ZSTD_createCCtx()
+        self._buf = None  # grow-only scratch; instances are single-thread
+        self._cap = 0     # like the cctx itself (reference: thread_local)
 
     def compress(self, data: bytes) -> bytes:
         bound = _lib.ZSTD_compressBound(len(data))
-        out = ctypes.create_string_buffer(bound)
+        if bound > self._cap:
+            self._buf = ctypes.create_string_buffer(bound)
+            self._cap = bound
         n = _check(_lib.ZSTD_compress_usingDict(
-            self._cctx, out, bound, data, len(data),
+            self._cctx, self._buf, self._cap, data, len(data),
             self._dict, len(self._dict), self._level))
-        return out.raw[:n]
+        return self._buf[:n]
 
 
 class DictDecompressor:
@@ -203,6 +214,8 @@ class DictDecompressor:
     def __init__(self, dictionary: bytes):
         self._dict = dictionary
         self._dctx = _lib.ZSTD_createDCtx()
+        self._buf = None  # grow-only scratch (single-thread, like the dctx)
+        self._cap = 0
 
     def decompress(self, data: bytes) -> bytes:
         size = _lib.ZSTD_getFrameContentSize(data, len(data))
@@ -210,7 +223,10 @@ class DictDecompressor:
             # Fall back to a generous bound: dict-based frames we write
             # always carry the content size, so this is input-robustness only.
             size = max(len(self._dict) * 4, len(data) * 20, 1 << 20)
-        out = ctypes.create_string_buffer(size)
+        if size > self._cap:
+            self._buf = ctypes.create_string_buffer(size)
+            self._cap = size
         n = _check(_lib.ZSTD_decompress_usingDict(
-            self._dctx, out, size, data, len(data), self._dict, len(self._dict)))
-        return out.raw[:n]
+            self._dctx, self._buf, self._cap, data, len(data),
+            self._dict, len(self._dict)))
+        return self._buf[:n]
