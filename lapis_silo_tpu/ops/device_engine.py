@@ -1177,6 +1177,19 @@ class DeviceEngine:
             dyn_dev = self._put_dyn(dyn.reshape(n_dyn, self.n_flat_words))
         else:
             dyn_dev = self._zero_dyn((n_dyn, self.n_flat_words))
+        # Unpinned floors (a batch too wide for any ladder rung split into
+        # sub-dispatches): pin each SUB-dispatch to the smallest rung that
+        # covers it, so live traffic converges onto the ladder's compiled
+        # executables instead of arbitrary natural (K, E) shapes (each new
+        # shape is a minutes-long remote compile).
+        if (not min_sparse_k and not min_sparse_e and all_sparse_leaves
+                and self.sparse_shape_ladder):
+            k_act = len(all_sparse_leaves)
+            e_act = int(self.sparse_lengths[all_sparse_leaves].sum())
+            for ladder_k, ladder_e in self.sparse_shape_ladder:
+                if k_act <= ladder_k and e_act <= ladder_e:
+                    min_sparse_k, min_sparse_e = ladder_k, ladder_e
+                    break
         k, m, sp = self._assemble_sparse(all_sparse_leaves, min_sparse_k,
                                          min_sparse_e)
         n_regs = next(b for b in _REG_BUCKETS

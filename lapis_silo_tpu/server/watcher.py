@@ -86,8 +86,41 @@ class DatabaseDirectoryWatcher:
                 query = Query(json.dumps(
                     {"action": {"type": "Aggregated"}, "filterExpression": filt}))
                 programs = [engine.lower(query.filter)[0]]
-                engine.count_programs(programs,
-                                      min_bucket=_BATCH_LEN_BUCKETS[-1])
+                # Rung warm-up needs a program that TOUCHES the sparse tier
+                # (dense programs skip densify entirely): synthesize one
+                # from the engine's own sparse row metadata.
+                if engine.n_sparse:
+                    from ..common.symbols import AMINO_ACID, NUCLEOTIDE
+
+                    for (kind, name), meta in engine.segment_meta.items():
+                        n_seg_sparse = len(meta["sparse_sym_ids"])
+                        if not n_seg_sparse:
+                            continue
+                        alphabet = NUCLEOTIDE if kind == "nuc" else AMINO_ACID
+                        # And of two sparse leaves: single-leaf counts are
+                        # answered host-side (stored cardinalities) and
+                        # would never reach the densify executable
+                        leaves = [{
+                            "type": ("NucleotideEquals" if kind == "nuc"
+                                     else "AminoAcidEquals"),
+                            "position": int(meta["sparse_pos_ids"][j]) + 1,
+                            "symbol": alphabet.chars[
+                                int(meta["sparse_sym_ids"][j])],
+                            "sequenceName": name,
+                        } for j in (0, min(1, n_seg_sparse - 1))]
+                        sparse_query = Query(json.dumps({
+                            "action": {"type": "Aggregated"},
+                            "filterExpression": {"type": "And",
+                                                 "children": leaves}}))
+                        programs.append(engine.lower(sparse_query.filter)[0])
+                        break
+                # one compile per sparse-ladder rung: the first live query
+                # on any rung must not stall minutes on a remote compile
+                for min_k, min_e in (engine.sparse_shape_ladder or [(0, 0)]):
+                    engine.count_programs(programs,
+                                          min_bucket=_BATCH_LEN_BUCKETS[-1],
+                                          min_sparse_k=min_k,
+                                          min_sparse_e=min_e)
             logger.info("device warm-up done in %.1f s", time.time() - t0)
         except Exception:  # noqa: BLE001 — warm-up must never block serving
             logger.exception("device warm-up failed (serving anyway)")
