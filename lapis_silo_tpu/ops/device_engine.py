@@ -82,6 +82,12 @@ _DYN_BUCKETS = (1, 4, 16, 64, 256)
 # upload is just (start, len) pairs). The engine caps K so the densified
 # [K, W] block stays under ~256 MB HBM (see max_sparse_k).
 _SPARSE_K_BUCKETS = (0, 4, 16, 64, 256, 1024, 4096)
+# densified-block HBM cap: sets max_sparse_k = the widest K bucket whose
+# [K, PW] block fits. Wide batches split at max_sparse_k; a bigger cap
+# saves split round trips but drags the ladder's E floor to the worst case
+# (top-max_k leaves) — measured at 1M x 16: a 1.5 GB cap (K=4096, E floor
+# 2**21) ran 174 ms/512-batch vs 103 ms with 384 MB (2 splits at natural
+# E=2**19). Splits are cheap (dispatches pipeline); slot waste is not.
 _SPARSE_K_BYTE_CAP = 384 << 20
 # flat per-partition entry budgets for the ragged densify. The densify
 # pays ~45 ns per budget SLOT (gather + scatter + cumsum passes run over
@@ -837,11 +843,13 @@ class DeviceEngine:
 
     def _assemble_sparse(self, sparse_leaves: list[int], min_sparse_k: int = 0,
                          min_sparse_e: int = 0):
-        """Per-query sparse-leaf descriptors: (start, len) into the resident
-        GLOBAL CSR stream — n_partitions contiguous slices per leaf
-        (partition-major stream), flattened seg = leaf * P + pi. Returns
-        (K_bucket, E_bucket, (starts, lens) numpy [K*P] arrays), E being the
-        flat ragged-entry budget. The floors let callers share one compiled
+        """Per-query sparse-leaf descriptors into the resident GLOBAL CSR
+        stream — n_partitions contiguous slices per leaf (partition-major
+        stream), flattened seg = leaf * P + pi. Returns (K_bucket, E_bucket,
+        (seed_pos, delta, total)): seed_pos[K*P] = each segment's first
+        output slot (E_bucket when empty), delta[K*P] = stream start minus
+        slot start (the device gathers ONE folded table per slot), total =
+        live slot count. The floors let callers share one compiled
         executable across differently-shaped queries (remote TPU compiles
         are minutes each)."""
         if not sparse_leaves:
@@ -856,8 +864,8 @@ class DeviceEngine:
         )
         ids = np.asarray(sparse_leaves, dtype=np.int64)
         n_p = self.n_partitions
-        starts = np.zeros(k_bucket * n_p, dtype=np.int32)
-        lens = np.zeros(k_bucket * n_p, dtype=np.int32)
+        starts = np.zeros(k_bucket * n_p, dtype=np.int64)
+        lens = np.zeros(k_bucket * n_p, dtype=np.int64)
         if len(ids):
             starts[: len(ids) * n_p] = self.sparse_starts_pp[ids].reshape(-1)
             lens[: len(ids) * n_p] = self.sparse_lengths_pp[ids].reshape(-1)
@@ -866,7 +874,13 @@ class DeviceEngine:
             e_bucket = next(b for b in _SPARSE_E_BUCKETS if b >= e_needed)
         except StopIteration:
             raise ProgramTooLarge(f"sparse entries {e_needed}") from None
-        return k_bucket, max(e_bucket, 1), (starts, lens)
+        e_bucket = max(e_bucket, 1)
+        cum = np.cumsum(lens)
+        total = int(cum[-1])
+        row_start = np.concatenate([[0], cum[:-1]])
+        seed_pos = np.where(lens > 0, row_start, e_bucket).astype(np.int32)
+        delta = (starts - row_start).astype(np.int32)
+        return k_bucket, e_bucket, (seed_pos, delta, total)
 
     def _densified(self, k: int, e: int, sp) -> jax.Array:
         """[K, PW] densified sparse-leaf rows (a separate small
@@ -880,10 +894,11 @@ class DeviceEngine:
                     (1, self.n_flat_words), dtype=np.uint32))
                 self._filter_cache[key] = cached
             return cached
-        starts, lens = sp
+        seed_pos, delta, total = sp
         run = _densify_jit(k, e, self.n_flat_words, self.n_partitions)
         return run(self.sparse_stream[0], self.sparse_stream[1],
-                   jax.device_put(starts), jax.device_put(lens))
+                   jax.device_put(seed_pos), jax.device_put(delta),
+                   jnp.int32(total))
 
     def _dyn_sharding(self, ndim: int):
         if self.mesh is None:
@@ -939,11 +954,12 @@ class DeviceEngine:
             run = _interpreter(bucket, self.n_rows, n_dyn, k,
                                self.n_flat_words, output, n_regs, m,
                                self.n_partitions, self.mesh)
-            starts, lens = sp
+            seed_pos, delta, total = sp
             blob = np.concatenate([
                 code.reshape(-1),
-                starts.astype(np.int32).reshape(-1),
-                lens.astype(np.int32).reshape(-1),
+                seed_pos.reshape(-1),
+                delta.reshape(-1),
+                np.asarray([total], dtype=np.int32),
             ])
             return run(jax.device_put(blob), self.bank, dyn_dev,
                        self.sparse_stream[0], self.sparse_stream[1],
@@ -1622,35 +1638,34 @@ class _MicroBatcher:
 
 
 def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
-                 n_per_leaf: int, stream_idx, stream_words, starts, lens):
+                 n_per_leaf: int, stream_idx, stream_words, seed_pos, delta,
+                 total):
     """[K, PW] densified sparse-tier rows (global word space), via a FLAT
     ragged gather+scatter over an E-entry budget: per-element scatter cost
-    ~25 ns means work must scale with the ACTUAL entry count, not the
+    ~29 ns means work must scale with the ACTUAL entry count, not the
     K x max-row-length rectangle (which paid up to ~670x padding on wide
     batches — 80 qps at 10M x 32 partitions). Slot -> segment mapping comes
     from a marker scatter + cummax (no searchsorted: its binary search
     would gather log K times per slot). The stream is PARTITION-major, so
-    each leaf is n_per_leaf contiguous slices: starts/lens hold
-    K * n_per_leaf segments, seg = leaf * n_per_leaf + partition."""
+    each leaf is n_per_leaf contiguous slices, seg = leaf * n_per_leaf +
+    partition.
+
+    The cost is TRANSACTION-bound (~9 ns per gathered element, ~29 per
+    scattered — 100 ns/slot measured at the 10M shape), so the per-segment
+    tables arrive pre-folded from the host (_assemble_sparse):
+    seed_pos[n_seg] = the segment's first slot (E when empty — dropped),
+    delta[n_seg] = stream_start - slot_start (so src = slot + delta[seg]:
+    ONE table gather per slot instead of two), total = live slot count."""
     n_seg = n_sparse_k * n_per_leaf
-    lens = lens.astype(jnp.int32)
-    cum = jnp.cumsum(lens)                                    # [K*P] inclusive
-    total = cum[-1]
-    row_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), cum[:-1]])                  # [K*P]
     slots = jnp.arange(n_sparse_e, dtype=jnp.int32)
     s_idx = jnp.arange(n_seg, dtype=jnp.int32)
-    # seed each segment's first slot with its index+1 (empty segments
-    # dropped; ties resolve to the LAST segment at that slot, which is the
-    # only non-empty one), cummax fills the gaps
-    seed = jnp.zeros(n_sparse_e, jnp.int32).at[
-        jnp.where(lens > 0, row_start, n_sparse_e)
-    ].max(s_idx + 1, mode="drop")
+    # seed each segment's first slot with its index+1 (empty segments have
+    # seed_pos = E -> dropped; non-empty starts are unique), cummax fills
+    seed = jnp.zeros(n_sparse_e, jnp.int32).at[seed_pos].max(
+        s_idx + 1, mode="drop")
     seg = jax.lax.cummax(seed) - 1                            # [E]
     seg_c = jnp.clip(seg, 0, n_seg - 1)
-    within = slots - row_start[seg_c]
-    src = jnp.clip(starts[seg_c] + within, 0,
-                   stream_idx.shape[0] - 1)
+    src = jnp.clip(slots + delta[seg_c], 0, stream_idx.shape[0] - 1)
     valid = (slots < total) & (seg >= 0)
     gi = stream_idx[src].astype(jnp.int32)
     gw = stream_words[src]
@@ -1742,9 +1757,11 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
         def run_fused(blob, bank, dyn, stream_idx, stream_words,
                       full_masks, n_instr):
             code = blob[:code_len].reshape(3, program_len)
-            starts = blob[code_len : code_len + n_seg]
-            lens = blob[code_len + n_seg :]
-            sparse_rows = densify(stream_idx, stream_words, starts, lens)
+            seed_pos = blob[code_len : code_len + n_seg]
+            delta = blob[code_len + n_seg : code_len + 2 * n_seg]
+            total = blob[code_len + 2 * n_seg]
+            sparse_rows = densify(stream_idx, stream_words, seed_pos, delta,
+                                  total)
             words, outs = run_one(code, bank, dyn, sparse_rows, full_masks,
                                   n_instr)
             return finish(words, outs)

@@ -81,13 +81,15 @@ def main():
 
     # 2. densify alone at the same pinned shape
     if min_k:
+        import jax.numpy as jnp
+
         leaves = sorted({r for p in batches[1] for r in p.sparse_leaves})
         k_b, e_b, sp = engine._assemble_sparse(leaves, min_k, min_e)
         dens = de._densify_jit(k_b, e_b, engine.n_flat_words,
                                engine.n_partitions)
-        starts, lens = sp
         out = dens(engine.sparse_stream[0], engine.sparse_stream[1],
-                   jax.device_put(starts), jax.device_put(lens))
+                   jax.device_put(sp[0]), jax.device_put(sp[1]),
+                   jnp.int32(sp[2]))
         np.asarray(out[0, 0])  # compile + run
         for i, progs in enumerate(batches[2:], 1):
             leaves = sorted({r for p in progs for r in p.sparse_leaves})
@@ -97,7 +99,8 @@ def main():
                 continue
             t0 = time.perf_counter()
             out = dens(engine.sparse_stream[0], engine.sparse_stream[1],
-                       jax.device_put(sp2[0]), jax.device_put(sp2[1]))
+                       jax.device_put(sp2[0]), jax.device_put(sp2[1]),
+                       jnp.int32(sp2[2]))
             np.asarray(out[0, 0])
             log(f"densify alone {i} (K={k_b} E={e_b}): "
                 f"{(time.perf_counter() - t0) * 1e3:.1f} ms")
