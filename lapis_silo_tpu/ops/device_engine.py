@@ -534,8 +534,15 @@ class DeviceEngine:
                 _SPARSE_E_BUCKETS[-1])
             e_small = e_bucket(e_small_needed)
             self.floor_sparse_e = e_bucket(e_big_needed)
+            # typical-case rung sized by the MEDIAN leaf (the defensive
+            # top-k sizing above covers any 16 leaves, but makes a light
+            # 3-leaf query densify the worst case's slot budget — 26 ms of
+            # p50 at the 10M shape); queries whose leaves exceed a rung
+            # simply fall through to the next one
+            e_typ = e_bucket(4 * float(np.median(self.sparse_lengths)))
             self.sparse_shape_ladder = []
-            for shape in ((16, e_small), (16, self.floor_sparse_e),
+            for shape in ((4, e_typ), (16, e_small),
+                          (16, self.floor_sparse_e),
                           (self.floor_sparse_k, self.floor_sparse_e)):
                 if shape not in self.sparse_shape_ladder:
                     self.sparse_shape_ladder.append(shape)
