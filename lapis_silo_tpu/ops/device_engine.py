@@ -468,8 +468,13 @@ class DeviceEngine:
             # The Pallas sparse-vals kernel DOES need a chunk-multiple
             # entry count; pad words stay 0 so they contribute nothing.)
             nnz_pad = max(1, len(idx))
-            if self.use_pallas:
-                nnz_pad = -(-nnz_pad // pk.SPARSE_CHUNK) * pk.SPARSE_CHUNK
+            kernel_capable = pk.HAVE_PALLAS and (
+                jax.default_backend() != "cpu" or pk.interpret_default())
+            if self.use_pallas or kernel_capable:
+                # +DENSIFY_WINDOW: the Mosaic densify kernel's aligned DMA
+                # windows may over-read past the last live entry
+                nnz_pad = -(-(nnz_pad + pk.DENSIFY_WINDOW)
+                            // pk.SPARSE_CHUNK) * pk.SPARSE_CHUNK
             sp_idx = np.zeros(nnz_pad, dtype=np.int32)
             sp_words = np.zeros(nnz_pad, dtype=np.uint32)
             sp_idx[: len(idx)] = idx
@@ -850,15 +855,14 @@ class DeviceEngine:
 
     def _assemble_sparse(self, sparse_leaves: list[int], min_sparse_k: int = 0,
                          min_sparse_e: int = 0):
-        """Per-query sparse-leaf descriptors into the resident GLOBAL CSR
-        stream — n_partitions contiguous slices per leaf (partition-major
-        stream), flattened seg = leaf * P + pi. Returns (K_bucket, E_bucket,
-        (seed_pos, delta, total)): seed_pos[K*P] = each segment's first
-        output slot (E_bucket when empty), delta[K*P] = stream start minus
-        slot start (the device gathers ONE folded table per slot), total =
-        live slot count. The floors let callers share one compiled
-        executable across differently-shaped queries (remote TPU compiles
-        are minutes each)."""
+        """Per-query sparse-leaf descriptors: (start, len) into the resident
+        GLOBAL CSR stream — n_partitions contiguous slices per leaf
+        (partition-major stream), flattened seg = leaf * P + pi. Returns
+        (K_bucket, E_bucket, (starts, lens) numpy [K*P] arrays), E being the
+        flat ragged-entry budget (ignored by the Mosaic densify kernel,
+        whose cost scales with live entries). The floors let callers share
+        one compiled executable across differently-shaped queries (remote
+        TPU compiles are minutes each)."""
         if not sparse_leaves:
             # no sparse leaves: skip the densify dispatch entirely (floors
             # only pin buckets for queries that DO touch the sparse tier)
@@ -881,13 +885,8 @@ class DeviceEngine:
             e_bucket = next(b for b in _SPARSE_E_BUCKETS if b >= e_needed)
         except StopIteration:
             raise ProgramTooLarge(f"sparse entries {e_needed}") from None
-        e_bucket = max(e_bucket, 1)
-        cum = np.cumsum(lens)
-        total = int(cum[-1])
-        row_start = np.concatenate([[0], cum[:-1]])
-        seed_pos = np.where(lens > 0, row_start, e_bucket).astype(np.int32)
-        delta = (starts - row_start).astype(np.int32)
-        return k_bucket, e_bucket, (seed_pos, delta, total)
+        return k_bucket, max(e_bucket, 1), (starts.astype(np.int32),
+                                            lens.astype(np.int32))
 
     def _densified(self, k: int, e: int, sp) -> jax.Array:
         """[K, PW] densified sparse-leaf rows (a separate small
@@ -901,11 +900,10 @@ class DeviceEngine:
                     (1, self.n_flat_words), dtype=np.uint32))
                 self._filter_cache[key] = cached
             return cached
-        seed_pos, delta, total = sp
+        starts, lens = sp
         run = _densify_jit(k, e, self.n_flat_words, self.n_partitions)
         return run(self.sparse_stream[0], self.sparse_stream[1],
-                   jax.device_put(seed_pos), jax.device_put(delta),
-                   jnp.int32(total))
+                   jax.device_put(starts), jax.device_put(lens))
 
     def _dyn_sharding(self, ndim: int):
         if self.mesh is None:
@@ -961,12 +959,11 @@ class DeviceEngine:
             run = _interpreter(bucket, self.n_rows, n_dyn, k,
                                self.n_flat_words, output, n_regs, m,
                                self.n_partitions, self.mesh)
-            seed_pos, delta, total = sp
+            starts, lens = sp
             blob = np.concatenate([
                 code.reshape(-1),
-                seed_pos.reshape(-1),
-                delta.reshape(-1),
-                np.asarray([total], dtype=np.int32),
+                starts.reshape(-1),
+                lens.reshape(-1),
             ])
             return run(jax.device_put(blob), self.bank, dyn_dev,
                        self.sparse_stream[0], self.sparse_stream[1],
@@ -1645,8 +1642,7 @@ class _MicroBatcher:
 
 
 def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
-                 n_per_leaf: int, stream_idx, stream_words, seed_pos, delta,
-                 total):
+                 n_per_leaf: int, stream_idx, stream_words, starts, lens):
     """[K, PW] densified sparse-tier rows (global word space), via a FLAT
     ragged gather+scatter over an E-entry budget: per-element scatter cost
     ~29 ns means work must scale with the ACTUAL entry count, not the
@@ -1657,13 +1653,20 @@ def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
     each leaf is n_per_leaf contiguous slices, seg = leaf * n_per_leaf +
     partition.
 
-    The cost is TRANSACTION-bound (~9 ns per gathered element, ~29 per
-    scattered — 100 ns/slot measured at the 10M shape), so the per-segment
-    tables arrive pre-folded from the host (_assemble_sparse):
-    seed_pos[n_seg] = the segment's first slot (E when empty — dropped),
-    delta[n_seg] = stream_start - slot_start (so src = slot + delta[seg]:
-    ONE table gather per slot instead of two), total = live slot count."""
+    This is the XLA FALLBACK (CPU, mesh-sharded engines): on TPU the
+    Mosaic kernel (pallas_kernels.densify_rows) builds each leaf row in
+    VMEM at ~18 ns/entry — this path is TRANSACTION-bound at ~100 ns/slot
+    (measured at the 10M shape: 2 stream gathers + 1 table gather + 1
+    scatter per slot; the per-segment tables fold in-jit so the slot ->
+    stream mapping costs ONE table gather)."""
     n_seg = n_sparse_k * n_per_leaf
+    lens = lens.astype(jnp.int32)
+    cum = jnp.cumsum(lens)                                    # [K*P] inclusive
+    total = cum[-1]
+    row_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), cum[:-1]])                  # [K*P]
+    seed_pos = jnp.where(lens > 0, row_start, n_sparse_e)
+    delta = starts - row_start
     slots = jnp.arange(n_sparse_e, dtype=jnp.int32)
     s_idx = jnp.arange(n_seg, dtype=jnp.int32)
     # seed each segment's first slot with its index+1 (empty segments have
@@ -1760,15 +1763,29 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                                     n_words, n_per_leaf)
         code_len = 3 * program_len
         n_seg = n_sparse_k * n_per_leaf
+        # Mosaic densify (pallas_kernels.densify_rows): builds each leaf
+        # row in VMEM at ~18 ns/entry (6x the XLA gather+scatter path,
+        # measured at the 10M sub-dispatch shape) — cost scales with LIVE
+        # entries, not the E slot budget. Mesh-sharded engines keep the
+        # XLA path (the stream is not sharded).
+        use_densify_kernel = (
+            pk.HAVE_PALLAS
+            and (jax.default_backend() != "cpu" or pk.interpret_default())
+            and mesh is None
+            and n_words % 128 == 0
+        )
 
         def run_fused(blob, bank, dyn, stream_idx, stream_words,
                       full_masks, n_instr):
             code = blob[:code_len].reshape(3, program_len)
-            seed_pos = blob[code_len : code_len + n_seg]
-            delta = blob[code_len + n_seg : code_len + 2 * n_seg]
-            total = blob[code_len + 2 * n_seg]
-            sparse_rows = densify(stream_idx, stream_words, seed_pos, delta,
-                                  total)
+            starts = blob[code_len : code_len + n_seg]
+            lens = blob[code_len + n_seg :]
+            if use_densify_kernel:
+                sparse_rows = pk.densify_rows(
+                    stream_idx, stream_words, starts, lens, n_sparse_k,
+                    n_words)
+            else:
+                sparse_rows = densify(stream_idx, stream_words, starts, lens)
             words, outs = run_one(code, bank, dyn, sparse_rows, full_masks,
                                   n_instr)
             return finish(words, outs)

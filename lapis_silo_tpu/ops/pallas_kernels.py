@@ -668,3 +668,111 @@ def mutation_counts_banked_sharded(mesh, axis: str, bank3, filters, start,
         in_specs=(P(None, axis, None), P(axis)),
         out_specs=P(),
     )(bank3, filters)
+
+
+# ---------------------------------------------------------------------------
+# Sparse-leaf densify: build [K, PW] dense rows from the partition-major CSR
+# stream. XLA's gather+scatter formulation is TRANSACTION-bound at ~100 ns
+# per E-budget SLOT (measured at the 10M sub-dispatch shape: 3 gathers + 1
+# scatter per slot, cost scaling with the padded budget). This kernel builds
+# each leaf row in VMEM — one masked 128-lane RMW per LIVE entry (~18
+# ns/entry measured, 6x) — and never materializes slot indirection at all.
+# ---------------------------------------------------------------------------
+
+DENSIFY_CHUNK = 1024       # entries consumed per DMA window
+DENSIFY_WINDOW = 2048      # aligned window (16 rows x 128) covering any
+                           # 1024-aligned offset + CHUNK entries
+
+
+def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
+                 n_words: int, interpret: bool | None = None):
+    """[K, PW] u32: for each of n_sparse_k leaves, scatter its n_per_leaf
+    contiguous (start, len) stream segments (seg = leaf * P + pi) into a
+    dense global-word row. Stream entries within a segment carry GLOBAL
+    word indices in that partition's disjoint window (so every target is
+    written at most once). The stream must be padded so any aligned
+    DENSIFY_WINDOW read past the last live entry stays in bounds
+    (DeviceEngine pads by DENSIFY_WINDOW), with pad words 0."""
+    if interpret is None:
+        interpret = interpret_default()
+    n_seg = starts.shape[0]
+    n_per_leaf = n_seg // n_sparse_k
+    assert n_seg == n_sparse_k * n_per_leaf
+    n_stream = stream_idx.shape[0]
+    assert n_stream % 128 == 0 and n_words % 128 == 0, (n_stream, n_words)
+    hi = n_words // 128
+    idx2 = stream_idx.reshape(-1, 128)    # free: same row-major bytes
+    wrd2 = stream_words.reshape(-1, 128)
+
+    def kernel(starts_ref, lens_ref, idx_hbm, word_hbm, out_ref,
+               idx_s, wrd_s, sem1, sem2):
+        k = pl.program_id(0)
+        out_ref[...] = jnp.zeros_like(out_ref)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def per_partition(pi, _):
+            seg = k * n_per_leaf + pi
+            s = starts_ref[seg]
+            length = lens_ref[seg]
+
+            def per_chunk(ci, _):
+                p0 = s + ci * DENSIFY_CHUNK
+                q8 = (p0 >> 10) * 8  # provably 8-row-aligned window start
+                off = p0 & 1023
+                n = jnp.minimum(length - ci * DENSIFY_CHUNK, DENSIFY_CHUNK)
+                cp = pltpu.make_async_copy(
+                    idx_hbm.at[pl.ds(q8, DENSIFY_WINDOW // 128), :], idx_s,
+                    sem1)
+                cp.start()
+                cp2 = pltpu.make_async_copy(
+                    word_hbm.at[pl.ds(q8, DENSIFY_WINDOW // 128), :], wrd_s,
+                    sem2)
+                cp2.start()
+                cp.wait()
+                cp2.wait()
+
+                def per_entry(e, _):
+                    p = off + e
+                    i = idx_s[p >> 7, p & 127]
+                    h = i >> 7
+                    vec = jnp.where(iota == (i & 127),
+                                    wrd_s[p >> 7, p & 127], jnp.uint32(0))
+                    out_ref[0, pl.ds(h, 1), :] = (
+                        out_ref[0, pl.ds(h, 1), :] | vec)
+                    return 0
+
+                jax.lax.fori_loop(0, n, per_entry, 0)
+                return 0
+
+            n_chunks = (length + DENSIFY_CHUNK - 1) // DENSIFY_CHUNK
+            jax.lax.fori_loop(0, n_chunks, per_chunk, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_per_leaf, per_partition, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_sparse_k,),
+        in_specs=[pl.BlockSpec(memory_space=_ANY),
+                  pl.BlockSpec(memory_space=_ANY)],
+        out_specs=pl.BlockSpec((1, hi, 128), lambda k, *s: (k, 0, 0)),
+        scratch_shapes=[
+            pltpu.SMEM((DENSIFY_WINDOW // 128, 128), jnp.int32),
+            pltpu.SMEM((DENSIFY_WINDOW // 128, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 << 20)
+    except Exception:  # noqa: BLE001
+        compiler_params = None
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_sparse_k, hi, 128), jnp.uint32),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(starts, lens, idx2, wrd2)
+    return out.reshape(n_sparse_k, n_words)

@@ -12,6 +12,7 @@ Env: SILO_BENCH_ROWS (1048576), SILO_BENCH_LENGTH (29903),
 SILO_BENCH_PARTITIONS (16), SILO_BENCH_QUERIES (512).
 """
 
+import functools
 import os
 import sys
 import time
@@ -81,15 +82,20 @@ def main():
 
     # 2. densify alone at the same pinned shape
     if min_k:
-        import jax.numpy as jnp
+        from lapis_silo_tpu.ops import pallas_kernels as pk
 
         leaves = sorted({r for p in batches[1] for r in p.sparse_leaves})
         k_b, e_b, sp = engine._assemble_sparse(leaves, min_k, min_e)
-        dens = de._densify_jit(k_b, e_b, engine.n_flat_words,
-                               engine.n_partitions)
+        use_kernel = pk.HAVE_PALLAS and engine.use_pallas
+        if use_kernel:
+            dens = jax.jit(functools.partial(
+                pk.densify_rows, n_sparse_k=k_b,
+                n_words=engine.n_flat_words))
+        else:
+            dens = de._densify_jit(k_b, e_b, engine.n_flat_words,
+                                   engine.n_partitions)
         out = dens(engine.sparse_stream[0], engine.sparse_stream[1],
-                   jax.device_put(sp[0]), jax.device_put(sp[1]),
-                   jnp.int32(sp[2]))
+                   jax.device_put(sp[0]), jax.device_put(sp[1]))
         np.asarray(out[0, 0])  # compile + run
         for i, progs in enumerate(batches[2:], 1):
             leaves = sorted({r for p in progs for r in p.sparse_leaves})
@@ -99,10 +105,9 @@ def main():
                 continue
             t0 = time.perf_counter()
             out = dens(engine.sparse_stream[0], engine.sparse_stream[1],
-                       jax.device_put(sp2[0]), jax.device_put(sp2[1]),
-                       jnp.int32(sp2[2]))
+                       jax.device_put(sp2[0]), jax.device_put(sp2[1]))
             np.asarray(out[0, 0])
-            log(f"densify alone {i} (K={k_b} E={e_b}): "
+            log(f"densify alone {i} (K={k_b} E={e_b} kernel={use_kernel}): "
                 f"{(time.perf_counter() - t0) * 1e3:.1f} ms")
 
     # 3. same batches with sparse leaves neutralized (B_ZERO): VM-only cost

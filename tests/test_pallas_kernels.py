@@ -321,3 +321,52 @@ def test_vm_run_sharded_matches_single_device():
                                   np.asarray(want_words))
     np.testing.assert_array_equal(np.asarray(got_counts)[:qi],
                                   np.asarray(want_counts)[:qi])
+
+
+def test_densify_rows_matches_xla():
+    """Mosaic densify kernel vs the XLA gather+scatter formulation
+    (interpret mode): identical [K, PW] rows for ragged partition-major
+    segments, including empty segments, multi-chunk segments, and the
+    aligned-window over-read at the stream tail."""
+    import jax
+    import jax.numpy as jnp
+
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(7)
+    K, P = 5, 3
+    n_words = 12 * 128          # per-leaf global row width
+    wp = n_words // P           # per-partition word window
+    n_seg = K * P
+    lens = rng.integers(0, 2500, size=n_seg).astype(np.int32)
+    lens[4] = 0                 # explicit empty segment
+    lens = np.minimum(lens, wp)
+    starts = np.zeros(n_seg, np.int32)
+    pos = 0
+    entries_idx, entries_wrd = [], []
+    for g in range(n_seg):
+        pi = g % P
+        starts[g] = pos
+        w = np.sort(rng.choice(wp, size=lens[g], replace=False)).astype(
+            np.int32) + pi * wp
+        entries_idx.append(w)
+        entries_wrd.append(
+            rng.integers(1, 2**32, size=lens[g], dtype=np.uint32))
+        pos += lens[g]
+    n_pad = -(-(pos + pk.DENSIFY_WINDOW) // 128) * 128
+    idx_np = np.zeros(n_pad, np.int32)
+    wrd_np = np.zeros(n_pad, np.uint32)
+    idx_np[:pos] = np.concatenate(entries_idx)
+    wrd_np[:pos] = np.concatenate(entries_wrd)
+
+    di, dw = jnp.asarray(idx_np), jnp.asarray(wrd_np)
+    sd, ld = jnp.asarray(starts), jnp.asarray(lens)
+    got = np.asarray(pk.densify_rows(di, dw, sd, ld, K, n_words,
+                                     interpret=True))
+    e_bucket = 1 << 13
+    want = np.asarray(jax.jit(lambda *a: de._densify_one(
+        K, e_bucket, n_words, P, *a))(di, dw, sd, ld))
+    np.testing.assert_array_equal(got, want)

@@ -108,3 +108,43 @@ def test_sparse_gate_uses_total_row_footprint():
     assert footprint > probe.n_words  # multi-partition: product > per-part W
     assert DeviceEngine(db, sparse_min_words=footprint).sparse_enabled
     assert not DeviceEngine(db, sparse_min_words=footprint + 1).sparse_enabled
+
+
+def test_sparse_kernel_path_matches_dense(example_dataset_db, dense_engine,
+                                          monkeypatch):
+    """The FULL kernel configuration a real TPU runs for sparse corpora —
+    Mosaic densify (densify_rows) feeding the Mosaic VM (vm_run), both in
+    interpret mode — must be bit-identical to the plain dense engine. A
+    call spy proves the densify kernel actually ran."""
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+    from lapis_silo_tpu.query.engine import Query
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    monkeypatch.setenv("SILO_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("SILO_FORCE_BANK3", "1")
+    calls = {"densify": 0}
+    real = pk.densify_rows
+
+    def spy(*args, **kwargs):
+        calls["densify"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "densify_rows", spy)
+    import jax
+
+    de._interpreter.cache_clear()
+    engine = de.DeviceEngine(example_dataset_db, sparse_min_words=1,
+                             devices=jax.devices()[:1])
+    assert engine.n_sparse > 0 and engine.bank3 and engine.mesh is None
+
+    queries = [Query(json.dumps({"filterExpression": f,
+                                 "action": {"type": "Aggregated"}}))
+               for f in FILTERS]
+    batch = [q.filter for q in queries]
+    got = engine.count_batch(batch)
+    want = dense_engine.count_batch(batch)
+    assert got == want
+    assert calls["densify"] > 0, "densify kernel was never reached"
+    de._interpreter.cache_clear()  # drop closures over the spy/env
