@@ -7,7 +7,7 @@ FROM python:3.12-slim AS server
 WORKDIR /app
 
 RUN apt-get update \
-    && apt-get install -y --no-install-recommends curl jq zstd libzstd1 g++ \
+    && apt-get install -y --no-install-recommends curl jq zstd libzstd1 g++ make \
     && rm -rf /var/lib/apt/lists/*
 
 # jax pinned by the host environment on TPU VMs; CPU fallback for plain hosts
@@ -16,6 +16,10 @@ RUN pip install --no-cache-dir "jax[cpu]" numpy pyyaml
 COPY pyproject.toml ./
 COPY lapis_silo_tpu ./lapis_silo_tpu
 COPY native ./native
+# pre-build the native ingest + HTTP libraries (the loader would otherwise
+# build them lazily on first use); no -march=native — the image must run
+# on any host
+RUN make -C native CXXFLAGS="-O3 -fPIC -std=c++17 -Wall"
 COPY docker/docker_default_preprocessing_config.yaml ./default_preprocessing_config.yaml
 COPY docker/docker_runtime_config.yaml ./runtime_config.yaml
 
