@@ -116,3 +116,37 @@ def test_fast_count_path_still_exact(example_dataset_db):
         finally:
             os.environ.pop("SILO_TPU_HOST_ONLY", None)
         assert dev == host, f
+
+
+def test_batch_split_fuzz(example_dataset_db, monkeypatch):
+    """Wide batches that overflow the sparse-leaf cap / length buckets must
+    split into sub-dispatches, pin to ladder rungs, and still return every
+    query's count in order — fuzzed over random filter mixes with the caps
+    shrunk so every split path triggers."""
+    import numpy as np
+
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.testing import sample_count_queries, synthetic_database
+
+    db = synthetic_database(n_rows=768, length=512, n_partitions=3,
+                            mutations_per_genome=4)
+    engine = de.DeviceEngine(db, sparse_min_words=1)
+    assert engine.n_sparse > 0
+    # shrink the caps so a ~40-query batch crosses every split boundary
+    monkeypatch.setattr(engine, "max_sparse_k", 16)
+    engine.sparse_shape_ladder = [(4, 4096), (16, 32768)]
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        queries = sample_count_queries(db, n_queries=40,
+                                       seed=int(rng.integers(1 << 30)))
+        programs = [engine.lower(Query(q).filter)[0] for q in queries]
+        want = [engine.count(Query(q).filter) for q in queries]
+        min_k, min_e = engine.sparse_floors(programs)
+        got = engine.count_programs(programs, min_bucket=1024,
+                                    min_sparse_k=min_k, min_sparse_e=min_e)
+        assert got == want, trial
+        # and through the raw dispatch API with no floors (rung auto-pin)
+        got2 = engine.count_programs(
+            [engine.lower(Query(q).filter)[0] for q in queries])
+        assert got2 == want, trial
