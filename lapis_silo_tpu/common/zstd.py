@@ -191,42 +191,57 @@ class DictCompressor:
     """zstd compressor with a fixed dictionary (e.g. the reference genome)."""
 
     def __init__(self, dictionary: bytes, level: int = 3):
+        import threading
+
         self._dict = dictionary
         self._level = level
-        self._cctx = _lib.ZSTD_createCCtx()
-        self._buf = None  # grow-only scratch; instances are single-thread
-        self._cap = 0     # like the cctx itself (reference: thread_local)
+        # ZSTD contexts are not thread-safe and the grow-only scratch must
+        # not be shared either: stores are queried concurrently (the HTTP
+        # servers run many worker threads), so both live per-thread
+        # (reference sql_function.cpp uses thread_local compressors too)
+        self._local = threading.local()
 
     def compress(self, data: bytes) -> bytes:
+        local = self._local
+        if getattr(local, "cctx", None) is None:
+            local.cctx = _lib.ZSTD_createCCtx()
+            local.buf = None
+            local.cap = 0
         bound = _lib.ZSTD_compressBound(len(data))
-        if bound > self._cap:
-            self._buf = ctypes.create_string_buffer(bound)
-            self._cap = bound
+        if bound > local.cap:
+            local.buf = ctypes.create_string_buffer(bound)
+            local.cap = bound
         n = _check(_lib.ZSTD_compress_usingDict(
-            self._cctx, self._buf, self._cap, data, len(data),
+            local.cctx, local.buf, local.cap, data, len(data),
             self._dict, len(self._dict), self._level))
-        return self._buf[:n]
+        return local.buf[:n]
 
 
 class DictDecompressor:
     """zstd decompressor with a fixed dictionary."""
 
     def __init__(self, dictionary: bytes):
+        import threading
+
         self._dict = dictionary
-        self._dctx = _lib.ZSTD_createDCtx()
-        self._buf = None  # grow-only scratch (single-thread, like the dctx)
-        self._cap = 0
+        self._local = threading.local()  # dctx + scratch per thread (see
+        # DictCompressor: stores serve concurrent queries)
 
     def decompress(self, data: bytes) -> bytes:
+        local = self._local
+        if getattr(local, "dctx", None) is None:
+            local.dctx = _lib.ZSTD_createDCtx()
+            local.buf = None
+            local.cap = 0
         size = _lib.ZSTD_getFrameContentSize(data, len(data))
         if size in (_CONTENTSIZE_UNKNOWN, _CONTENTSIZE_ERROR):
             # Fall back to a generous bound: dict-based frames we write
             # always carry the content size, so this is input-robustness only.
             size = max(len(self._dict) * 4, len(data) * 20, 1 << 20)
-        if size > self._cap:
-            self._buf = ctypes.create_string_buffer(size)
-            self._cap = size
+        if size > local.cap:
+            local.buf = ctypes.create_string_buffer(size)
+            local.cap = size
         n = _check(_lib.ZSTD_decompress_usingDict(
-            self._dctx, self._buf, self._cap, data, len(data),
+            local.dctx, local.buf, local.cap, data, len(data),
             self._dict, len(self._dict)))
-        return self._buf[:n]
+        return local.buf[:n]

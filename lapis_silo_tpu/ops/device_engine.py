@@ -885,6 +885,10 @@ class DeviceEngine:
             e_bucket = next(b for b in _SPARSE_E_BUCKETS if b >= e_needed)
         except StopIteration:
             raise ProgramTooLarge(f"sparse entries {e_needed}") from None
+        if len(ids) and int(starts.max() + lens.max()) > np.iinfo(np.int32).max:
+            # stream offsets travel as int32 (program blob); a >2^31-entry
+            # stream (8.6 GB of indices alone) is beyond one chip anyway
+            raise ProgramTooLarge("sparse stream offsets exceed int32")
         return k_bucket, max(e_bucket, 1), (starts.astype(np.int32),
                                             lens.astype(np.int32))
 
@@ -974,11 +978,13 @@ class DeviceEngine:
                    self._densified(0, 1, None), self.full_masks,
                    jnp.int32(_round_instr(n_instr)))
 
-    def count_async(self, filter_expr) -> jax.Array:
+    def count_async(self, filter_expr, program: _Program | None = None) -> jax.Array:
         """Fused filter + popcount in ONE device dispatch; returns the scalar
-        device array without blocking."""
-        (bucket, n_dyn, code, dyn, n_instr, k, m, sp,
-         n_regs) = self._prepare(filter_expr)
+        device array without blocking. `program` skips re-lowering when the
+        caller already has it."""
+        (bucket, n_dyn, code, dyn, n_instr, k, m, sp, n_regs) = (
+            self._prepare(filter_expr) if program is None
+            else self._prepare_program(program))
         shape = (n_dyn, self.n_flat_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
         return self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp, n_regs,
@@ -1233,7 +1239,7 @@ class DeviceEngine:
         host = self.host_count(program)
         if host is not None:
             return host
-        return int(self.count_async(filter_expr))
+        return int(self.count_async(filter_expr, program=program))
 
     def device_filter(self, filter_expr) -> "DeviceFilter":
         """Evaluate the filter and KEEP it on device — actions that only

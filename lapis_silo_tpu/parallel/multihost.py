@@ -504,8 +504,15 @@ class _WorkerClient:
         self._lock = threading.Lock()
 
     def request(self, method: str, path: str, body: bytes | None = None,
-                timeout: float = 60.0) -> tuple[int, bytes]:
+                timeout: float | None = None) -> tuple[int, bytes]:
+        """timeout=None blocks indefinitely (like the urllib path this
+        replaces — a partial may legitimately wait out a minutes-long
+        remote XLA compile on the worker). The timeout applies per REQUEST
+        via settimeout, not per pooled connection — connections created by
+        a short-timeout caller (version polls) are reused by unbounded
+        callers and vice versa."""
         import http.client
+        import socket
 
         with self._lock:
             conn = self._pool.pop() if self._pool else None
@@ -514,21 +521,33 @@ class _WorkerClient:
                 conn = http.client.HTTPConnection(
                     self._host, self._port, timeout=timeout)
             try:
+                conn.timeout = timeout
+                if conn.sock is not None:
+                    conn.sock.settimeout(timeout)
                 conn.request(method, path, body=body)
                 resp = conn.getresponse()
                 data = resp.read()
                 status = resp.status
                 break
-            except Exception:
-                # a pooled keep-alive connection may have been dropped by
-                # the server between requests: retry ONCE on a fresh one
+            except (http.client.RemoteDisconnected, http.client.BadStatusLine,
+                    ConnectionResetError, BrokenPipeError) as ex:
+                # ONLY stale keep-alive failures retry (the server closed
+                # the pooled connection between requests). Timeouts and
+                # mid-response errors must NOT retry: the worker may have
+                # executed the request already.
                 try:
                     conn.close()
                 except Exception:  # noqa: BLE001
                     pass
                 conn = None
                 if attempt:
-                    raise
+                    raise ex
+            except Exception:
+                try:
+                    conn.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                raise
         with self._lock:
             self._pool.append(conn)
         return status, data
@@ -667,10 +686,16 @@ class Coordinator:
     def _executor(self):
         ex = getattr(self, "_fanout_executor", None)
         if ex is None:
+            import os
             from concurrent.futures import ThreadPoolExecutor
 
+            # Each in-flight PUBLIC query holds one task per worker for the
+            # full worker-side duration, and the workers' micro-batch depth
+            # equals their concurrently blocked requests — so the pool must
+            # cover (target public concurrency) x (workers), not CPUs.
+            per_worker = int(os.environ.get("SILO_FANOUT_DEPTH", "128"))
             ex = self._fanout_executor = ThreadPoolExecutor(
-                max_workers=max(4, 2 * len(self.worker_urls)),
+                max_workers=max(1, len(self.worker_urls)) * per_worker,
                 thread_name_prefix="silo-fanout")
         return ex
 

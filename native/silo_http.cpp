@@ -28,6 +28,8 @@
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <string.h>
+#include <cctype>
+#include <cstdlib>
 #include <sys/epoll.h>
 #include <sys/eventfd.h>
 #include <sys/socket.h>
@@ -141,9 +143,10 @@ struct Server {
     uint32_t gen = 0;
     std::string in;
     std::string out;
-    bool busy = false;         // a request is with a worker
-    bool close_after = false;  // close once out drains
-    bool want_write = false;   // EPOLLOUT subscribed
+    bool busy = false;           // a request is with a worker
+    bool close_after = false;    // close once out drains
+    bool want_write = false;     // EPOLLOUT subscribed
+    bool sent_continue = false;  // 100 Continue already sent this request
   };
   std::vector<Conn> conns;
   std::vector<uint32_t> free_slots;
@@ -175,6 +178,7 @@ struct Server {
     c.busy = false;
     c.close_after = false;
     c.want_write = false;
+    c.sent_continue = false;
     free_slots.push_back(slot);
   }
 
@@ -235,7 +239,10 @@ struct Server {
           } else if (iequals(name, "transfer-encoding")) {
             if (value.find("chunked") != std::string::npos) chunked = true;
           } else if (iequals(name, "expect")) {
-            if (iequals(value, "100-continue")) {
+            // try_parse rescans headers on every read event while the
+            // body is incomplete: send the interim response ONCE
+            if (iequals(value, "100-continue") && !c.sent_continue) {
+              c.sent_continue = true;
               c.out += "HTTP/1.1 100 Continue\r\n\r\n";
               try_write(slot);
               if (c.fd < 0) return;
@@ -255,6 +262,7 @@ struct Server {
       size_t body_start = head_end + 4;
       if (c.in.size() < body_start + content_length) return;  // need more
 
+      c.sent_continue = false;  // next request may Expect its own 100
       Task task;
       task.conn_key = key_of(slot);
       task.keep_alive = keep_alive;
@@ -306,6 +314,13 @@ struct Server {
       ssize_t n = ::recv(c.fd, buf, sizeof(buf), 0);
       if (n > 0) {
         c.in.append(buf, size_t(n));
+        // while a request is in flight try_parse returns without running
+        // the size checks: bound the buffered bytes (pipelined request +
+        // slack) so a client can't grow c.in without limit
+        if (c.in.size() > kMaxBodyBytes + kMaxHeaderBytes) {
+          close_conn(slot);
+          return;
+        }
         if (size_t(n) < sizeof(buf)) break;
         continue;
       }

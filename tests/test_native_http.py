@@ -192,3 +192,36 @@ def test_oversized_headers_rejected(native_server):
         assert b"431" in data.split(b"\r\n")[0]
     finally:
         s.close()
+
+
+def test_concurrent_fasta_is_stable(native_server):
+    """Concurrent Fasta queries decompress through shared stores; the
+    per-thread zstd contexts/scratch must keep responses bit-identical
+    (a shared grow-only buffer corrupted them under races)."""
+    port = native_server.server_address[1]
+    query = json.dumps({
+        "action": {"type": "Fasta", "sequenceName": "testSecondSequence",
+                   "orderByFields": ["gisaid_epi_isl"]},
+        "filterExpression": {"type": "True"},
+    })
+    status, _h, want = _request(port, "POST", "/query", query)
+    assert status == 200 and len(want) > 1000
+    errors = []
+
+    def hammer():
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            for _ in range(8):
+                s, _h, body = _request(port, "POST", "/query", query,
+                                       conn=conn)
+                assert s == 200 and body == want
+            conn.close()
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=hammer) for _ in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
