@@ -65,6 +65,11 @@ class DatabaseDirectoryWatcher:
 
         t0 = time.time()
         try:
+            # /info's Roaring size model walks every plane on first call
+            # (72 s at 65k x 30k, memoized after) — compute it BEFORE the
+            # snapshot goes live or the first healthcheck poll stalls past
+            # its timeout
+            database.info()
             seg = next(iter(database.nuc_sequences), None)
             filt = (
                 {"type": "HasNucleotideMutation", "position": 1, "sequenceName": seg}

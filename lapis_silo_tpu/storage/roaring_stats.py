@@ -85,11 +85,6 @@ def batch_stats(bitmap_ids: np.ndarray, values: np.ndarray, n_bitmaps: int) -> B
     values = np.asarray(values, dtype=np.int64)
     m = len(values)
 
-    def agg(container_bitmap, weights):
-        out = np.zeros(n_bitmaps, dtype=np.int64)
-        np.add.at(out, container_bitmap, weights)
-        return out
-
     if m == 0:
         zero = np.zeros(n_bitmaps, dtype=np.int64)
         return BatchStats(
@@ -112,6 +107,60 @@ def batch_stats(bitmap_ids: np.ndarray, values: np.ndarray, n_bitmaps: int) -> B
     run_start[1:] |= values[1:] != values[:-1] + 1
     c_runs = np.bincount(cidx, weights=run_start).astype(np.int64)
     c_bitmap = bitmap_ids[new_c]
+    card_total = np.bincount(bitmap_ids, minlength=n_bitmaps).astype(np.int64)
+    return _container_stats(c_bitmap, c_card, c_runs, card_total, n_bitmaps)
+
+
+def batch_stats_words(bitmap_ids: np.ndarray, word_idx: np.ndarray,
+                      words: np.ndarray, n_bitmaps: int) -> BatchStats:
+    """batch_stats computed from PACKED u32 words — (bitmap, word_idx, word)
+    entries sorted by (bitmap_id, word_idx), zero words allowed (they
+    contribute nothing). Per-container cardinality is a popcount groupby
+    and run counts come from word-level run starts (popcount(w & ~(w<<1)))
+    minus merges across ADJACENT words (prev bit 31 set, cur bit 0 set,
+    same container) — no per-bit expansion, so the model stays O(nnz
+    words) instead of O(set bits)."""
+    bitmap_ids = np.asarray(bitmap_ids, dtype=np.int64)
+    word_idx = np.asarray(word_idx, dtype=np.int64)
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    live = words != 0
+    bitmap_ids, word_idx, words = (bitmap_ids[live], word_idx[live],
+                                   words[live])
+    m = len(words)
+    if m == 0:
+        return batch_stats(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                           n_bitmaps)
+    pc = np.bitwise_count(words).astype(np.int64)
+    # container = 2**16 values = 2048 words
+    ckey = bitmap_ids * (1 << 40) + (word_idx >> 11)
+    new_c = np.empty(m, dtype=bool)
+    new_c[0] = True
+    np.not_equal(ckey[1:], ckey[:-1], out=new_c[1:])
+    cidx = np.cumsum(new_c) - 1
+    c_card = np.bincount(cidx, weights=pc).astype(np.int64)
+    # run starts inside each word; a bit0 run-start merges into the
+    # previous word's run when that word is container-adjacent and ends
+    # with bit 31 set
+    word_runs = np.bitwise_count(words & ~(words << np.uint32(1))).astype(
+        np.int64)
+    adj = np.zeros(m, dtype=bool)
+    adj[1:] = (~new_c[1:] & (word_idx[1:] == word_idx[:-1] + 1)
+               & ((words[:-1] >> np.uint32(31)) & np.uint32(1)).astype(bool)
+               & (words[1:] & np.uint32(1)).astype(bool))
+    c_runs = (np.bincount(cidx, weights=word_runs).astype(np.int64)
+              - np.bincount(cidx, weights=adj).astype(np.int64))
+    c_bitmap = bitmap_ids[new_c]
+    card_total = np.zeros(n_bitmaps, dtype=np.int64)
+    np.add.at(card_total, bitmap_ids, pc)
+    return _container_stats(c_bitmap, c_card, c_runs, card_total, n_bitmaps)
+
+
+def _container_stats(c_bitmap, c_card, c_runs, card_total,
+                     n_bitmaps: int) -> BatchStats:
+    def agg(container_bitmap, weights):
+        out = np.zeros(n_bitmaps, dtype=np.int64)
+        np.add.at(out, container_bitmap, weights)
+        return out
 
     run_ser = 2 + 4 * c_runs
     arr_ser = 2 * c_card + ARRAY_SER_EXTRA
@@ -131,7 +180,6 @@ def batch_stats(bitmap_ids: np.ndarray, values: np.ndarray, n_bitmaps: int) -> B
     n_cont = n_array + n_run + n_bitset
     data_bytes = agg(c_bitmap, c_portable)
     frozen_data = agg(c_bitmap, c_frozen)
-    card_total = np.bincount(bitmap_ids, minlength=n_bitmaps).astype(np.int64)
 
     has_run = n_run > 0
     header = np.where(
@@ -199,8 +247,12 @@ def segment_stats(seg) -> SegmentStats:
     deleted[ref_counts[deleted, np.arange(L)] == 0] = -1
 
     majority = seg.majority.astype(np.int64)
-    all_pairs_b: list[np.ndarray] = []
-    all_pairs_v: list[np.ndarray] = []
+    # Stored (non-missing, non-deleted) rows feed the WORD-level model —
+    # O(nnz words), not O(set bits): unpacking every stored row to bits
+    # measured 72 s at 65k x 30k and would be hours at 10M.
+    wl_bitmap: list[np.ndarray] = []
+    wl_widx: list[np.ndarray] = []
+    wl_words: list[np.ndarray] = []
     miss_rows: list[np.ndarray] = []
     miss_pos: list[np.ndarray] = []
 
@@ -214,12 +266,10 @@ def segment_stats(seg) -> SegmentStats:
         stored_is_missing = syms == missing_id
         keep = ~stored_is_missing & (syms != deleted[poss])
         if keep.any():
-            rows = seg.store.materialize(idx[keep])  # [k, W]
-            flat = np.unpackbits(np.ascontiguousarray(rows).view(np.uint8),
-                                 bitorder="little").reshape(len(rows), -1)
-            r_idx, ids = np.nonzero(flat)
-            all_pairs_b.append(syms[keep][r_idx] * L + poss[keep][r_idx])
-            all_pairs_v.append(ids)
+            widx, words, lengths = seg.store.gather_rows_csr(idx[keep])
+            wl_bitmap.append(np.repeat(syms[keep] * L + poss[keep], lengths))
+            wl_widx.append(widx.astype(np.int64))
+            wl_words.append(words)
         if stored_is_missing.any():
             rows = seg.store.materialize(idx[stored_is_missing])
             flat = np.unpackbits(np.ascontiguousarray(rows).view(np.uint8),
@@ -234,24 +284,29 @@ def segment_stats(seg) -> SegmentStats:
             maj = int(majority[p])
             if maj == int(deleted[p]):
                 continue
-            ids = _decode_ids(seg.plane(maj, p))
-            if len(ids) == 0:
+            plane = seg.plane(maj, p)
+            widx = np.flatnonzero(plane).astype(np.int64)
+            if len(widx) == 0:
                 continue
             if maj == missing_id:
+                ids = _decode_ids(plane)
                 miss_rows.append(ids)
                 miss_pos.append(np.full(len(ids), p, dtype=np.int64))
             else:
-                all_pairs_b.append(np.full(len(ids), maj * L + p, dtype=np.int64))
-                all_pairs_v.append(ids)
+                wl_bitmap.append(np.full(len(widx), maj * L + p,
+                                         dtype=np.int64))
+                wl_widx.append(widx)
+                wl_words.append(plane[widx])
 
-    if all_pairs_b:
-        pb = np.concatenate(all_pairs_b)
-        pv = np.concatenate(all_pairs_v)
-        order = np.lexsort((pv, pb))
-        pb, pv = pb[order], pv[order]
+    if wl_bitmap:
+        pb = np.concatenate(wl_bitmap)
+        pw = np.concatenate(wl_widx)
+        pv = np.concatenate(wl_words)
+        order = np.lexsort((pw, pb))
+        stats = batch_stats_words(pb[order], pw[order], pv[order], S * L)
     else:
-        pb = pv = np.zeros(0, dtype=np.int64)
-    stats = batch_stats(pb, pv, S * L)
+        stats = batch_stats_words(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                                  np.zeros(0, np.uint32), S * L)
 
     per_symbol_portable = stats.portable.reshape(S, L).sum(axis=1)
     n_bitset_sl = stats.n_bitset.reshape(S, L)

@@ -144,3 +144,58 @@ def test_csr_and_dense_models_agree(example_dataset_db):
     st = roaring_stats.segment_stats(seg)
     assert st.total_nonportable > 0
     assert int(st.per_symbol_portable.sum()) == st.portable_total
+
+
+def test_batch_stats_words_matches_value_model():
+    """The word-level container model (O(nnz words)) must agree with the
+    per-value model on randomized bitmaps — especially run merges across
+    word boundaries (prev bit 31 / cur bit 0) and container boundaries."""
+    import numpy as np
+
+    from lapis_silo_tpu.storage.roaring_stats import batch_stats, batch_stats_words
+
+    rng = np.random.default_rng(17)
+    for trial in range(20):
+        n_bitmaps = int(rng.integers(1, 6))
+        pairs_b, pairs_v = [], []
+        wl_b, wl_w, wl_words = [], [], []
+        for b in range(n_bitmaps):
+            style = trial % 4
+            if style == 0:      # sparse random values
+                vals = np.unique(rng.integers(0, 1 << 18, size=rng.integers(0, 400)))
+            elif style == 1:    # dense runs crossing word/container edges
+                starts = rng.integers(0, 1 << 17, size=rng.integers(1, 6))
+                vals = np.unique(np.concatenate(
+                    [np.arange(s, s + rng.integers(1, 5000)) for s in starts]))
+            elif style == 2:    # empty bitmap
+                vals = np.zeros(0, dtype=np.int64)
+            else:               # bitset-dense container
+                vals = np.unique(rng.integers(0, 9000, size=7000))
+            pairs_b.append(np.full(len(vals), b, dtype=np.int64))
+            pairs_v.append(vals.astype(np.int64))
+            # pack the same values into words
+            if len(vals):
+                widx = vals // 32
+                words = np.zeros(int(widx.max()) + 1, dtype=np.uint32)
+                np.bitwise_or.at(words, widx,
+                                 np.uint32(1) << (vals % 32).astype(np.uint32))
+                nz = np.flatnonzero(words)
+                wl_b.append(np.full(len(nz), b, dtype=np.int64))
+                wl_w.append(nz.astype(np.int64))
+                wl_words.append(words[nz])
+        pb = np.concatenate(pairs_b); pv = np.concatenate(pairs_v)
+        order = np.lexsort((pv, pb))
+        want = batch_stats(pb[order], pv[order], n_bitmaps)
+        if wl_b:
+            wb = np.concatenate(wl_b); ww = np.concatenate(wl_w)
+            wv = np.concatenate(wl_words)
+            order = np.lexsort((ww, wb))
+            got = batch_stats_words(wb[order], ww[order], wv[order], n_bitmaps)
+        else:
+            got = batch_stats_words(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                                    np.zeros(0, np.uint32), n_bitmaps)
+        for fld in ("portable", "nonportable", "frozen", "n_array", "n_run",
+                    "n_bitset", "v_array", "v_run", "v_bitset", "b_array",
+                    "b_run", "b_bitset"):
+            np.testing.assert_array_equal(getattr(got, fld), getattr(want, fld),
+                                          err_msg=f"trial {trial} field {fld}")
