@@ -206,6 +206,29 @@ def _container_stats(c_bitmap, c_card, c_runs, card_total,
     )
 
 
+def _add_stats(a: BatchStats, b: BatchStats) -> BatchStats:
+    """Element-wise sum of two BatchStats over DISJOINT bitmap sets.
+    Only valid when no bitmap has containers in both: per-bitmap header
+    formulas are non-linear in container counts, but an empty bitmap's
+    baseline (portable 8 / nonportable 5 / frozen 4) must not double: the
+    sum keeps b's value wherever b saw containers, a's otherwise."""
+    has_b = (b.n_array + b.n_run + b.n_bitset) > 0
+    return BatchStats(
+        portable=np.where(has_b, b.portable, a.portable),
+        nonportable=np.where(has_b, b.nonportable, a.nonportable),
+        frozen=np.where(has_b, b.frozen, a.frozen),
+        n_array=a.n_array + b.n_array,
+        n_run=a.n_run + b.n_run,
+        n_bitset=a.n_bitset + b.n_bitset,
+        v_array=a.v_array + b.v_array,
+        v_run=a.v_run + b.v_run,
+        v_bitset=a.v_bitset + b.v_bitset,
+        b_array=a.b_array + b.b_array,
+        b_run=a.b_run + b.b_run,
+        b_bitset=a.b_bitset + b.b_bitset,
+    )
+
+
 def _decode_ids(words: np.ndarray) -> np.ndarray:
     """Packed u32 words -> sorted set-bit indices."""
     return np.flatnonzero(
@@ -250,10 +273,13 @@ def segment_stats(seg) -> SegmentStats:
     majority = seg.majority.astype(np.int64)
     # Stored (non-missing, non-deleted) rows feed the WORD-level model —
     # O(nnz words), not O(set bits): unpacking every stored row to bits
-    # measured 72 s at 65k x 30k and would be hours at 10M.
-    wl_bitmap: list[np.ndarray] = []
-    wl_widx: list[np.ndarray] = []
-    wl_words: list[np.ndarray] = []
+    # measured 72 s at 65k x 30k and would be hours at 10M. Position
+    # chunks own DISJOINT bitmaps (bitmap = sym*L + pos), so each chunk's
+    # stats accumulate element-wise — peak memory is one chunk's entries,
+    # not the whole stream (~15 GB of int64 ids at 10M). No sort anywhere:
+    # batch_stats_words only needs each bitmap contiguous (one CSR run).
+    stats = batch_stats_words(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                              np.zeros(0, np.uint32), S * L)
     miss_rows: list[np.ndarray] = []
     miss_pos: list[np.ndarray] = []
 
@@ -263,6 +289,9 @@ def segment_stats(seg) -> SegmentStats:
         idx = np.arange(i0, i1)
         syms = seg.sym_ids[i0:i1].astype(np.int64)
         poss = seg.pos_ids[i0:i1].astype(np.int64)
+        wl_bitmap: list[np.ndarray] = []
+        wl_widx: list[np.ndarray] = []
+        wl_words: list[np.ndarray] = []
 
         stored_is_missing = syms == missing_id
         keep = ~stored_is_missing & (syms != deleted[poss])
@@ -299,19 +328,11 @@ def segment_stats(seg) -> SegmentStats:
                 wl_widx.append(widx)
                 wl_words.append(plane[widx])
 
-    if wl_bitmap:
-        # NO global sort needed: batch_stats_words only requires each
-        # (bitmap, container) group to be CONTIGUOUS — every bitmap is one
-        # row's CSR slice (contiguous, word-sorted, appears once), and
-        # cross-bitmap order is irrelevant to per-container aggregation.
-        # A lexsort here dominated the model at 10M (625M entries).
-        pb = np.concatenate(wl_bitmap)
-        pw = np.concatenate(wl_widx)
-        pv = np.concatenate(wl_words)
-        stats = batch_stats_words(pb, pw, pv, S * L)
-    else:
-        stats = batch_stats_words(np.zeros(0, np.int64), np.zeros(0, np.int64),
-                                  np.zeros(0, np.uint32), S * L)
+        if wl_bitmap:
+            chunk = batch_stats_words(
+                np.concatenate(wl_bitmap), np.concatenate(wl_widx),
+                np.concatenate(wl_words), S * L)
+            stats = _add_stats(stats, chunk)
 
     per_symbol_portable = stats.portable.reshape(S, L).sum(axis=1)
     n_bitset_sl = stats.n_bitset.reshape(S, L)
