@@ -56,10 +56,26 @@ def handle_preprocessing(args) -> int:
     return 0
 
 
+def _graceful_sigterm():
+    """SIGTERM unwinds like Ctrl-C so `finally` blocks stop the server and
+    watcher (reference: Poco waitForTerminationRequest handles SIGTERM)."""
+    import signal
+
+    def _term(_signum, _frame):
+        raise KeyboardInterrupt
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:  # not the main thread (embedded use)
+        pass
+
+
 def handle_api(args) -> int:
     from .server.http_server import DatabaseMutex, make_server
     from .server.runtime_config import RuntimeConfig
     from .server.watcher import DatabaseDirectoryWatcher
+
+    _graceful_sigterm()
 
     runtime = RuntimeConfig.read(args.runtimeConfig)
     if args.dataDirectory:
@@ -93,6 +109,8 @@ def handle_worker(args) -> int:
     from .parallel.multihost import start_replicated_worker
     from .server.runtime_config import RuntimeConfig
 
+    _graceful_sigterm()
+
     runtime = RuntimeConfig.read(args.runtimeConfig)
     if args.dataDirectory:
         runtime.data_directory = args.dataDirectory
@@ -123,6 +141,8 @@ def handle_coordinator(args) -> int:
     )
     from .server.http_server import DatabaseMutex, make_coordinator_server
     from .server.runtime_config import RuntimeConfig
+
+    _graceful_sigterm()
 
     worker_urls = [u.strip() for u in (args.workerUrls or "").split(",")
                    if u.strip()]

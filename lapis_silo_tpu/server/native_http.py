@@ -135,6 +135,10 @@ class NativeHTTPServer:
             self._lib.silo_http_stop(self._id)
             self._stopped.set()
 
+    # ThreadingHTTPServer interface parity (cli.py calls server_close on
+    # the way out; the native server's stop covers both)
+    server_close = shutdown
+
     def __del__(self):
         try:
             self.shutdown()

@@ -68,3 +68,38 @@ def test_cli_preprocessing_and_serve(cli_output_dir):
     finally:
         server.shutdown()
         watcher.stop()
+
+
+def test_cli_api_sigterm_graceful(cli_output_dir):
+    """SIGTERM on the api process unwinds like Ctrl-C: server + watcher stop
+    cleanly, exit code 0 (reference: Poco waitForTerminationRequest).
+    Also covers NativeHTTPServer.server_close (cli.py's shutdown path)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "lapis_silo_tpu.cli", "--api",
+         "--dataDirectory", cli_output_dir, "--port", "18131"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    try:
+        up = False
+        for _ in range(60):
+            time.sleep(1)
+            try:
+                urllib.request.urlopen("http://127.0.0.1:18131/info",
+                                       timeout=2)
+                up = True
+                break
+            except Exception:  # noqa: BLE001 — still starting
+                pass
+        assert up, "server never came up"
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=30) == 0
+        proc = None
+    finally:
+        if proc is not None:
+            proc.kill()
