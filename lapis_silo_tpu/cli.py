@@ -85,18 +85,22 @@ def handle_api(args) -> int:
 
     mutex = DatabaseMutex()
     watcher = DatabaseDirectoryWatcher(runtime.data_directory, mutex)
-    watcher.start()
-    server = make_server(mutex, runtime.port)
-    logging.getLogger(__name__).info(
-        "listening on :%d, watching %s", runtime.port, runtime.data_directory
-    )
+    server = None
+    # startup (snapshot load + warm-up) can run minutes — SIGTERM during
+    # that window must unwind gracefully too, so it is inside the try
     try:
+        watcher.start()
+        server = make_server(mutex, runtime.port)
+        logging.getLogger(__name__).info(
+            "listening on :%d, watching %s", runtime.port,
+            runtime.data_directory)
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         watcher.stop()
-        server.server_close()
+        if server is not None:
+            server.server_close()
     return 0
 
 
@@ -115,18 +119,22 @@ def handle_worker(args) -> int:
     if args.dataDirectory:
         runtime.data_directory = args.dataDirectory
     port = args.port or 8082
-    server, watcher, _mutex = start_replicated_worker(
-        runtime.data_directory, port)
-    logging.getLogger(__name__).info(
-        "worker on :%d, staging snapshots from %s", port, runtime.data_directory)
+    server = watcher = None
     try:
+        server, watcher, _mutex = start_replicated_worker(
+            runtime.data_directory, port)
+        logging.getLogger(__name__).info(
+            "worker on :%d, staging snapshots from %s", port,
+            runtime.data_directory)
         while True:
             time.sleep(3600)
     except KeyboardInterrupt:
         pass
     finally:
-        watcher.stop()
-        server.shutdown()
+        if watcher is not None:
+            watcher.stop()
+        if server is not None:
+            server.shutdown()
     return 0
 
 
@@ -155,27 +163,30 @@ def handle_coordinator(args) -> int:
         runtime.port = args.port
 
     mutex = DatabaseMutex()
-    local_watcher = None
-    if runtime.data_directory:
-        local_watcher = StagedSnapshotWatcher(runtime.data_directory, mutex)
-        local_watcher.start()
-    controller = FlipController(worker_urls, local_watcher=local_watcher)
-    controller.start()
-    coordinator = Coordinator(mutex, worker_urls,
-                              include_local=local_watcher is not None)
-    server = make_coordinator_server(coordinator, runtime.port)
-    logging.getLogger(__name__).info(
-        "coordinator on :%d over %d workers%s", runtime.port, len(worker_urls),
-        f" + local shard {runtime.data_directory}" if local_watcher else "")
+    local_watcher = controller = server = None
     try:
+        if runtime.data_directory:
+            local_watcher = StagedSnapshotWatcher(runtime.data_directory, mutex)
+            local_watcher.start()
+        controller = FlipController(worker_urls, local_watcher=local_watcher)
+        controller.start()
+        coordinator = Coordinator(mutex, worker_urls,
+                                  include_local=local_watcher is not None)
+        server = make_coordinator_server(coordinator, runtime.port)
+        logging.getLogger(__name__).info(
+            "coordinator on :%d over %d workers%s", runtime.port,
+            len(worker_urls),
+            f" + local shard {runtime.data_directory}" if local_watcher else "")
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        controller.stop()
+        if controller is not None:
+            controller.stop()
         if local_watcher is not None:
             local_watcher.stop()
-        server.server_close()
+        if server is not None:
+            server.server_close()
     return 0
 
 

@@ -308,6 +308,14 @@ class StagedSnapshotWatcher:
                 if version <= max(self._serving_version, staged_version):
                     return
             database = self._snapshot.load_database(newest)
+            # shared pre-live warm-up (device executables + the /info size
+            # model): the coordinator's first /info fan-out must not stall
+            # on segment_stats, and the first committed query must not
+            # stall on a remote XLA compile — same reasoning as the
+            # single-host watcher
+            from ..server.watcher import DatabaseDirectoryWatcher
+
+            DatabaseDirectoryWatcher._warmup(database)
             with self._lock:
                 self._staged = (version, database)
         except Exception:  # parity: a bad snapshot never kills the host

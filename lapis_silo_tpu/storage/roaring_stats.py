@@ -132,8 +132,15 @@ def batch_stats_words(bitmap_ids: np.ndarray, word_idx: np.ndarray,
         return batch_stats(np.zeros(0, np.int64), np.zeros(0, np.int64),
                            n_bitmaps)
     pc = np.bitwise_count(words).astype(np.int64)
-    # container = 2**16 values = 2048 words
-    ckey = bitmap_ids * (1 << 40) + (word_idx >> 11)
+    # container = 2**16 values = 2048 words. The bitmap stride must cover
+    # the largest container index WITHOUT wrapping int64 (a fixed 1 << 40
+    # stride would silently merge containers of bitmaps 2**24 apart on
+    # multi-Mbp segments — numpy multiply wraps, no error).
+    container = word_idx >> 11
+    stride = int(container.max()) + 1
+    if int(bitmap_ids.max()) >= (1 << 62) // stride:
+        raise OverflowError("size model key space exceeds int64")
+    ckey = bitmap_ids * stride + container
     new_c = np.empty(m, dtype=bool)
     new_c[0] = True
     np.not_equal(ckey[1:], ckey[:-1], out=new_c[1:])

@@ -75,22 +75,34 @@ def test_cli_api_sigterm_graceful(cli_output_dir):
     cleanly, exit code 0 (reference: Poco waitForTerminationRequest).
     Also covers NativeHTTPServer.server_close (cli.py's shutdown path)."""
     import signal
+    import socket
     import subprocess
     import sys
     import time
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # pick a free ephemeral port (the relay squats much of 80xx-81xx)
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    # this container's sitecustomize force-selects the TPU backend via
+    # jax.config — the env var alone is NOT enough (CLAUDE.md), so the
+    # subprocess overrides back through jax.config before importing the cli
+    wrapper = (
+        "import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+        "from lapis_silo_tpu.cli import main; "
+        "sys.exit(main(['--api', '--dataDirectory', sys.argv[1], "
+        "'--port', sys.argv[2]]))"
+    )
     proc = subprocess.Popen(
-        [sys.executable, "-m", "lapis_silo_tpu.cli", "--api",
-         "--dataDirectory", cli_output_dir, "--port", "18131"],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env)
+        [sys.executable, "-c", wrapper, cli_output_dir, str(port)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     try:
         up = False
         for _ in range(60):
             time.sleep(1)
             try:
-                urllib.request.urlopen("http://127.0.0.1:18131/info",
+                urllib.request.urlopen(f"http://127.0.0.1:{port}/info",
                                        timeout=2)
                 up = True
                 break
