@@ -88,6 +88,21 @@ def decompress(data: bytes, max_size: int | None = None) -> bytes:
     return out.raw[:n]
 
 
+def decompress_into(data: bytes, dest) -> int:
+    """Decompress one frame directly into a writable buffer (numpy uint8
+    view); returns the decompressed byte count. Avoids the scratch-buffer
+    zero-fill and the extra copies of the bytes-returning path."""
+    dest = memoryview(dest)
+    size = _lib.ZSTD_getFrameContentSize(data, len(data))
+    if size in (_CONTENTSIZE_UNKNOWN, _CONTENTSIZE_ERROR):
+        raw = decompress_stream(data)
+        dest[: len(raw)] = raw
+        return len(raw)
+    addr = ctypes.addressof(ctypes.c_char.from_buffer(dest))
+    return _check(_lib.ZSTD_decompress(
+        ctypes.c_void_p(addr), len(dest), data, len(data)))
+
+
 def decompress_stream(data: bytes) -> bytes:
     """Streaming decompress for frames without a content-size header."""
     ds = _lib.ZSTD_createDStream()

@@ -27,7 +27,16 @@ class Dictionary:
 
     def __init__(self):
         self.values: list[str] = []
-        self.ids: dict[str, int] = {}
+        self._ids: dict[str, int] | None = {}
+
+    @property
+    def ids(self) -> dict[str, int]:
+        # snapshot load defers the reverse map (_ids = None): building
+        # value -> id for a 10M-value primary-key column costs seconds and
+        # most serving sessions never look a raw value up
+        if self._ids is None:
+            self._ids = {v: i for i, v in enumerate(self.values)}
+        return self._ids
 
     def get_or_create(self, value: str) -> int:
         idx = self.ids.get(value)
