@@ -7,7 +7,7 @@ FROM python:3.12-slim AS server
 WORKDIR /app
 
 RUN apt-get update \
-    && apt-get install -y --no-install-recommends curl jq zstd libzstd1 g++ make \
+    && apt-get install -y --no-install-recommends curl jq zstd libzstd-dev g++ make \
     && rm -rf /var/lib/apt/lists/*
 
 # jax pinned by the host environment on TPU VMs; CPU fallback for plain hosts

@@ -65,6 +65,36 @@ class Alphabet:
             )
         return ids
 
+    def ids_into(self, raw: bytes, out: np.ndarray) -> None:
+        """char->symbol-id conversion of `raw` bytes into the preallocated
+        uint8 row `out` (same length) — single pass through the native
+        kernel when available, matching string_to_ids error semantics.
+        Called once per genome, so the native fn + LUT address are cached
+        on first use (get_lib takes a lock; attribute chains add up)."""
+        fn = self.__dict__.get("_ids_fn", 0)
+        if fn == 0:
+            from .. import native
+
+            lib = native.get_lib()
+            fn = lib.silo_chars_to_ids if lib is not None else None
+            self._ids_fn = fn
+            self._lut_addr = self._lut.ctypes.data
+        if fn is not None:
+            bad = fn(raw, len(raw), self._lut_addr, out.ctypes.data)
+            if bad >= 0:
+                raise ValueError(
+                    f"Illegal character '{chr(bad)}' in {self.name_lower} sequence"
+                )
+            return
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        ids = self._lut[arr]
+        if (ids == 255).any():
+            bad_char = chr(int(arr[np.argmax(ids == 255)]))
+            raise ValueError(
+                f"Illegal character '{bad_char}' in {self.name_lower} sequence"
+            )
+        out[:] = ids
+
     def find_illegal_char(self, sequence: str) -> str | None:
         raw = np.frombuffer(sequence.encode("ascii"), dtype=np.uint8)
         ids = self._lut[raw]

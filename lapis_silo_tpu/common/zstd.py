@@ -181,8 +181,8 @@ class _ZstdRawReader:
         self._f.close()
 
 
-def open_zst_text(path: str, encoding: str = "utf-8"):
-    """Text stream over a .zst file, decompressed incrementally."""
+def open_zst_binary(path: str):
+    """Buffered binary stream over a .zst file, decompressed incrementally."""
     import io
 
     raw = _ZstdRawReader(open(path, "rb"))
@@ -198,8 +198,14 @@ def open_zst_text(path: str, encoding: str = "utf-8"):
             raw.close()
             super().close()
 
-    return io.TextIOWrapper(io.BufferedReader(_Adapter(), 1 << 20),
-                            encoding=encoding)
+    return io.BufferedReader(_Adapter(), 1 << 20)
+
+
+def open_zst_text(path: str, encoding: str = "utf-8"):
+    """Text stream over a .zst file, decompressed incrementally."""
+    import io
+
+    return io.TextIOWrapper(open_zst_binary(path), encoding=encoding)
 
 
 class DictCompressor:

@@ -140,67 +140,191 @@ class Preprocessor:
             ref = reference_genomes.raw_aa_sequences[name].encode("ascii")
             sequences[("aa", name)] = SequenceSpool(tmpdir, f"g_aa_{name}", 1, ref)
 
-        f = None
-        for candidate in (path, path + ".zst", path + ".xz"):
-            f = readers.open_text_stream(candidate, encoding="utf-8")
-            if f is not None:
-                break
-        if f is None:
-            raise PreprocessingError(f"The specified input file {path} does not exist.")
-        with f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                record = json.loads(line)
-                if not table.n_rows:
-                    # Validate sequence keys vs reference genomes on the first
-                    # record (reference sequence_info.cpp:80-130).
-                    for field_name, expected in (
-                        ("alignedNucleotideSequences", set(nuc_names)),
-                        ("alignedAminoAcidSequences", set(gene_names)),
-                    ):
-                        got = set(record.get(field_name, {}))
-                        missing = expected - got
-                        if missing:
-                            raise PreprocessingError(
-                                f"The field '{field_name}' in the input file does not "
-                                f"contain the sequences {sorted(missing)} required by "
-                                "the reference genomes."
-                            )
-                metadata = dict(record.get("metadata", {}))
-                # insertion lists -> comma-joined strings (metadata_info.cpp:62-97)
-                nuc_ins = record.get("nucleotideInsertions", {})
-                aa_ins = record.get("aminoAcidInsertions", {})
-                # reference metadata_info.cpp:60-95: insertion lists flatten
-                # to "<sequence>:<pos>:<value>" entries (always prefixed)
-                for field in self.config.schema.metadata:
-                    if field.type.value == "insertion" and field.name not in metadata:
-                        parts = []
-                        for seq_name in nuc_names:
-                            for ins in nuc_ins.get(seq_name, []):
-                                parts.append(f"{seq_name}:{ins}")
-                        metadata[field.name] = ",".join(parts)
-                    if field.type.value == "aaInsertion" and field.name not in metadata:
-                        parts = []
-                        for gene in gene_names:
-                            for ins in aa_ins.get(gene, []):
-                                parts.append(f"{gene}:{ins}")
-                        metadata[field.name] = ",".join(parts)
-                row_id = table.n_rows
-                table.append_row_dict(metadata)
-                aligned = record.get("alignedNucleotideSequences", {})
-                for name in nuc_names:
-                    sequences[("nuc", name)].add(0, row_id, aligned.get(name))
-                aligned_aa = record.get("alignedAminoAcidSequences", {})
-                for name in gene_names:
-                    sequences[("aa", name)].add(0, row_id, aligned_aa.get(name))
-                unaligned_seqs = record.get("unalignedNucleotideSequences", {})
-                for name in nuc_names:
-                    unaligned[name].add(0, row_id, unaligned_seqs.get(name))
+        def flatten_insertions(metadata, nuc_ins, aa_ins):
+            # insertion lists -> comma-joined strings (metadata_info.cpp:62-97)
+            # reference metadata_info.cpp:60-95: insertion lists flatten
+            # to "<sequence>:<pos>:<value>" entries (always prefixed)
+            for field in self.config.schema.metadata:
+                if field.type.value == "insertion" and field.name not in metadata:
+                    parts = []
+                    for seq_name in nuc_names:
+                        for ins in nuc_ins.get(seq_name, []):
+                            parts.append(f"{seq_name}:{ins}")
+                    metadata[field.name] = ",".join(parts)
+                if field.type.value == "aaInsertion" and field.name not in metadata:
+                    parts = []
+                    for gene in gene_names:
+                        for ins in aa_ins.get(gene, []):
+                            parts.append(f"{gene}:{ins}")
+                    metadata[field.name] = ",".join(parts)
+
+        def validate_first_record_keys(got_by_field):
+            # Validate sequence keys vs reference genomes on the first
+            # record (reference sequence_info.cpp:80-130).
+            for field_name, expected in (
+                ("alignedNucleotideSequences", set(nuc_names)),
+                ("alignedAminoAcidSequences", set(gene_names)),
+            ):
+                missing = expected - got_by_field[field_name]
+                if missing:
+                    raise PreprocessingError(
+                        f"The field '{field_name}' in the input file does not "
+                        f"contain the sequences {sorted(missing)} required by "
+                        "the reference genomes."
+                    )
+
+        def handle_record(record):
+            """The reference-semantics per-record path (json.loads form)."""
+            if not table.n_rows:
+                validate_first_record_keys({
+                    field: set(record.get(field, {}))
+                    for field in ("alignedNucleotideSequences",
+                                  "alignedAminoAcidSequences")
+                })
+            metadata = dict(record.get("metadata", {}))
+            flatten_insertions(metadata,
+                               record.get("nucleotideInsertions", {}),
+                               record.get("aminoAcidInsertions", {}))
+            row_id = table.n_rows
+            table.append_row_dict(metadata)
+            aligned = record.get("alignedNucleotideSequences", {})
+            for name in nuc_names:
+                sequences[("nuc", name)].add(0, row_id, aligned.get(name))
+            aligned_aa = record.get("alignedAminoAcidSequences", {})
+            for name in gene_names:
+                sequences[("aa", name)].add(0, row_id, aligned_aa.get(name))
+            unaligned_seqs = record.get("unalignedNucleotideSequences", {})
+            for name in nuc_names:
+                unaligned[name].add(0, row_id, unaligned_seqs.get(name))
+
+        scanner = self._make_ndjson_scanner(reference_genomes)
+        if scanner is not None:
+            self._scan_ndjson_native(
+                path, scanner, table, sequences, unaligned,
+                nuc_names, gene_names, handle_record,
+                validate_first_record_keys, flatten_insertions)
+        else:
+            f = None
+            for candidate in (path, path + ".zst", path + ".xz"):
+                f = readers.open_text_stream(candidate, encoding="utf-8")
+                if f is not None:
+                    break
+            if f is None:
+                raise PreprocessingError(
+                    f"The specified input file {path} does not exist.")
+            with f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    handle_record(json.loads(line))
         for spool in (*sequences.values(), *unaligned.values()):
             spool.finish_writes()
         return table, sequences, unaligned
+
+    def _make_ndjson_scanner(self, reference_genomes: ReferenceGenomes):
+        """Native NDJSON scanner (C++ tokenize + dict-compress), or None to
+        use the pure-Python loop (SILO_NDJSON_NATIVE=0 or lib unavailable)."""
+        import os
+
+        if os.environ.get("SILO_NDJSON_NATIVE", "1") == "0":
+            return None
+        try:
+            from .native_ndjson import NativeNdjsonScanner
+        except Exception:  # noqa: BLE001
+            return None
+        segments = []
+        for name, ref in reference_genomes.raw_nucleotide_sequences.items():
+            segments.append((name, 0, ref.encode("ascii")))
+        for name, ref in reference_genomes.raw_aa_sequences.items():
+            segments.append((name, 1, ref.encode("ascii")))
+        for name, ref in reference_genomes.raw_nucleotide_sequences.items():
+            segments.append((name, 2, ref.encode("ascii")))
+        try:
+            return NativeNdjsonScanner(segments)
+        except OSError:
+            return None
+
+    def _scan_ndjson_native(self, path, scanner, table, sequences, unaligned,
+                            nuc_names, gene_names, handle_record,
+                            validate_first_record_keys, flatten_insertions):
+        """Batched native-scanner ingest loop. Segment spool targets are
+        aligned with the scanner's segment order (nuc, aa, unaligned);
+        records the scanner rejects re-parse through handle_record — the
+        semantics are the pure-Python path's, only the common case is fast."""
+        import json
+
+        from .native_ndjson import BLOB_ABSENT
+
+        targets = (
+            [sequences[("nuc", name)] for name in nuc_names]
+            + [sequences[("aa", name)] for name in gene_names]
+            + [unaligned[name] for name in nuc_names]
+        )
+        n_nuc, n_aa = len(nuc_names), len(gene_names)
+
+        f = None
+        for candidate in (path, path + ".zst", path + ".xz"):
+            f = readers.open_binary_stream(candidate)
+            if f is not None:
+                break
+        if f is None:
+            raise PreprocessingError(
+                f"The specified input file {path} does not exist.")
+        BATCH = 128
+        with f:
+            batch: list[bytes] = []
+
+            def flush():
+                for line, rec in zip(batch, scanner.parse(batch)):
+                    if rec.status < 0:
+                        handle_record(json.loads(line))
+                        continue
+                    if not table.n_rows:
+                        got_nuc = {
+                            nuc_names[s]
+                            for s in range(n_nuc)
+                            if rec.blobs[s] != BLOB_ABSENT
+                        }
+                        got_aa = {
+                            gene_names[s]
+                            for s in range(n_aa)
+                            if rec.blobs[n_nuc + s] != BLOB_ABSENT
+                        }
+                        validate_first_record_keys({
+                            "alignedNucleotideSequences": got_nuc,
+                            "alignedAminoAcidSequences": got_aa,
+                        })
+
+                    def load_span(span):
+                        if span is None:
+                            return {}
+                        off, length = span
+                        return json.loads(line[off:off + length])
+
+                    # load_span returns {} only when the key is ABSENT; a
+                    # JSON null comes back as None so dict(None)/.get raise
+                    # exactly like the pure-Python record.get(...) path.
+                    metadata = dict(load_span(rec.meta_span))
+                    flatten_insertions(metadata,
+                                       load_span(rec.nuc_ins_span),
+                                       load_span(rec.aa_ins_span))
+                    row_id = table.n_rows
+                    table.append_row_dict(metadata)
+                    for s, blob in enumerate(rec.blobs):
+                        if isinstance(blob, bytes):
+                            targets[s].add_compressed(0, row_id, blob)
+                batch.clear()
+
+            for raw in f:
+                raw = raw.strip()
+                if not raw:
+                    continue
+                batch.append(raw)
+                if len(batch) >= BATCH:
+                    flush()
+            if batch:
+                flush()
 
     # -- build ----------------------------------------------------------------
 

@@ -26,6 +26,18 @@ def open_text_stream(path: str, encoding: str = "ascii") -> io.TextIOBase | None
     return open(path, encoding=encoding)
 
 
+def open_binary_stream(path: str) -> io.BufferedIOBase | None:
+    """Binary counterpart of open_text_stream (for the native NDJSON
+    scanner, which consumes raw line bytes); None if absent."""
+    if not os.path.exists(path):
+        return None
+    if path.endswith(".zst"):
+        return zstd.open_zst_binary(path)
+    if path.endswith(".xz"):
+        return lzma.open(path, "rb")
+    return open(path, "rb")
+
+
 def open_maybe_compressed(path_no_ext: str, extension: str = ".fasta") -> io.TextIOBase | None:
     """Try <p><ext>, <p><ext>.zst, <p><ext>.xz; None if none exist.
     Streaming for every flavor (reference input_stream_wrapper.cpp probes

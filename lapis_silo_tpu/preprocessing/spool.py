@@ -84,13 +84,14 @@ class SequenceSpool:
         return dict(self.iter_frames(pid))
 
     def iter_rows(self, pid: int, n_rows: int):
-        """Yields the partition's sequences (str | None) in row order,
-        decompressing one at a time."""
+        """Yields the partition's sequences (bytes | None) in row order,
+        decompressing one at a time (bytes, not str — the index builder
+        consumes raw ASCII and a decode/encode round-trip is pure waste)."""
         blobs = self.read_partition(pid)
         for row in range(n_rows):
             blob = blobs.get(row)
             yield (None if blob is None
-                   else self._decompressor.decompress(blob).decode("ascii"))
+                   else self._decompressor.decompress(blob))
 
     def route(self, target: "SequenceSpool",
               assignment: list[tuple[int, int]]):

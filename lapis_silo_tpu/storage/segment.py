@@ -279,8 +279,15 @@ class SegmentIndexBuilder:
         if batch == 0:
             return
         start = self._row
-        # null rows are all-missing (see module docstring)
-        ids = np.full((batch, self.length), self.alphabet.missing_id, dtype=np.uint8)
+        # null rows are all-missing (see module docstring); the ids scratch
+        # is reused across batches (a fresh 30 MB np.full per batch costs
+        # ~1.3 ms of page faults)
+        scratch = getattr(self, "_ids_scratch", None)
+        if scratch is None or scratch.shape[0] < batch:
+            scratch = self._ids_scratch = np.empty(
+                (batch, self.length), dtype=np.uint8)
+        ids = scratch[:batch]
+        ids.fill(self.alphabet.missing_id)
         for i, genome in enumerate(genomes):
             if genome is None:
                 continue
@@ -289,7 +296,8 @@ class SegmentIndexBuilder:
                     f"Sequence length {len(genome)} does not match reference "
                     f"length {self.length}"
                 )
-            ids[i] = self.alphabet.string_to_ids(genome)
+            raw = genome if isinstance(genome, bytes) else genome.encode("ascii")
+            self.alphabet.ids_into(raw, ids[i])
         self._allocate_rows(ids)
         if self.use_csr:
             # scatter into a word-window scratch, then keep only the
