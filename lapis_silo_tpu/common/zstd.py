@@ -88,6 +88,15 @@ def decompress(data: bytes, max_size: int | None = None) -> bytes:
     return out.raw[:n]
 
 
+def frame_content_size(data: bytes) -> int | None:
+    """Decompressed size recorded in the frame header, or None if absent
+    (frames we write always carry it)."""
+    size = _lib.ZSTD_getFrameContentSize(data, len(data))
+    if size in (_CONTENTSIZE_UNKNOWN, _CONTENTSIZE_ERROR):
+        return None
+    return size
+
+
 def decompress_into(data: bytes, dest) -> int:
     """Decompress one frame directly into a writable buffer (numpy uint8
     view); returns the decompressed byte count. Avoids the scratch-buffer

@@ -489,28 +489,22 @@ class DeviceEngine:
             )
             self._sparse_kernel_ok = False
             if self.use_pallas:
-                # per-chunk filter hi-row (word >> 7) bounds: the gather
-                # kernel walks only [min_hi, max_hi] of each entry chunk.
-                # If chunks still span wide hi bands (a corpus with very
-                # long per-(leaf, partition) runs), the walk costs more
-                # than XLA's flat ~9 ns/entry gather — gate on the mean
-                # span (kernel processes one 16384-entry chunk per ~span
-                # row steps; crossover measured near ~1k rows).
+                # The gather kernel computes per-[8,128]-slab (1024-entry
+                # GROUP) hi-row bounds in-kernel and walks only that band.
+                # If groups still span wide hi bands (a very sparse stream
+                # over a huge word space), the walk costs more than XLA's
+                # flat ~9 ns/entry gather — gate on the mean group span
+                # (~0.7 us per walked row per group vs 9.2 us per group
+                # for XLA: crossover near span 12).
                 his = (sp_idx.astype(np.int64) >> 7).reshape(
-                    -1, pk.SPARSE_CHUNK)
+                    -1, pk.SPARSE_GROUP)
                 spans = his.max(axis=1) - his.min(axis=1) + 1
-                self._sparse_kernel_ok = float(spans.mean()) <= 1024.0
-                self._sparse_chunk_bounds_dev = jax.device_put(np.stack(
-                    [his.min(axis=1), his.max(axis=1)], axis=0
-                ).astype(np.int32))
-            else:
-                self._sparse_chunk_bounds_dev = None
+                self._sparse_kernel_ok = float(spans.mean()) <= 12.0
         else:
             self.sparse_starts_pp = self.sparse_lengths_pp = None
             self.sparse_stream = None
             self.sparse_lengths = None
             self._sparse_bounds_dev = None
-            self._sparse_chunk_bounds_dev = None
             self._sparse_kernel_ok = False
         self._sparse_counts_memo: tuple | None = None
         self._filters_memo: tuple | None = None
@@ -1421,7 +1415,7 @@ class DeviceEngine:
         )
         if use_kernel:
             out = np.asarray(_sparse_mutation_counts_pallas_jit(
-                sp_idx, sp_words, self._sparse_chunk_bounds_dev, filters,
+                sp_idx, sp_words, filters,
                 starts, lens, self.n_partitions), dtype=np.int64)
         else:
             out = np.asarray(_sparse_mutation_counts_jit(
@@ -1954,19 +1948,19 @@ def _sparse_mutation_counts_jit(sp_idx, sp_words, filters, starts, lens,
         axis=1, dtype=jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnums=(6,))
-def _sparse_mutation_counts_pallas_jit(sp_idx, sp_words, chunk_bounds,
+@functools.partial(jax.jit, static_argnums=(5,))
+def _sparse_mutation_counts_pallas_jit(sp_idx, sp_words,
                                        filters, starts, lens, n_per_leaf):
     """_sparse_mutation_counts_jit with the per-entry filter lookup done by
     the Mosaic dynamic-gather kernel (pallas_kernels.sparse_filter_popcount)
     instead of XLA's generic gather — XLA gather costs ~9 ns/element on TPU
     (313 ms at 32M entries, measured); the kernel walks only the filter
-    hi-rows spanned by each entry chunk (prefetched per-chunk bounds —
+    hi-rows each [8,128] entry slab actually spans (in-kernel bounds —
     narrow under the partition-major stream order)."""
     from . import pallas_kernels as pk
 
     vals = pk.sparse_filter_popcount(
-        filters, sp_idx, sp_words, chunk_bounds).astype(jnp.uint32)
+        filters, sp_idx, sp_words).astype(jnp.uint32)
     per_seg = _boundary_sums(vals, starts, lens)
     return per_seg.reshape(-1, n_per_leaf).sum(
         axis=1, dtype=jnp.uint32)

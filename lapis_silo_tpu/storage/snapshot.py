@@ -64,6 +64,8 @@ def _save_words(path: str, array: np.ndarray):
 
 
 def _load_words(path: str) -> np.ndarray:
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..common import zstd
 
     with open(path, "rb") as f:
@@ -72,15 +74,38 @@ def _load_words(path: str) -> np.ndarray:
         out = np.empty(int(np.prod(header["shape"])), dtype=np.uint32)
         view = out.view(np.uint8)
         offset = 0
-        while True:
-            size_bytes = f.read(8)
-            if not size_bytes:
-                break
-            size = int.from_bytes(size_bytes, "little")
-            # decompress each chunk straight into the destination array:
-            # the bytes->join->frombuffer->copy chain made 4 passes over
-            # ~10 GB of plane data at 10M (half the snapshot load time)
-            offset += zstd.decompress_into(f.read(size), view[offset:])
+        # Decompress chunks straight into the destination array (the
+        # bytes->join->frombuffer->copy chain made 4 passes over ~10 GB of
+        # plane data at 10M — half the load time), CONCURRENTLY: each
+        # frame's output offset is known from its header content size, and
+        # ZSTD_decompress releases the GIL through ctypes, so two workers
+        # saturate both cores while the main thread streams file reads.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            pending = []
+            while True:
+                size_bytes = f.read(8)
+                if not size_bytes:
+                    break
+                data = f.read(int.from_bytes(size_bytes, "little"))
+                n = zstd.frame_content_size(data)
+                if n is None:
+                    # content size absent (not a frame we write): serialize
+                    for fut in pending:
+                        fut.result()
+                    pending.clear()
+                    n = zstd.decompress_into(data, view[offset:])
+                else:
+                    if len(pending) >= 3:
+                        pending.pop(0).result()
+
+                    def job(data=data, dest=view[offset:offset + n], n=n):
+                        got = zstd.decompress_into(data, dest)
+                        assert got == n, (got, n)
+
+                    pending.append(pool.submit(job))
+                offset += n
+            for fut in pending:
+                fut.result()
         assert offset == view.nbytes, (offset, view.nbytes)
     return out.reshape(header["shape"])
 

@@ -72,8 +72,10 @@ def test_mutation_counts_banked_bucketed_rows():
 
 def test_sparse_filter_popcount_matches_numpy():
     """Mosaic dynamic-gather sparse kernel vs numpy: a multi-chunk GLOBAL
-    entry stream (sorted word indices per chunk band) with zero-padded
-    tails and per-chunk hi bounds."""
+    entry stream (sorted word indices, so each [8,128] slab spans a narrow
+    hi band — the kernel computes slab bounds in-kernel) with zero-padded
+    tails (which make the last slabs span the FULL hi range — the
+    unsorted-slab worst case is exercised too)."""
     from lapis_silo_tpu.ops import pallas_kernels as pk
 
     if not pk.HAVE_PALLAS:
@@ -82,17 +84,12 @@ def test_sparse_filter_popcount_matches_numpy():
     n_words = 3 * 1024
     e = 2 * pk.SPARSE_CHUNK
     filters = rng.integers(0, 2**32, size=n_words, dtype=np.uint32)
-    # sorted indices: each chunk spans a narrow hi band (like the leaf-major
-    # stream); the tail is zero-padded like the assembled stream
     sp_idx = np.sort(rng.integers(0, n_words, size=e)).astype(np.int32)
     sp_words = rng.integers(0, 2**32, size=e, dtype=np.uint32)
     sp_idx[-100:] = 0
     sp_words[-100:] = 0
-    his = (sp_idx.astype(np.int64) >> 7).reshape(-1, pk.SPARSE_CHUNK)
-    bounds = np.stack([his.min(axis=1), his.max(axis=1)], axis=0).astype(
-        np.int32)
     got = np.asarray(pk.sparse_filter_popcount(
-        filters, sp_idx, sp_words, bounds, interpret=True))
+        filters, sp_idx, sp_words, interpret=True))
     want = np.bitwise_count(sp_words & filters[sp_idx]).astype(np.int32)
     np.testing.assert_array_equal(got, want)
 
