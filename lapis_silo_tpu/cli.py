@@ -71,6 +71,14 @@ def _graceful_sigterm():
 
 
 def handle_api(args) -> int:
+    import os
+
+    n_procs = args.apiProcesses or int(os.environ.get("SILO_API_PROCESSES",
+                                                      "1"))
+    is_child = os.environ.get("SILO_API_CHILD") == "1"
+    if n_procs > 1 and not is_child:
+        return _supervise_api(args, n_procs)
+
     from .server.http_server import DatabaseMutex, make_server
     from .server.runtime_config import RuntimeConfig
     from .server.watcher import DatabaseDirectoryWatcher
@@ -90,7 +98,7 @@ def handle_api(args) -> int:
     # that window must unwind gracefully too, so it is inside the try
     try:
         watcher.start()
-        server = make_server(mutex, runtime.port)
+        server = make_server(mutex, runtime.port, reuse_port=is_child)
         logging.getLogger(__name__).info(
             "listening on :%d, watching %s", runtime.port,
             runtime.data_directory)
@@ -101,6 +109,61 @@ def handle_api(args) -> int:
         watcher.stop()
         if server is not None:
             server.server_close()
+    return 0
+
+
+def _supervise_api(args, n_procs: int) -> int:
+    """Scale the API front-end past one interpreter's GIL: N identical
+    server processes share the port via SO_REUSEPORT (the kernel load-
+    balances connections), each with its own watcher, snapshot, and device
+    engine. The supervisor restarts any child that dies (the per-process
+    analog of the reference's keep-serving resilience, SURVEY §5.3)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    _graceful_sigterm()
+    cmd = [sys.executable, "-m", "lapis_silo_tpu.cli", "--api"]
+    for flag in ("runtimeConfig", "dataDirectory"):
+        value = getattr(args, flag)
+        if value:
+            cmd += [f"--{flag}", str(value)]
+    if args.port:
+        cmd += ["--port", str(args.port)]
+    env = dict(os.environ, SILO_API_CHILD="1")
+    # children must resolve the package no matter the supervisor's cwd
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    log = logging.getLogger(__name__)
+
+    def spawn():
+        return subprocess.Popen(cmd, env=env)
+
+    children = [spawn() for _ in range(n_procs)]
+    log.info("api supervisor: %d processes sharing port (SO_REUSEPORT)",
+             n_procs)
+    try:
+        while True:
+            for i, child in enumerate(children):
+                code = child.poll()
+                if code is not None:
+                    log.warning("api process %d exited with %s; restarting",
+                                child.pid, code)
+                    children[i] = spawn()
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        for child in children:
+            if child.poll() is None:
+                child.terminate()
+        deadline = time.time() + 10.0
+        for child in children:
+            try:
+                child.wait(timeout=max(0.1, deadline - time.time()))
+            except subprocess.TimeoutExpired:
+                child.kill()
     return 0
 
 
@@ -191,6 +254,15 @@ def handle_coordinator(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("SILO_JAX_PLATFORM"):
+        # spawned api processes (and tests) select the backend by env; this
+        # container's sitecustomize force-selects the TPU via jax.config, so
+        # the override must also go through jax.config before first use
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["SILO_JAX_PLATFORM"])
     setup_logging()
     parser = argparse.ArgumentParser(prog="lapis-silo-tpu")
     parser.add_argument("--api", action="store_true", help="run the HTTP API server")
@@ -209,6 +281,10 @@ def main(argv=None) -> int:
     parser.add_argument("--runtimeConfig", default=None)
     parser.add_argument("--dataDirectory", default=None)
     parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--apiProcesses", type=int, default=None,
+                        help="run N API server processes sharing the port "
+                             "via SO_REUSEPORT (default 1; also "
+                             "SILO_API_PROCESSES)")
     args = parser.parse_args(argv)
 
     if args.preprocessing:

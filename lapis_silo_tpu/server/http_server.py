@@ -84,27 +84,33 @@ class SiloRequestHandler(BaseHTTPRequestHandler):
     do_HEAD = _handle
 
 
-def _python_server(backend, port: int) -> ThreadingHTTPServer:
+def _python_server(backend, port: int,
+                   reuse_port: bool = False) -> ThreadingHTTPServer:
     handler = type("BoundSiloRequestHandler", (SiloRequestHandler,),
                    {"backend": backend})
-    return SiloHTTPServer(("0.0.0.0", port), handler)
+    server_cls = SiloHTTPServer
+    if reuse_port:
+        server_cls = type("ReusePortSiloHTTPServer", (SiloHTTPServer,),
+                          {"allow_reuse_port": True})
+    return server_cls(("0.0.0.0", port), handler)
 
 
-def _make(backend, port: int):
+def _make(backend, port: int, reuse_port: bool = False):
     impl = os.environ.get("SILO_HTTP_IMPL", "native")
     if impl != "python":
         from .native_http import NativeHTTPServer, native_http_available
 
         if native_http_available():
-            return NativeHTTPServer(backend, port=port)
+            return NativeHTTPServer(backend, port=port, reuse_port=reuse_port)
         if impl == "native":
             logger.warning("native HTTP library unavailable; "
                            "falling back to the Python server")
-    return _python_server(backend, port)
+    return _python_server(backend, port, reuse_port=reuse_port)
 
 
-def make_server(database_mutex: DatabaseMutex, port: int = 8081):
-    return _make(DatabaseBackend(database_mutex), port)
+def make_server(database_mutex: DatabaseMutex, port: int = 8081,
+                reuse_port: bool = False):
+    return _make(DatabaseBackend(database_mutex), port, reuse_port=reuse_port)
 
 
 def make_coordinator_server(coordinator, port: int = 8081):

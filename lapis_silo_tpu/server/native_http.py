@@ -43,6 +43,12 @@ def _get_lib():
         lib.silo_http_create.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, _HANDLER_CFUNC,
         ]
+        if hasattr(lib, "silo_http_create_ex"):
+            lib.silo_http_create_ex.restype = ctypes.c_int
+            lib.silo_http_create_ex.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, _HANDLER_CFUNC,
+                ctypes.c_int,
+            ]
         lib.silo_http_port.restype = ctypes.c_int
         lib.silo_http_port.argtypes = [ctypes.c_int]
         lib.silo_http_respond.restype = None
@@ -73,7 +79,8 @@ class NativeHTTPServer:
     (e.g. the multi-host worker control plane)."""
 
     def __init__(self, backend=None, port: int = 8081,
-                 n_workers: int | None = None, router=None):
+                 n_workers: int | None = None, router=None,
+                 reuse_port: bool = False):
         lib = _get_lib()
         if lib is None:
             raise RuntimeError("native HTTP library unavailable")
@@ -114,8 +121,16 @@ class NativeHTTPServer:
         # the CFUNCTYPE object must outlive the server: C++ workers hold
         # the raw pointer
         self._callback = _HANDLER_CFUNC(handle)
-        self._id = lib.silo_http_create(b"0.0.0.0", port, n_workers,
-                                        self._callback)
+        if reuse_port and not hasattr(lib, "silo_http_create_ex"):
+            raise RuntimeError(
+                "stale libsilo_http.so without SO_REUSEPORT support")
+        if hasattr(lib, "silo_http_create_ex"):
+            self._id = lib.silo_http_create_ex(
+                b"0.0.0.0", port, n_workers, self._callback,
+                1 if reuse_port else 0)
+        else:
+            self._id = lib.silo_http_create(b"0.0.0.0", port, n_workers,
+                                            self._callback)
         if self._id < 0:
             raise OSError(f"could not bind native HTTP server on port {port}")
         self.server_address = ("0.0.0.0", lib.silo_http_port(self._id))

@@ -456,11 +456,19 @@ struct Server {
     }
   }
 
-  bool start(const char* bind_addr, int want_port, int n_workers) {
+  bool start(const char* bind_addr, int want_port, int n_workers,
+             bool reuse_port) {
     listen_fd = socket(AF_INET, SOCK_STREAM | SOCK_NONBLOCK, 0);
     if (listen_fd < 0) return false;
     int one = 1;
     setsockopt(listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    if (reuse_port) {
+      // Several server PROCESSES share one port; the kernel load-balances
+      // accepted connections across their listen queues. This is how the
+      // API front-end scales past one Python interpreter's GIL
+      // (cli.py --apiProcesses).
+      setsockopt(listen_fd, SOL_SOCKET, SO_REUSEPORT, &one, sizeof(one));
+    }
     sockaddr_in addr{};
     addr.sin_family = AF_INET;
     addr.sin_port = htons(uint16_t(want_port));
@@ -529,16 +537,24 @@ void silo_http_respond(void* req, int status, const char* body,
 }
 
 // Start a server; returns a server id >= 0, or -1 on failure.
-int silo_http_create(const char* bind_addr, int port, int n_workers,
-                     HandlerFn handler) {
+// reuse_port != 0 sets SO_REUSEPORT so multiple processes can share the
+// port (kernel-level connection load balancing).
+int silo_http_create_ex(const char* bind_addr, int port, int n_workers,
+                        HandlerFn handler, int reuse_port) {
   auto server = std::make_unique<Server>();
   server->handler = handler;
-  if (!server->start(bind_addr, port, n_workers > 0 ? n_workers : 8)) {
+  if (!server->start(bind_addr, port, n_workers > 0 ? n_workers : 8,
+                     reuse_port != 0)) {
     return -1;
   }
   std::lock_guard<std::mutex> lk(g_servers_mu);
   g_servers.push_back(std::move(server));
   return int(g_servers.size()) - 1;
+}
+
+int silo_http_create(const char* bind_addr, int port, int n_workers,
+                     HandlerFn handler) {
+  return silo_http_create_ex(bind_addr, port, n_workers, handler, 0);
 }
 
 int silo_http_port(int server_id) {

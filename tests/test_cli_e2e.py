@@ -115,3 +115,62 @@ def test_cli_api_sigterm_graceful(cli_output_dir):
     finally:
         if proc is not None:
             proc.kill()
+
+
+def test_cli_api_multiprocess(cli_output_dir):
+    """--apiProcesses 2: the supervisor spawns two server processes sharing
+    the port via SO_REUSEPORT; queries answer correctly and SIGTERM unwinds
+    the whole tree with exit code 0."""
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    probe = socket.socket()
+    probe.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+
+    env = dict(os.environ, SILO_JAX_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "lapis_silo_tpu.cli", "--api",
+         "--dataDirectory", cli_output_dir, "--port", str(port),
+         "--apiProcesses", "2"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    probe.close()
+    try:
+        up = False
+        for _ in range(90):
+            time.sleep(1)
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}/info",
+                                       timeout=2)
+                up = True
+                break
+            except Exception:  # noqa: BLE001 — children still starting
+                pass
+        assert up, "no api process ever came up"
+        body = json.dumps({"action": {"type": "Aggregated"},
+                           "filterExpression": {"type": "True"}}).encode()
+        for _ in range(8):  # fresh connections spread across both processes
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/query", data=body, method="POST")
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                assert json.loads(resp.read()) == {
+                    "queryResult": [{"count": 100}]}
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=30) == 0
+        proc = None
+        # port must be fully released (no orphan children still bound);
+        # SO_REUSEADDR skips our own client sockets' TIME_WAIT but still
+        # fails against a live orphan listener
+        time.sleep(1)
+        leftover = socket.socket()
+        leftover.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        leftover.bind(("127.0.0.1", port))
+        leftover.close()
+    finally:
+        if proc is not None:
+            proc.kill()

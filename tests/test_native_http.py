@@ -225,3 +225,55 @@ def test_concurrent_fasta_is_stable(native_server):
     for t in threads:
         t.join()
     assert not errors
+
+
+def test_reuse_port_two_servers(database):
+    """SO_REUSEPORT: two server instances share one port; the kernel
+    load-balances fresh connections across both (the mechanism behind
+    cli.py --apiProcesses multi-process serving)."""
+    from lapis_silo_tpu.server.native_http import (
+        NativeHTTPServer,
+        native_http_available,
+    )
+
+    if not native_http_available():
+        pytest.skip("native HTTP library unavailable")
+
+    hits = [0, 0]
+    backend = DatabaseBackend(DatabaseMutex(database))
+
+    def make_router(i):
+        from lapis_silo_tpu.server.router import route_request
+
+        def router(method, target, body):
+            hits[i] += 1
+            return route_request(backend, method, target, body)
+
+        return router
+
+    # ports 80xx-81xx belong to the relay; probe a high port with REUSEPORT
+    # set so the pair can bind it afterwards
+    probe = socket.socket()
+    probe.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+
+    a = NativeHTTPServer(router=make_router(0), port=port, reuse_port=True,
+                         n_workers=4)
+    try:
+        b = NativeHTTPServer(router=make_router(1), port=port,
+                             reuse_port=True, n_workers=4)
+    finally:
+        probe.close()
+    try:
+        body = json.dumps({"action": {"type": "Aggregated"},
+                           "filterExpression": {"type": "True"}})
+        for _ in range(64):  # fresh connection each -> rebalanced each
+            status, _h, data = _request(port, "POST", "/query", body)
+            assert status == 200
+            assert json.loads(data) == {"queryResult": [{"count": 100}]}
+        # P(all 64 on one side) ~ 2 * 2^-64 — both must have served
+        assert hits[0] > 0 and hits[1] > 0, hits
+    finally:
+        a.shutdown()
+        b.shutdown()
