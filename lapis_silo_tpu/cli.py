@@ -58,10 +58,13 @@ def handle_preprocessing(args) -> int:
 
 def _graceful_sigterm():
     """SIGTERM unwinds like Ctrl-C so `finally` blocks stop the server and
-    watcher (reference: Poco waitForTerminationRequest handles SIGTERM)."""
+    watcher (reference: Poco waitForTerminationRequest handles SIGTERM).
+    One-shot: a second SIGTERM (e.g. the whole process group being
+    signaled) must not re-raise inside the cleanup `finally` and abort it."""
     import signal
 
     def _term(_signum, _frame):
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
         raise KeyboardInterrupt
 
     try:

@@ -117,6 +117,51 @@ def test_cli_api_sigterm_graceful(cli_output_dir):
             proc.kill()
 
 
+def test_cli_api_double_sigterm(cli_output_dir):
+    """A second SIGTERM while the first one's cleanup is running (the
+    process-group kill pattern: docker/systemd/killpg signal supervisor AND
+    children) must not abort the `finally` unwind — exit code stays 0.
+    Regression: the handler used to stay armed and re-raise inside
+    server_close()."""
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    env = dict(os.environ, SILO_JAX_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "lapis_silo_tpu.cli", "--api",
+         "--dataDirectory", cli_output_dir, "--port", str(port)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    try:
+        up = False
+        for _ in range(60):
+            time.sleep(1)
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}/info",
+                                       timeout=2)
+                up = True
+                break
+            except Exception:  # noqa: BLE001 — still starting
+                pass
+        assert up, "server never came up"
+        proc.send_signal(signal.SIGTERM)
+        time.sleep(0.2)  # first handler fired; cleanup is in flight
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=30) == 0
+        proc = None
+    finally:
+        if proc is not None:
+            proc.kill()
+
+
 def test_cli_api_multiprocess(cli_output_dir):
     """--apiProcesses 2: the supervisor spawns two server processes sharing
     the port via SO_REUSEPORT; queries answer correctly and SIGTERM unwinds
