@@ -261,6 +261,49 @@ class SegmentStats:
 
 _POS_CHUNK = 4096
 
+# Snapshot persistence of the size model (storage/snapshot.py): the model is
+# content-determined per immutable snapshot, so it is computed ONCE at save
+# time and stored — the first live /info (35.7 s at 10M x 32, the watcher's
+# pre-live warm-up) becomes a file read at serve time.
+_CENSUS_KEYS = (
+    "numberOfArrayContainers", "numberOfRunContainers",
+    "numberOfBitsetContainers", "numberOfValuesStoredInArrayContainers",
+    "numberOfValuesStoredInRunContainers",
+    "numberOfValuesStoredInBitsetContainers",
+    "totalBitmapSizeArrayContainers", "totalBitmapSizeRunContainers",
+    "totalBitmapSizeBitsetContainers",
+)
+
+
+def stats_to_arrays(st: SegmentStats) -> dict:
+    """SegmentStats -> flat {field: int64 array} for np.savez."""
+    return {
+        "per_symbol_portable": st.per_symbol_portable.astype(np.int64),
+        "scalars": np.array(
+            [st.total_nonportable, st.portable_total, st.frozen_total,
+             st.missing_nonportable_total], dtype=np.int64),
+        "census": np.array([st.census[k] for k in _CENSUS_KEYS],
+                           dtype=np.int64),
+        "bitset_gap": st.bitset_gap.astype(np.int64),
+        "bitset_missing": st.bitset_missing.astype(np.int64),
+        "bitset_other": st.bitset_other.astype(np.int64),
+    }
+
+
+def stats_from_arrays(arrays: dict) -> SegmentStats:
+    scalars = arrays["scalars"]
+    return SegmentStats(
+        per_symbol_portable=np.asarray(arrays["per_symbol_portable"]),
+        total_nonportable=int(scalars[0]),
+        portable_total=int(scalars[1]),
+        frozen_total=int(scalars[2]),
+        census={k: int(v) for k, v in zip(_CENSUS_KEYS, arrays["census"])},
+        bitset_gap=np.asarray(arrays["bitset_gap"]),
+        bitset_missing=np.asarray(arrays["bitset_missing"]),
+        bitset_other=np.asarray(arrays["bitset_other"]),
+        missing_nonportable_total=int(scalars[3]),
+    )
+
 
 def segment_stats(seg) -> SegmentStats:
     """Model the reference's bitmaps for one SegmentIndex partition."""

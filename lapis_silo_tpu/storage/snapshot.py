@@ -16,6 +16,7 @@ The TPU-native replacement for the reference's boost-archive snapshots
 from __future__ import annotations
 
 import json
+import logging
 import os
 import tempfile
 
@@ -212,11 +213,61 @@ def save_database(db: Database, output_directory: str) -> str:
             np.savez(os.path.join(tmp_dir, f"P{pid}_unaligned_{name}.idx.npz"),
                      offsets=offsets, present=present)
 
+    # /info size model: content-determined per immutable snapshot, so it is
+    # computed once HERE (offline ingest) and stored — the serving process's
+    # first /info (the watcher's pre-live warm-up; 35.7 s at 10M x 32)
+    # becomes a file read. SILO_SNAPSHOT_STATS=0 skips (loaders recompute).
+    if os.environ.get("SILO_SNAPSHOT_STATS", "1") != "0":
+        from . import roaring_stats
+
+        names = []
+        arrays = {}
+        for local_idx, per in enumerate(db._nuc_roaring_stats()):
+            for seg_name, st in per.items():
+                i = len(names)
+                names.append([local_idx, seg_name])
+                for field, arr in roaring_stats.stats_to_arrays(st).items():
+                    arrays[f"s{i}_{field}"] = arr
+        np.savez(os.path.join(tmp_dir, "roaring_stats.npz"), **arrays)
+        with open(os.path.join(tmp_dir, "roaring_stats.json"), "w") as f:
+            json.dump({"names": names}, f)
+
     # Commit: data_version written last, then atomic rename into place.
     with open(os.path.join(tmp_dir, DATA_VERSION_FILE), "w") as f:
         f.write(version)
     os.rename(tmp_dir, final_dir)
     return final_dir
+
+
+def _load_roaring_stats(snapshot_dir: str, db) -> None:
+    """Install the snapshot's precomputed /info size model, if present and
+    covering every (partition, nuc segment); otherwise leave it lazy
+    (older snapshots, or SILO_SNAPSHOT_STATS=0 saves, recompute on first
+    /info exactly as before)."""
+    json_path = os.path.join(snapshot_dir, "roaring_stats.json")
+    npz_path = os.path.join(snapshot_dir, "roaring_stats.npz")
+    if not (os.path.exists(json_path) and os.path.exists(npz_path)):
+        return
+    from . import roaring_stats
+
+    try:
+        with open(json_path) as f:
+            names = json.load(f)["names"]
+        arrays = np.load(npz_path)
+        loaded = [dict() for _ in db.partitions]
+        fields = ("per_symbol_portable", "scalars", "census", "bitset_gap",
+                  "bitset_missing", "bitset_other")
+        for i, (local_idx, seg_name) in enumerate(names):
+            loaded[local_idx][seg_name] = roaring_stats.stats_from_arrays(
+                {field: arrays[f"s{i}_{field}"] for field in fields})
+        for per, partition in zip(loaded, db.partitions):
+            if set(per) != set(partition.nuc_sequences):
+                raise ValueError("stats do not cover every nuc segment")
+        db._roaring_stats = loaded
+    except Exception:  # noqa: BLE001 — corrupt sidecar: fall back to lazy
+        logging.getLogger(__name__).warning(
+            "ignoring unreadable roaring_stats sidecar in %s", snapshot_dir,
+            exc_info=True)
 
 
 def load_database(snapshot_dir: str) -> Database:
@@ -328,6 +379,7 @@ def load_database(snapshot_dir: str) -> Database:
         db.unaligned_nuc_sequences[name] = stores
 
     db.data_version = DataVersion(version)
+    _load_roaring_stats(snapshot_dir, db)
     return db
 
 

@@ -7,6 +7,8 @@ reproduces them through the Roaring size model (storage/roaring_stats.py)
 over the compact bitplane layout.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -199,3 +201,51 @@ def test_batch_stats_words_matches_value_model():
                     "b_run", "b_bitset"):
             np.testing.assert_array_equal(getattr(got, fld), getattr(want, fld),
                                           err_msg=f"trial {trial} field {fld}")
+
+
+def test_snapshot_precomputes_info_stats(example_dataset_db, tmp_path,
+                                          monkeypatch):
+    """save_database stores the /info size model in the snapshot; a loaded
+    database answers /info and /info?details=true byte-identically WITHOUT
+    recomputing it (the 10M first-/info cost moves to offline ingest)."""
+    from lapis_silo_tpu.storage.snapshot import load_database, save_database
+
+    expected_info = example_dataset_db.info()
+    expected_details = example_dataset_db.detailed_info()
+    path = save_database(example_dataset_db, str(tmp_path))
+    assert os.path.exists(os.path.join(path, "roaring_stats.npz"))
+
+    loaded = load_database(path)
+    assert loaded._roaring_stats is not None  # installed from the sidecar
+
+    def boom(seg):
+        raise AssertionError("size model must not be recomputed after load")
+
+    monkeypatch.setattr(roaring_stats, "segment_stats", boom)
+    assert loaded.info() == expected_info
+    assert loaded.detailed_info() == expected_details
+
+
+def test_snapshot_stats_sidecar_optional(example_dataset_db, tmp_path,
+                                         monkeypatch):
+    """Snapshots without the sidecar (older format, SILO_SNAPSHOT_STATS=0)
+    and snapshots with a CORRUPT sidecar still load and compute /info
+    lazily, byte-identically."""
+    from lapis_silo_tpu.storage.snapshot import load_database, save_database
+
+    expected_info = example_dataset_db.info()
+
+    monkeypatch.setenv("SILO_SNAPSHOT_STATS", "0")
+    path = save_database(example_dataset_db, str(tmp_path / "nostats"))
+    assert not os.path.exists(os.path.join(path, "roaring_stats.npz"))
+    loaded = load_database(path)
+    assert loaded._roaring_stats is None
+    assert loaded.info() == expected_info
+
+    monkeypatch.delenv("SILO_SNAPSHOT_STATS")
+    path2 = save_database(example_dataset_db, str(tmp_path / "corrupt"))
+    with open(os.path.join(path2, "roaring_stats.npz"), "wb") as f:
+        f.write(b"not an npz")
+    loaded2 = load_database(path2)
+    assert loaded2._roaring_stats is None  # fell back to lazy
+    assert loaded2.info() == expected_info
