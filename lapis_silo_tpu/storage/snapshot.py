@@ -156,6 +156,20 @@ def save_database(db: Database, output_directory: str) -> str:
     os.makedirs(output_directory, exist_ok=True)
     tmp_dir = tempfile.mkdtemp(prefix=f".{version}_", dir=output_directory)
 
+    # /info size model: content-determined per immutable snapshot, so it is
+    # computed once HERE (offline ingest) and stored — the serving process's
+    # first /info (the watcher's pre-live warm-up; 35.7 s at 10M x 32)
+    # becomes a file read. Computed CONCURRENTLY with the partition writes
+    # below (numpy/zstd release the GIL). SILO_SNAPSHOT_STATS=0 skips
+    # (loaders recompute lazily, exactly as for older snapshots).
+    stats_future = None
+    if os.environ.get("SILO_SNAPSHOT_STATS", "1") != "0":
+        import concurrent.futures
+
+        stats_pool = concurrent.futures.ThreadPoolExecutor(1)
+        stats_future = stats_pool.submit(db._nuc_roaring_stats)
+        stats_pool.shutdown(wait=False)
+
     manifest = {
         "formatVersion": 2,
         "databaseConfig": db.config.to_dict(),
@@ -213,16 +227,12 @@ def save_database(db: Database, output_directory: str) -> str:
             np.savez(os.path.join(tmp_dir, f"P{pid}_unaligned_{name}.idx.npz"),
                      offsets=offsets, present=present)
 
-    # /info size model: content-determined per immutable snapshot, so it is
-    # computed once HERE (offline ingest) and stored — the serving process's
-    # first /info (the watcher's pre-live warm-up; 35.7 s at 10M x 32)
-    # becomes a file read. SILO_SNAPSHOT_STATS=0 skips (loaders recompute).
-    if os.environ.get("SILO_SNAPSHOT_STATS", "1") != "0":
+    if stats_future is not None:
         from . import roaring_stats
 
         names = []
         arrays = {}
-        for local_idx, per in enumerate(db._nuc_roaring_stats()):
+        for local_idx, per in enumerate(stats_future.result()):
             for seg_name, st in per.items():
                 i = len(names)
                 names.append([local_idx, seg_name])
