@@ -169,23 +169,36 @@ def main():
     log(f"queries: {len(queries)}  qps={qps:.1f}  p50={p50 * 1e3:.2f} ms  "
         f"filtered seqs/s/chip={seqs_per_sec:.3g}  counts[:5]={counts[:5]}")
 
-    # vs_baseline: ratio against the newest recorded round (BENCH_r{N}.json);
-    # the reference publishes no numbers (BASELINE.md), so round 1 is null.
+    # vs_baseline: ratio against the checked-in BASELINE_BENCH.json (pinned
+    # to round 1's driver measurement — the reference publishes no numbers,
+    # BASELINE.md). Falls back to the newest BENCH_r{N}.json driver record
+    # (whose value may be nested under "parsed").
     vs_baseline = None
     try:
         import glob
         import re
 
+        here = os.path.dirname(os.path.abspath(__file__))
+        candidates = [os.path.join(here, "BASELINE_BENCH.json")]
         records = []
-        for path in glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")):
+        for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
             match = re.search(r"BENCH_r(\d+)\.json$", path)
             if match:
                 records.append((int(match.group(1)), path))
         if records:
-            with open(max(records)[1]) as f:
+            candidates.append(max(records)[1])
+        for path in candidates:
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
                 previous = json.load(f)
-            if previous.get("value"):
-                vs_baseline = round(qps / float(previous["value"]), 3)
+            baseline_value = previous.get("value") or previous.get(
+                "parsed", {}).get("value")
+            if baseline_value:
+                vs_baseline = round(qps / float(baseline_value), 3)
+                log(f"vs_baseline={vs_baseline} against {os.path.basename(path)} "
+                    f"({baseline_value})")
+                break
     except Exception as ex:  # noqa: BLE001
         log(f"vs_baseline unavailable: {ex}")
 

@@ -60,11 +60,16 @@ def _graceful_sigterm():
     """SIGTERM unwinds like Ctrl-C so `finally` blocks stop the server and
     watcher (reference: Poco waitForTerminationRequest handles SIGTERM).
     One-shot: a second SIGTERM (e.g. the whole process group being
-    signaled) must not re-raise inside the cleanup `finally` and abort it."""
+    signaled) must not re-raise inside the cleanup `finally` and abort it —
+    but a THIRD falls through to SIG_DFL, so a hung cleanup can still be
+    stopped by plain SIGTERM rather than requiring SIGKILL."""
     import signal
 
+    def _ignore_once(_signum, _frame):
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+
     def _term(_signum, _frame):
-        signal.signal(signal.SIGTERM, signal.SIG_IGN)
+        signal.signal(signal.SIGTERM, _ignore_once)
         raise KeyboardInterrupt
 
     try:

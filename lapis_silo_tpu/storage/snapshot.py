@@ -170,6 +170,18 @@ def save_database(db: Database, output_directory: str) -> str:
         stats_future = stats_pool.submit(db._nuc_roaring_stats)
         stats_pool.shutdown(wait=False)
 
+    try:
+        return _save_database_body(db, version, final_dir, tmp_dir, stats_future)
+    except BaseException:
+        # Failure path: don't leave the stats worker computing (~36 s at
+        # 10M) with nothing to join it — cancel if still queued, else wait,
+        # so errors propagate promptly and process exit isn't delayed.
+        if stats_future is not None and not stats_future.cancel():
+            concurrent.futures.wait([stats_future])
+        raise
+
+
+def _save_database_body(db, version, final_dir, tmp_dir, stats_future):
     manifest = {
         "formatVersion": 2,
         "databaseConfig": db.config.to_dict(),
@@ -263,13 +275,13 @@ def _load_roaring_stats(snapshot_dir: str, db) -> None:
     try:
         with open(json_path) as f:
             names = json.load(f)["names"]
-        arrays = np.load(npz_path)
         loaded = [dict() for _ in db.partitions]
         fields = ("per_symbol_portable", "scalars", "census", "bitset_gap",
                   "bitset_missing", "bitset_other")
-        for i, (local_idx, seg_name) in enumerate(names):
-            loaded[local_idx][seg_name] = roaring_stats.stats_from_arrays(
-                {field: arrays[f"s{i}_{field}"] for field in fields})
+        with np.load(npz_path) as arrays:
+            for i, (local_idx, seg_name) in enumerate(names):
+                loaded[local_idx][seg_name] = roaring_stats.stats_from_arrays(
+                    {field: arrays[f"s{i}_{field}"] for field in fields})
         for per, partition in zip(loaded, db.partitions):
             if set(per) != set(partition.nuc_sequences):
                 raise ValueError("stats do not cover every nuc segment")

@@ -70,17 +70,26 @@ QUERIES = [
 ]
 
 
-def wait_ready(port: int, timeout: float = 120.0):
+def wait_ready(port: int, timeout: float = 120.0, n_procs: int = 1):
+    """Ready = 4*n_procs CONSECUTIVE /info successes: with SO_REUSEPORT the
+    kernel spreads connections over children, so one success only proves one
+    child is live; a streak makes a 503 from a still-staging sibling very
+    unlikely to slip into the measured window."""
     deadline = time.time() + timeout
     url = f"http://127.0.0.1:{port}/info"
+    streak = 0
     while time.time() < deadline:
         try:
             with urllib.request.urlopen(url, timeout=5) as resp:
                 info = json.loads(resp.read())
             if info.get("sequenceCount", 0) > 0:
-                return
+                streak += 1
+                if streak >= 4 * n_procs:
+                    return
+                continue
         except Exception:
             pass
+        streak = 0
         time.sleep(0.25)
     raise TimeoutError("server never became ready")
 
@@ -89,22 +98,30 @@ def hammer(port: int, n_clients: int, seconds: float):
     url = f"http://127.0.0.1:{port}/query"
     stop_at = time.time() + seconds
     latencies: list[float] = []
+    errors: list[str] = []
     lock = threading.Lock()
 
     def client(seed: int):
         i = seed
         local = []
+        local_errors = []
         while time.time() < stop_at:
             body = QUERIES[i % len(QUERIES)].encode()
             req = urllib.request.Request(
                 url, data=body, headers={"Content-Type": "application/json"})
             t0 = time.perf_counter()
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                resp.read()
+            try:
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    resp.read()
+            except Exception as ex:  # noqa: BLE001 — count, don't die silently
+                local_errors.append(f"{type(ex).__name__}: {ex}")
+                i += 1
+                continue
             local.append(time.perf_counter() - t0)
             i += 1
         with lock:
             latencies.extend(local)
+            errors.extend(local_errors)
 
     threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
     t_start = time.time()
@@ -114,6 +131,13 @@ def hammer(port: int, n_clients: int, seconds: float):
         t.join()
     elapsed = time.time() - t_start
     latencies.sort()
+    if errors:
+        log(f"hammer: {len(errors)} request errors "
+            f"({len(latencies)} ok); first: {errors[0]}")
+        if not latencies or len(errors) > len(latencies) * 0.01:
+            raise RuntimeError(
+                f"hammer error rate too high: {len(errors)} errors / "
+                f"{len(latencies)} ok — first: {errors[0]}")
     qps = len(latencies) / elapsed
     p50 = latencies[len(latencies) // 2] * 1e3 if latencies else float("nan")
     p99 = latencies[int(len(latencies) * 0.99)] * 1e3 if latencies else float("nan")
@@ -130,18 +154,24 @@ def run_config(data_dir: str, port: int, n_procs: int,
          "--apiProcesses", str(n_procs)],
         env=env, cwd=REPO, start_new_session=True)
     try:
-        wait_ready(port)
+        wait_ready(port, n_procs=n_procs)
         hammer(port, n_clients, 2.0)  # warm-up
         qps, p50, p99 = hammer(port, n_clients, seconds)
         log(f"apiProcesses={n_procs}: {qps:.0f} req/s p50={p50:.1f}ms "
             f"p99={p99:.1f}ms ({n_clients} clients)")
         return qps, p50, p99
     finally:
-        os.killpg(proc.pid, signal.SIGTERM)
+        try:
+            os.killpg(proc.pid, signal.SIGTERM)
+        except ProcessLookupError:  # group already gone (startup crash):
+            pass                    # don't mask the original exception
         try:
             proc.wait(timeout=15)
         except subprocess.TimeoutExpired:
-            os.killpg(proc.pid, signal.SIGKILL)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
             proc.wait()
 
 

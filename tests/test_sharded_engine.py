@@ -113,3 +113,66 @@ def test_sharded_engine_kernel_path_matches_xla(monkeypatch):
     assert got == want
     assert calls["sharded"] > 0, "vm_run_sharded was never reached"
     de._interpreter.cache_clear()  # drop closures over the spy/env
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_conformance_corpus_through_vm_run_sharded(example_dataset_db,
+                                                   monkeypatch):
+    """End-to-end conformance sample on the FORCED multi-chip Mosaic path:
+    the exampleDataset corpus executed with bank3 + interpret-mode pallas
+    under shard_map over the 8-device mesh (the configuration a real pod
+    runs) must produce the reference's exact expected responses."""
+    import os
+
+    from .test_conformance import QUERIES_DIR, deep_equal
+
+    monkeypatch.setenv("SILO_FORCE_BANK3", "1")
+    monkeypatch.setenv("SILO_PALLAS_INTERPRET", "1")
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+    from lapis_silo_tpu.query.engine import QueryEngine
+
+    calls = {"sharded": 0}
+    real = pk.vm_run_sharded
+
+    def spy(*args, **kwargs):
+        calls["sharded"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "vm_run_sharded", spy)
+    de._interpreter.cache_clear()
+    db = example_dataset_db
+    saved_engine = db._engine
+    saved_device_engine = getattr(db, "device_engine", None)
+    try:
+        db._engine = None
+        engine = QueryEngine(db)
+        kernel_engine = de.DeviceEngine(db, devices=jax.devices()[:8])
+        assert kernel_engine.mesh is not None and kernel_engine.bank3
+        engine._device_engine = kernel_engine
+        db.device_engine = kernel_engine
+        # a corpus sample spanning every action family (interpret-mode
+        # pallas is slow — the full 94 run on the default path already)
+        sample = [
+            "And.json", "nOf_2of3_aggregated.json", "HasAAMutation.json",
+            "nOf_2of3_mutations.json", "sequenceStartEndMutations.json",
+            "GroupByLineageOrderByCountLimit.json", "DetailsOrderByLimit.json",
+            "fastaAligned.json", "insertionsAction.json", "Maybe.json",
+        ]
+        ran = 0
+        for case_file in sample:
+            path = os.path.join(QUERIES_DIR, case_file)
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                case = json.load(f)
+            response = engine.execute(json.dumps(case["query"]))
+            deep_equal({"queryResult": case["expectedQueryResult"]},
+                       response, case_file)
+            ran += 1
+        assert ran >= 8, f"only {ran} corpus cases found"
+        assert calls["sharded"] > 0, "vm_run_sharded was never reached"
+    finally:
+        db._engine = saved_engine
+        db.device_engine = saved_device_engine
+        de._interpreter.cache_clear()
