@@ -1,0 +1,317 @@
+"""Count fast path for the native HTTP server.
+
+The reference serves queries entirely in native code
+(/root/reference/src/silo_api/query_handler.cpp:22-74); the TPU repo's
+equivalent splits the request path in two:
+
+- C++ (native/silo_http.cpp) matches exact `POST /query` bodies against a
+  registered map and queues hits for the drainer — zero Python per request.
+- ONE Python drainer thread (here) pops whole batches, resolves each opaque
+  handle to a pre-lowered filter program, answers the batch with a single
+  device dispatch (DeviceEngine.count_programs), and hands the counts back
+  for C++ to format and write.
+
+Registration happens on the slow path: after the Python router answers a
+`POST /query` 200, `maybe_register` checks the query is count-shaped
+(Aggregated, no group-by, no offset/limit effects) and — once per distinct
+body per snapshot generation — registers body -> (generation << 20 | index)
+with the C++ map.
+
+Snapshot swaps (the watcher) are handled by the drainer alone: it clears the
+C++ map (after which no old-generation task can enter the queue), drains the
+queue to empty answering with the OLD generation's programs/engine/version
+(each request sees one consistent snapshot, exactly like the slow path), and
+only then retires the old table and bumps the generation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import logging
+import threading
+
+logger = logging.getLogger(__name__)
+
+MAX_BATCH = 512  # mirrors ops.device_engine.MAX_BATCH_QUERIES
+_GEN_SHIFT = 20
+_IDX_MASK = (1 << _GEN_SHIFT) - 1
+_GEN_MASK = (1 << (32 - _GEN_SHIFT)) - 1
+_NEGATIVE_CACHE_MAX = 65536
+
+
+def fastpath_symbols_available(lib) -> bool:
+    return all(
+        hasattr(lib, name)
+        for name in ("silo_fastpath_register", "silo_fastpath_clear",
+                     "silo_fastpath_wait", "silo_fastpath_respond_counts",
+                     "silo_fastpath_respond_error")
+    )
+
+
+class _Generation:
+    """One snapshot generation: the database/engine it serves, an append-only
+    program table (index = low handle bits), and the data-version bytes."""
+
+    def __init__(self, gen: int, epoch: int, database, engine):
+        self.gen = gen
+        self.epoch = epoch  # swap epoch at creation; any later swap retires
+        self.database = database
+        self.engine = engine
+        self.version = (database.data_version.value or "").encode("ascii")
+        self.programs: list = []
+        self.registered: set[bytes] = set()
+        self.negative: set[bytes] = set()
+
+
+class CountFastPath:
+    """Owns the drainer thread and the registration state for one native
+    HTTP server instance."""
+
+    def __init__(self, lib, server_id: int, database_mutex):
+        self._lib = lib
+        self._sid = server_id
+        self._mutex = database_mutex
+        self._reg_lock = threading.Lock()
+        self._state: _Generation | None = None
+        self._tables: dict[int, _Generation] = {}
+        self._next_gen = 0
+        # Bumped (under _reg_lock) by the mutex swap listener BEFORE it
+        # clears the C++ map. A generation whose epoch is stale must be
+        # retired even when the database object looks current again —
+        # swap A->B->A inside one drainer tick would otherwise leave
+        # `registered` claiming bodies the C++ map no longer holds (and a
+        # racing registration could resurrect pre-swap programs).
+        self._swap_epoch = 0
+        self._keys = (ctypes.c_uint64 * MAX_BATCH)()
+        self._handles = (ctypes.c_uint32 * MAX_BATCH)()
+        self._counts = (ctypes.c_int64 * MAX_BATCH)()
+        lib.silo_fastpath_wait.restype = ctypes.c_int
+        lib.silo_fastpath_wait.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.silo_fastpath_register.restype = None
+        lib.silo_fastpath_register.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint32,
+        ]
+        lib.silo_fastpath_clear.restype = None
+        lib.silo_fastpath_clear.argtypes = [ctypes.c_int]
+        lib.silo_fastpath_respond_counts.restype = None
+        lib.silo_fastpath_respond_counts.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_char_p,
+        ]
+        lib.silo_fastpath_respond_error.restype = None
+        lib.silo_fastpath_respond_error.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        # Swap-freshness parity with the slow path: clearing the C++ map the
+        # moment the watcher installs a new snapshot means no NEW request can
+        # match a stale body; already-queued tasks are in-flight and answered
+        # with the old (consistent) snapshot, exactly like slow-path requests
+        # that resolved just before the swap. (Without this the drainer's
+        # 250 ms poll bounds staleness instead.) A racing registration can
+        # re-add an old-generation body; the drainer's _retire clears again
+        # under _reg_lock, which closes that window for good.
+        if hasattr(database_mutex, "add_swap_listener"):
+            database_mutex.add_swap_listener(self._on_swap)
+        self._thread = threading.Thread(
+            target=self._drain_loop, name="silo-fastpath", daemon=True)
+        self._thread.start()
+
+    def _on_swap(self) -> None:
+        """Mutex swap listener (watcher thread). Bump-then-clear: any
+        registration completing after the bump aborts on the epoch check;
+        one completing before it is wiped by the clear."""
+        with self._reg_lock:
+            self._swap_epoch += 1
+        self._lib.silo_fastpath_clear(self._sid)
+
+    # -- registration (called from native worker threads) ---------------------
+
+    def maybe_register(self, body: bytes) -> None:
+        """Register `body` for the fast path if its response is a pure count.
+        Called after the slow path answered it with a 200 — so the query is
+        known-valid and the device engine exists."""
+        try:
+            self._maybe_register(body)
+        except Exception:  # noqa: BLE001 — registration is best-effort
+            logger.exception("fast-path registration failed")
+
+    def _maybe_register(self, body: bytes) -> None:
+        state = self._state
+        if state is None or state.database is not self._mutex.get_database():
+            return  # drainer will swap generations shortly
+        key = bytes(body)
+        if key in state.registered or key in state.negative:
+            return
+        data = self._count_shaped(key)
+        if data is None:
+            if len(state.negative) < _NEGATIVE_CACHE_MAX:
+                state.negative.add(key)
+            return
+        from ..query import ast
+
+        filter_expr = ast.parse_expression(data["filterExpression"])
+        filter_key = json.dumps(data["filterExpression"], sort_keys=True,
+                                separators=(",", ":"))
+        engine = state.engine
+        program = engine.lower_cached(filter_expr, filter_key)[0]
+        with self._reg_lock:
+            if state is not self._state or state.epoch != self._swap_epoch:
+                return  # generation retired / snapshot swapped mid-register
+            idx = len(state.programs)
+            if idx > _IDX_MASK:
+                return  # table full: stop registering this generation
+            state.programs.append(program)
+            handle = ((state.gen & _GEN_MASK) << _GEN_SHIFT) | idx
+            self._lib.silo_fastpath_register(self._sid, key, len(key), handle)
+            state.registered.add(key)
+
+    @staticmethod
+    def _count_shaped(key: bytes):
+        """The parsed query dict when the response is exactly [{"count": N}]
+        with no post-processing — Aggregated, no group-by, offset absent/0,
+        limit absent/>=1 (orderBy on a single count row is the identity, and
+        the slow path already validated it) — else None."""
+        from ..query.actions import Aggregated, parse_action
+
+        try:
+            data = json.loads(key)
+            action = parse_action(data["action"])
+        except Exception:  # noqa: BLE001 — slow path answered; stay out
+            return None
+        if not isinstance(data.get("filterExpression"), dict):
+            return None
+        if not isinstance(action, Aggregated) or action.group_by_fields:
+            return None
+        if action.offset not in (None, 0):
+            return None
+        if action.limit is not None and action.limit < 1:
+            return None
+        # sparse-leaf programs ride the engine's shape ladder; they are
+        # still a single dispatch, so no further restriction is needed
+        return data
+
+    # -- drainer ---------------------------------------------------------------
+
+    def _ensure_state(self) -> _Generation | None:
+        """Swap generations when the watcher installed a new snapshot. Runs
+        ONLY in the drainer thread."""
+        database = self._mutex.get_database()
+        state = self._state
+        if (state is not None and state.database is database
+                and state.epoch == self._swap_epoch):
+            return state
+        engine = getattr(database, "device_engine", None)
+        if engine is None:
+            # The slow path creates the engine on the first device query;
+            # until then there is nothing to register or answer.
+            if state is not None:
+                self._retire(state)
+            return None
+        with self._reg_lock:
+            gen = self._next_gen
+            self._next_gen += 1
+            new_state = _Generation(gen, self._swap_epoch, database, engine)
+            self._tables[gen] = new_state
+            self._state = new_state
+        return new_state
+
+    def _retire(self, state: _Generation) -> None:
+        """Clear the C++ map and answer every queued old-generation task,
+        then drop retired tables. After silo_fastpath_clear returns, no task
+        for a cleared entry can enter the queue (fp_mu covers match+push),
+        so one empty poll proves the queue holds no old handles."""
+        with self._reg_lock:
+            if self._state is state:
+                self._state = None  # stop registrations into the old table
+        self._lib.silo_fastpath_clear(self._sid)
+        while True:
+            n = self._lib.silo_fastpath_wait(
+                self._sid, self._keys, self._handles, MAX_BATCH, 20)
+            if n <= 0:
+                break
+            self._answer(n)
+        keep = self._state.gen if self._state is not None else None
+        self._tables = {g: t for g, t in self._tables.items() if g == keep}
+
+    def _drain_loop(self) -> None:
+        while True:
+            n = self._lib.silo_fastpath_wait(
+                self._sid, self._keys, self._handles, MAX_BATCH, 250)
+            if n < 0:
+                return  # server stopping
+            if n > 0:
+                # Answer BEFORE any retire: _retire re-polls into the same
+                # self._keys/_handles buffers and would clobber these tasks.
+                # Old-generation answers are correct — the old program table
+                # stays in _tables until _retire prunes it.
+                try:
+                    self._answer(n)
+                except Exception:  # noqa: BLE001 — the drainer must survive
+                    logger.exception("fast-path drain failed")
+            state = self._state
+            if state is not None and (
+                    state.epoch != self._swap_epoch
+                    or state.database is not self._mutex.get_database()):
+                self._retire(state)
+            if self._state is None:
+                self._ensure_state()
+
+    def _answer(self, n: int) -> None:
+        """Answer n popped tasks, grouped by generation (normally one)."""
+        by_gen: dict[int, list[int]] = {}
+        for i in range(n):
+            by_gen.setdefault((self._handles[i] >> _GEN_SHIFT) & _GEN_MASK,
+                              []).append(i)
+        for gen, idxs in by_gen.items():
+            table = self._tables.get(gen)
+            if table is None:
+                self._respond_error(
+                    idxs, 500, {"error": "Internal Server Error",
+                                "message": "fast-path generation retired"})
+                continue
+            try:
+                # Coalesce identical requests within the batch: hundreds of
+                # connections asking the same body share ONE program slot in
+                # the dispatch (the same instant, the same snapshot — pure
+                # fan-out, not a cache).
+                slot_of: dict[int, int] = {}
+                task_slot: list[int] = []
+                programs = []
+                for i in idxs:
+                    handle_idx = self._handles[i] & _IDX_MASK
+                    slot = slot_of.get(handle_idx)
+                    if slot is None:
+                        slot = len(programs)
+                        slot_of[handle_idx] = slot
+                        programs.append(table.programs[handle_idx])
+                    task_slot.append(slot)
+                engine = table.engine
+                min_k, min_e = engine.sparse_floors(programs)
+                from ..ops.device_engine import _BATCH_LEN_BUCKETS
+
+                unique_counts = engine.count_programs(
+                    programs, min_bucket=_BATCH_LEN_BUCKETS[-1],
+                    min_sparse_k=min_k, min_sparse_e=min_e)
+                counts = [unique_counts[s] for s in task_slot]
+            except Exception as ex:  # noqa: BLE001 — parity: JSON 500
+                logger.exception("fast-path batch dispatch failed")
+                self._respond_error(
+                    idxs, 500, {"error": "Internal Server Error",
+                                "message": str(ex)})
+                continue
+            keys = (ctypes.c_uint64 * len(idxs))(
+                *[self._keys[i] for i in idxs])
+            vals = (ctypes.c_int64 * len(idxs))(*counts)
+            self._lib.silo_fastpath_respond_counts(
+                self._sid, keys, vals, len(idxs), table.version)
+
+    def _respond_error(self, idxs: list[int], status: int, payload: dict) -> None:
+        body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+        keys = (ctypes.c_uint64 * len(idxs))(*[self._keys[i] for i in idxs])
+        self._lib.silo_fastpath_respond_error(
+            self._sid, keys, len(idxs), status, body, len(body))

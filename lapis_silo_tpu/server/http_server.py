@@ -32,6 +32,7 @@ class DatabaseMutex:
     def __init__(self, database: Database | None = None):
         self._lock = threading.Lock()
         self._database = database if database is not None else Database.empty()
+        self._listeners = []
 
     def get_database(self) -> Database:
         with self._lock:
@@ -40,6 +41,15 @@ class DatabaseMutex:
     def set_database(self, database: Database):
         with self._lock:
             self._database = database
+            listeners = list(self._listeners)
+        for fn in listeners:  # outside the lock: listeners may be slow
+            fn()
+
+    def add_swap_listener(self, fn):
+        """Call fn() after every set_database (e.g. the native count fast
+        path clears its body map so no post-swap request matches stale)."""
+        with self._lock:
+            self._listeners.append(fn)
 
 
 class SiloHTTPServer(ThreadingHTTPServer):

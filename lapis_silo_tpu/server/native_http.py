@@ -98,21 +98,30 @@ class NativeHTTPServer:
             # pool must cover the target batch width, not the CPU count.
             n_workers = int(os.environ.get("SILO_HTTP_WORKERS", "128"))
 
+        self._fastpath = None  # set after the server id exists
+
         def handle(req, method, target, body_ptr, body_len):
             try:
                 body = (ctypes.string_at(body_ptr, body_len)
                         if body_len else b"")
+                method_s = method.decode("ascii", "replace")
+                target_s = target.decode("utf-8", "replace")
                 status, payload, data_version = router(
-                    method.decode("ascii", "replace"),
-                    target.decode("utf-8", "replace"),
-                    body,
-                )
+                    method_s, target_s, body)
                 encoded = json.dumps(payload, ensure_ascii=False).encode("utf-8")
                 lib.silo_http_respond(
                     req, status, encoded, len(encoded),
                     data_version.encode("ascii") if data_version is not None
                     else None,
                 )
+                # Count fast path: teach the C++ matcher this body AFTER the
+                # response went out (first hit is slow-path, repeats are
+                # native). Exact-path only — the C++ matcher compares the
+                # raw target, so /query?x=y stays on the slow path.
+                fastpath = self._fastpath
+                if (fastpath is not None and status == 200
+                        and method_s == "POST" and target_s == "/query"):
+                    fastpath.maybe_register(body)
             except Exception:  # noqa: BLE001 — a worker must always respond
                 logger.exception("native HTTP handler failed")
                 lib.silo_http_respond(
@@ -134,6 +143,13 @@ class NativeHTTPServer:
         if self._id < 0:
             raise OSError(f"could not bind native HTTP server on port {port}")
         self.server_address = ("0.0.0.0", lib.silo_http_port(self._id))
+        mutex = getattr(backend, "database_mutex", None)
+        if (mutex is not None
+                and os.environ.get("SILO_FASTPATH", "1") != "0"):
+            from .fastpath import CountFastPath, fastpath_symbols_available
+
+            if fastpath_symbols_available(lib):
+                self._fastpath = CountFastPath(lib, self._id, mutex)
         # C++ workers must never call back into a finalizing interpreter:
         # stop (and join) the native threads before Python tears down.
         import atexit

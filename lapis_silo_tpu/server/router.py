@@ -25,6 +25,9 @@ class DatabaseBackend:
 
     def __init__(self, database_mutex):
         self._mutex = database_mutex
+        # exposed so the native server's count fast path (server/fastpath.py)
+        # can track snapshot swaps; CoordinatorBackend deliberately has none
+        self.database_mutex = database_mutex
 
     def resolve(self):
         return _DatabaseView(self._mutex.get_database())

@@ -21,6 +21,16 @@
 // Contract with the handler: it must call silo_http_respond(req, ...)
 // exactly once before returning (synchronous model); if it does not, the
 // worker sends a generic 500 so a lost response can never wedge a client.
+//
+// Count fast path (reference parity: the reference serves queries entirely
+// in native code, src/silo_api/query_handler.cpp:22-74): the Python side
+// registers exact `POST /query` bodies whose response is a pure count
+// (silo_fastpath_register). The I/O thread matches arriving bodies against
+// that map and — on a hit — queues {conn_key, handle} for a single Python
+// drainer thread (silo_fastpath_wait) instead of waking a worker. The
+// drainer answers a whole batch with ONE device dispatch and hands the
+// counts back (silo_fastpath_respond_counts); response JSON is formatted
+// here. Per-request Python work on this path is zero.
 
 #include <arpa/inet.h>
 #include <errno.h>
@@ -36,7 +46,9 @@
 #include <unistd.h>
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
+#include <functional>
 #include <cstdint>
 #include <cstdio>
 #include <deque>
@@ -44,6 +56,7 @@
 #include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -75,6 +88,12 @@ struct Completion {
   uint64_t conn_key = 0;
   bool close_after = false;
   std::string bytes;
+};
+
+struct FpTask {
+  uint64_t conn_key = 0;
+  uint32_t handle = 0;
+  bool keep_alive = true;
 };
 
 const char* status_reason(int status) {
@@ -137,6 +156,16 @@ struct Server {
 
   std::mutex c_mu;
   std::deque<Completion> completions;
+
+  // Count fast path. ONE mutex guards map + queue + in-flight keep-alive
+  // state so a clear() strictly precedes any later match: after clear
+  // returns, no task for a cleared entry can still enter fp_queue.
+  std::atomic<bool> fp_enabled{false};
+  std::mutex fp_mu;
+  std::condition_variable fp_cv;
+  std::unordered_map<std::string, uint32_t> fp_map;
+  std::deque<FpTask> fp_queue;
+  std::unordered_map<uint64_t, bool> fp_keepalive;  // in-flight requests
 
   struct Conn {
     int fd = -1;
@@ -263,15 +292,38 @@ struct Server {
       if (c.in.size() < body_start + content_length) return;  // need more
 
       c.sent_continue = false;  // next request may Expect its own 100
+      std::string body = c.in.substr(body_start, content_length);
+      c.in.erase(0, body_start + content_length);
+      c.busy = true;
+      if (!keep_alive) c.close_after = true;
+
+      // Count fast path: exact-body match dispatches straight to the batch
+      // drainer — no worker wake-up, no Python on the request path.
+      if (fp_enabled.load(std::memory_order_acquire) && method == "POST" &&
+          target == "/query") {
+        bool hit = false;
+        {
+          std::lock_guard<std::mutex> lk(fp_mu);
+          auto it = fp_map.find(body);
+          if (it != fp_map.end()) {
+            hit = true;
+            uint64_t key = key_of(slot);
+            fp_keepalive[key] = keep_alive;
+            fp_queue.push_back(FpTask{key, it->second, keep_alive});
+          }
+        }
+        if (hit) {
+          fp_cv.notify_one();
+          continue;  // next pipelined request
+        }
+      }
+
       Task task;
       task.conn_key = key_of(slot);
       task.keep_alive = keep_alive;
       task.method = std::move(method);
       task.target = std::move(target);
-      task.body = c.in.substr(body_start, content_length);
-      c.in.erase(0, body_start + content_length);
-      c.busy = true;
-      if (!keep_alive) c.close_after = true;
+      task.body = std::move(body);
       {
         std::lock_guard<std::mutex> lk(q_mu);
         queue.push_back(std::move(task));
@@ -501,6 +553,7 @@ struct Server {
   void stop() {
     stopping.store(true);
     q_cv.notify_all();
+    fp_cv.notify_all();
     uint64_t one = 1;
     ssize_t ignored = write(event_fd, &one, sizeof(one));
     (void)ignored;
@@ -516,7 +569,16 @@ struct Server {
 };
 
 std::mutex g_servers_mu;
-std::vector<std::unique_ptr<Server>> g_servers;
+// shared_ptr: a drainer thread blocked in silo_fastpath_wait must keep the
+// Server alive across silo_http_stop (stop() wakes it; the last reference
+// releases the object).
+std::vector<std::shared_ptr<Server>> g_servers;
+
+std::shared_ptr<Server> get_server(int server_id) {
+  std::lock_guard<std::mutex> lk(g_servers_mu);
+  if (server_id < 0 || size_t(server_id) >= g_servers.size()) return nullptr;
+  return g_servers[size_t(server_id)];
+}
 
 }  // namespace
 
@@ -541,7 +603,7 @@ void silo_http_respond(void* req, int status, const char* body,
 // port (kernel-level connection load balancing).
 int silo_http_create_ex(const char* bind_addr, int port, int n_workers,
                         HandlerFn handler, int reuse_port) {
-  auto server = std::make_unique<Server>();
+  auto server = std::make_shared<Server>();
   server->handler = handler;
   if (!server->start(bind_addr, port, n_workers > 0 ? n_workers : 8,
                      reuse_port != 0)) {
@@ -558,16 +620,137 @@ int silo_http_create(const char* bind_addr, int port, int n_workers,
 }
 
 int silo_http_port(int server_id) {
-  std::lock_guard<std::mutex> lk(g_servers_mu);
-  if (server_id < 0 || size_t(server_id) >= g_servers.size() ||
-      !g_servers[size_t(server_id)]) {
-    return -1;
+  auto server = get_server(server_id);
+  return server ? server->port : -1;
+}
+
+// ---- count fast path ------------------------------------------------------
+
+// Register (or refresh) a fast-path entry: an exact `POST /query` body whose
+// response is {"queryResult": [{"count": N}]}. `handle` is an opaque Python-
+// side program id (generation-tagged there). Also enables the fast path.
+void silo_fastpath_register(int server_id, const char* body, int64_t body_len,
+                            uint32_t handle) {
+  auto server = get_server(server_id);
+  if (!server) return;
+  {
+    std::lock_guard<std::mutex> lk(server->fp_mu);
+    server->fp_map[std::string(body, size_t(body_len))] = handle;
   }
-  return g_servers[size_t(server_id)]->port;
+  server->fp_enabled.store(true, std::memory_order_release);
+}
+
+// Drop every registered body (snapshot swap). After this returns, no new
+// fast-path task for a cleared entry can enter the queue — tasks already
+// queued still carry their old (generation-tagged) handles and must be
+// answered by the drainer before it retires the old program table.
+void silo_fastpath_clear(int server_id) {
+  auto server = get_server(server_id);
+  if (!server) return;
+  std::lock_guard<std::mutex> lk(server->fp_mu);
+  server->fp_map.clear();
+}
+
+// Block (call with the GIL released) until fast-path tasks are queued; pop
+// up to max_n into keys/handles. Returns the count, 0 on timeout, -1 when
+// the server is stopping (drainer should exit).
+int silo_fastpath_wait(int server_id, uint64_t* keys, uint32_t* handles,
+                       int max_n, int timeout_ms) {
+  auto server = get_server(server_id);
+  if (!server) return -1;
+  std::unique_lock<std::mutex> lk(server->fp_mu);
+  bool ready = server->fp_cv.wait_for(
+      lk, std::chrono::milliseconds(timeout_ms),
+      [&] { return server->stopping.load() || !server->fp_queue.empty(); });
+  if (!server->fp_queue.empty()) {
+    int n = 0;
+    while (n < max_n && !server->fp_queue.empty()) {
+      FpTask& t = server->fp_queue.front();
+      keys[n] = t.conn_key;
+      handles[n] = t.handle;
+      n++;
+      server->fp_queue.pop_front();
+    }
+    return n;
+  }
+  return (ready && server->stopping.load()) ? -1 : 0;
+}
+
+namespace {
+
+void fp_complete(Server& server, const uint64_t* keys, int n,
+                 const std::function<void(int, PendingResponse&)>& fill) {
+  std::vector<bool> keep(size_t(n), true);
+  {
+    std::lock_guard<std::mutex> lk(server.fp_mu);
+    for (int i = 0; i < n; i++) {
+      auto it = server.fp_keepalive.find(keys[i]);
+      if (it != server.fp_keepalive.end()) {
+        keep[size_t(i)] = it->second;
+        server.fp_keepalive.erase(it);
+      }
+    }
+  }
+  std::vector<Completion> done;
+  done.reserve(size_t(n));
+  for (int i = 0; i < n; i++) {
+    PendingResponse r;
+    fill(i, r);
+    Completion comp;
+    comp.conn_key = keys[i];
+    comp.close_after = !keep[size_t(i)];
+    comp.bytes = build_response(r, keep[size_t(i)]);
+    done.push_back(std::move(comp));
+  }
+  {
+    std::lock_guard<std::mutex> lk(server.c_mu);
+    for (auto& comp : done) server.completions.push_back(std::move(comp));
+  }
+  uint64_t one = 1;
+  ssize_t ignored = write(server.event_fd, &one, sizeof(one));
+  (void)ignored;
+}
+
+}  // namespace
+
+// Answer a batch of fast-path tasks with their counts; the response JSON is
+// formatted here, byte-identical to the Python router's json.dumps output.
+void silo_fastpath_respond_counts(int server_id, const uint64_t* keys,
+                                  const int64_t* counts, int n,
+                                  const char* data_version) {
+  auto server = get_server(server_id);
+  if (!server) return;
+  fp_complete(*server, keys, n, [&](int i, PendingResponse& r) {
+    r.set = true;
+    r.status = 200;
+    char buf[64];
+    int len = snprintf(buf, sizeof(buf), "%lld", (long long)counts[i]);
+    r.body.reserve(32 + size_t(len));
+    r.body += "{\"queryResult\": [{\"count\": ";
+    r.body.append(buf, size_t(len));
+    r.body += "}]}";
+    if (data_version != nullptr) {
+      r.has_data_version = true;
+      r.data_version = data_version;
+    }
+  });
+}
+
+// Answer a batch of fast-path tasks with one shared error payload.
+void silo_fastpath_respond_error(int server_id, const uint64_t* keys, int n,
+                                 int status, const char* body,
+                                 int64_t body_len) {
+  auto server = get_server(server_id);
+  if (!server) return;
+  fp_complete(*server, keys, n, [&](int, PendingResponse& r) {
+    r.set = true;
+    r.status = status;
+    r.body.assign(body, size_t(body_len));
+  });
 }
 
 void silo_http_stop(int server_id) {
-  std::unique_ptr<Server> server;
+  std::shared_ptr<Server> server;
   {
     std::lock_guard<std::mutex> lk(g_servers_mu);
     if (server_id < 0 || size_t(server_id) >= g_servers.size()) return;
