@@ -17,15 +17,21 @@ logger = logging.getLogger(__name__)
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "libsilo_native.so")
+# SILO_NATIVE_SUFFIX=.asan loads libsilo_*.asan.so (built by `make asan`
+# with -fsanitize=address) — the sanitizer harness runs the same Python
+# call sites against instrumented native code (reference parity: the
+# reference compiles Debug with -fsanitize=address, CMakeLists.txt:11).
+_SUFFIX = os.environ.get("SILO_NATIVE_SUFFIX", "")
+_SO_PATH = os.path.join(_NATIVE_DIR, f"libsilo_native{_SUFFIX}.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
 def _build() -> bool:
+    target = "asan" if _SUFFIX == ".asan" else "all"
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+        subprocess.run(["make", "-C", _NATIVE_DIR, target], check=True,
                        capture_output=True, timeout=120)
         return True
     except Exception as ex:  # noqa: BLE001
@@ -38,7 +44,10 @@ _named_libs: dict = {}
 
 def get_named_lib(so_name: str):
     """Load (building if needed) an arbitrary shared library from native/
-    — e.g. libsilo_http.so. Returns None when unavailable."""
+    — e.g. libsilo_http.so (SILO_NATIVE_SUFFIX rewrites it to the
+    sanitized variant). Returns None when unavailable."""
+    if _SUFFIX and so_name.endswith(".so"):
+        so_name = so_name[: -len(".so")] + _SUFFIX + ".so"
     with _lock:
         if so_name in _named_libs:
             return _named_libs[so_name]
