@@ -234,56 +234,73 @@ class CountFastPath:
                 self._sid, self._keys, self._handles, MAX_BATCH, 20)
             if n <= 0:
                 break
-            self._answer(n)
+            dispatched = self._dispatch(self._pop_copy(n))
+            if dispatched is not None:
+                self._complete(dispatched)
         keep = self._state.gen if self._state is not None else None
         self._tables = {g: t for g, t in self._tables.items() if g == keep}
 
+    def _pop_copy(self, n: int) -> list[tuple[int, int]]:
+        """Copy popped (key, handle) pairs out of the shared ctypes buffers
+        — the next silo_fastpath_wait reuses them."""
+        return [(self._keys[i], self._handles[i]) for i in range(n)]
+
     def _drain_loop(self) -> None:
+        # Two-deep pipeline: the relay costs a round trip to dispatch and
+        # another to read counts back, so batch k dispatches while batch
+        # k-1's readback is in flight. With more connections than one batch
+        # holds, both round trips overlap the device work and the cycle
+        # time halves (measured: 6.1k -> see BENCHMARKS "serving pipeline").
+        inflight = None
         while True:
             n = self._lib.silo_fastpath_wait(
-                self._sid, self._keys, self._handles, MAX_BATCH, 250)
+                self._sid, self._keys, self._handles, MAX_BATCH,
+                0 if inflight is not None else 250)
             if n < 0:
+                if inflight is not None:
+                    self._complete(inflight)
                 return  # server stopping
-            if n > 0:
-                # Answer BEFORE any retire: _retire re-polls into the same
-                # self._keys/_handles buffers and would clobber these tasks.
-                # Old-generation answers are correct — the old program table
-                # stays in _tables until _retire prunes it.
-                try:
-                    self._answer(n)
-                except Exception:  # noqa: BLE001 — the drainer must survive
-                    logger.exception("fast-path drain failed")
-            state = self._state
-            if state is not None and (
-                    state.epoch != self._swap_epoch
-                    or state.database is not self._mutex.get_database()):
-                self._retire(state)
-            if self._state is None:
-                self._ensure_state()
+            dispatched = self._dispatch(self._pop_copy(n)) if n else None
+            if inflight is not None:
+                self._complete(inflight)
+            inflight = dispatched
+            if inflight is None:
+                # idle moment: generation maintenance
+                state = self._state
+                if state is not None and (
+                        state.epoch != self._swap_epoch
+                        or state.database is not self._mutex.get_database()):
+                    self._retire(state)
+                if self._state is None:
+                    self._ensure_state()
 
-    def _answer(self, n: int) -> None:
-        """Answer n popped tasks, grouped by generation (normally one)."""
-        by_gen: dict[int, list[int]] = {}
-        for i in range(n):
-            by_gen.setdefault((self._handles[i] >> _GEN_SHIFT) & _GEN_MASK,
-                              []).append(i)
-        for gen, idxs in by_gen.items():
+    def _dispatch(self, tasks: list[tuple[int, int]]):
+        """Phase 1 (non-blocking): group tasks by generation, coalesce
+        identical bodies into one program slot (same instant, same snapshot
+        — pure fan-out, not a cache), answer host-computable programs'
+        slots inline, and enqueue ONE device dispatch per group. Returns
+        the in-flight batch for _complete."""
+        from ..ops.device_engine import _BATCH_LEN_BUCKETS
+
+        by_gen: dict[int, list[tuple[int, int]]] = {}
+        for key, handle in tasks:
+            by_gen.setdefault((handle >> _GEN_SHIFT) & _GEN_MASK,
+                              []).append((key, handle))
+        batch = []
+        for gen, group in by_gen.items():
             table = self._tables.get(gen)
+            keys = [key for key, _ in group]
             if table is None:
                 self._respond_error(
-                    idxs, 500, {"error": "Internal Server Error",
+                    keys, 500, {"error": "Internal Server Error",
                                 "message": "fast-path generation retired"})
                 continue
             try:
-                # Coalesce identical requests within the batch: hundreds of
-                # connections asking the same body share ONE program slot in
-                # the dispatch (the same instant, the same snapshot — pure
-                # fan-out, not a cache).
                 slot_of: dict[int, int] = {}
                 task_slot: list[int] = []
                 programs = []
-                for i in idxs:
-                    handle_idx = self._handles[i] & _IDX_MASK
+                for _, handle in group:
+                    handle_idx = handle & _IDX_MASK
                     slot = slot_of.get(handle_idx)
                     if slot is None:
                         slot = len(programs)
@@ -291,27 +308,71 @@ class CountFastPath:
                         programs.append(table.programs[handle_idx])
                     task_slot.append(slot)
                 engine = table.engine
-                min_k, min_e = engine.sparse_floors(programs)
-                from ..ops.device_engine import _BATCH_LEN_BUCKETS
-
-                unique_counts = engine.count_programs(
-                    programs, min_bucket=_BATCH_LEN_BUCKETS[-1],
-                    min_sparse_k=min_k, min_sparse_e=min_e)
-                counts = [unique_counts[s] for s in task_slot]
+                # host/device split mirrors DeviceEngine.count_programs
+                slot_counts: list = [None] * len(programs)
+                allow_interpret = len(programs) <= 8
+                device_slots: list[int] = []
+                device_programs = []
+                for slot, program in enumerate(programs):
+                    host = engine.host_count(program,
+                                             allow_interpret=allow_interpret)
+                    if host is None:
+                        device_slots.append(slot)
+                        device_programs.append(program)
+                    else:
+                        slot_counts[slot] = host
+                dispatches = []
+                if device_programs:
+                    min_k, min_e = engine.sparse_floors(device_programs)
+                    dispatches = engine.count_dispatches(
+                        device_programs, min_bucket=_BATCH_LEN_BUCKETS[-1],
+                        min_sparse_k=min_k, min_sparse_e=min_e)
+                    for counts, _q in dispatches:
+                        try:
+                            counts.copy_to_host_async()
+                        except Exception:  # noqa: BLE001 — optional
+                            pass
+                batch.append((table, keys, task_slot, slot_counts,
+                              device_slots, dispatches))
             except Exception as ex:  # noqa: BLE001 — parity: JSON 500
                 logger.exception("fast-path batch dispatch failed")
                 self._respond_error(
-                    idxs, 500, {"error": "Internal Server Error",
+                    keys, 500, {"error": "Internal Server Error",
+                                "message": str(ex)})
+        return batch or None
+
+    def _complete(self, batch) -> None:
+        """Phase 2 (blocking): pull each group's device counts to the host,
+        fan them out to the coalesced tasks, hand C++ the answers."""
+        import numpy as np
+
+        for table, keys, task_slot, slot_counts, device_slots, dispatches in batch:
+            try:
+                flat = (int(c) for counts, q in dispatches
+                        for c in np.asarray(counts)[:q])
+                for slot, count in zip(device_slots, flat):
+                    slot_counts[slot] = count
+                counts = [slot_counts[s] for s in task_slot]
+            except Exception as ex:  # noqa: BLE001 — parity: JSON 500
+                logger.exception("fast-path batch readback failed")
+                self._respond_error(
+                    keys, 500, {"error": "Internal Server Error",
                                 "message": str(ex)})
                 continue
-            keys = (ctypes.c_uint64 * len(idxs))(
-                *[self._keys[i] for i in idxs])
-            vals = (ctypes.c_int64 * len(idxs))(*counts)
+            ckeys = (ctypes.c_uint64 * len(keys))(*keys)
+            vals = (ctypes.c_int64 * len(keys))(*counts)
             self._lib.silo_fastpath_respond_counts(
-                self._sid, keys, vals, len(idxs), table.version)
+                self._sid, ckeys, vals, len(keys), table.version)
 
-    def _respond_error(self, idxs: list[int], status: int, payload: dict) -> None:
+    def _respond_error(self, keys: list[int], status: int, payload: dict) -> None:
         body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
-        keys = (ctypes.c_uint64 * len(idxs))(*[self._keys[i] for i in idxs])
+        ckeys = (ctypes.c_uint64 * len(keys))(*keys)
         self._lib.silo_fastpath_respond_error(
-            self._sid, keys, len(idxs), status, body, len(body))
+            self._sid, ckeys, len(keys), status, body, len(body))
+
+    def stop(self, timeout: float = 10.0) -> None:
+        """Join the drainer after silo_http_stop woke it (wait returns -1).
+        Without the join, a daemon thread blocked in a ctypes call at
+        interpreter exit aborts the process (pthread_exit unwinding through
+        C++ frames)."""
+        self._thread.join(timeout)

@@ -165,6 +165,11 @@ class NativeHTTPServer:
         if not self._stopped.is_set():
             self._lib.silo_http_stop(self._id)
             self._stopped.set()
+            if self._fastpath is not None:
+                # silo_http_stop makes the drainer's wait return -1; join it
+                # so no daemon thread sits in a ctypes call at interpreter
+                # exit (pthread_exit unwinding through C++ aborts)
+                self._fastpath.stop()
 
     # ThreadingHTTPServer interface parity (cli.py calls server_close on
     # the way out; the native server's stop covers both)

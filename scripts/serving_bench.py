@@ -43,8 +43,10 @@ def main():
                          and os.environ.get("SILO_BENCH_PYCLIENT", "0") != "1")
     n_rows = int(os.environ.get("SILO_BENCH_ROWS", 65536))
     length = int(os.environ.get("SILO_BENCH_LENGTH", 29903))
+    # native default 1024: the drainer pipelines two 512-task batches, so
+    # the closed-loop client pool must cover both for the overlap to exist
     n_clients = int(os.environ.get(
-        "SILO_BENCH_CLIENTS", "384" if use_native_client else "32"))
+        "SILO_BENCH_CLIENTS", "1024" if use_native_client else "32"))
     seconds = float(os.environ.get("SILO_BENCH_SECONDS", 10))
     # ports 80xx-81xx belong to the TPU relay on this box — stay high
     port = int(os.environ.get("SILO_BENCH_PORT", 18099))
