@@ -9,14 +9,17 @@ from __future__ import annotations
 
 import numpy as np
 
-from .common.symbols import NUCLEOTIDE
+from .common.symbols import AMINO_ACID, NUCLEOTIDE
 from .config.database_config import DatabaseConfig, DatabaseSchema, Metadata, ValueType
 from .ops import bitset
 from .storage.columns import (
     DateColumnPartition,
     Dictionary,
+    FloatColumnPartition,
     IndexedStringColumnPartition,
+    InsertionColumnPartition,
     IntColumnPartition,
+    PangoLineageColumnPartition,
     StringColumnPartition,
 )
 from .storage.database import Database, DataVersion
@@ -27,6 +30,51 @@ from .storage.rowstore import CSR_MIN_WORDS, CsrRowStore
 from .storage.segment import SegmentIndex
 
 COUNTRIES = ["Switzerland", "Germany", "France", "Italy", "Austria", "Spain"]
+LINEAGES = ["A", "B.1", "B.1.1", "B.1.1.7", "B.1.617.2", "AY.4", "AY.4.2", ""]
+
+
+def _random_segment(alphabet, reference_ids, part_rows, mutations_per_genome,
+                    rng, n_plain_symbols):
+    """Compact SegmentIndex with random point mutations over the reference
+    (symbols drawn from the first n_plain_symbols non-gap entries)."""
+    length = len(reference_ids)
+    n_words = bitset.words_for(part_rows)
+    n_mut = part_rows * mutations_per_genome
+    rows = rng.integers(0, part_rows, size=n_mut).astype(np.int64)
+    positions = rng.integers(0, length, size=n_mut).astype(np.int64)
+    # dedupe (row, pos) so each row has exactly one symbol per position
+    flat = rows * length + positions
+    flat, unique_idx = np.unique(flat, return_index=True)
+    rows, positions = rows[unique_idx], positions[unique_idx]
+    # mutate to a symbol != reference: rotate within the plain symbols
+    shift = rng.integers(1, n_plain_symbols, size=len(rows)).astype(np.int64)
+    syms = ((reference_ids[positions] - 1 + shift) % n_plain_symbols + 1)
+    # group mutations by (symbol, position) -> one stored row each; the
+    # reference symbol stays implicit (majority), so memory is compact
+    # from the start (no dense [S, L, W] tensor is ever allocated)
+    pair = syms * length + positions
+    unique_pairs, pair_idx = np.unique(pair, return_inverse=True)
+    sym_ids = (unique_pairs // length).astype(np.int32)
+    pos_ids = (unique_pairs % length).astype(np.int32)
+    counts = np.bincount(pair_idx, minlength=len(unique_pairs)).astype(np.int64)
+    if n_words >= CSR_MIN_WORDS:
+        # build CSR directly (the dense per-pair rows would be ~100x
+        # bigger at multi-million-sequence scale)
+        store = CsrRowStore.from_coo(
+            n_words, len(unique_pairs), pair_idx.astype(np.int32),
+            (rows >> 5).astype(np.int32),
+            (np.uint32(1) << (rows & 31).astype(np.uint32)),
+        )
+    else:
+        stored = np.zeros((len(unique_pairs), n_words), dtype=np.uint32)
+        flat_idx = pair_idx * n_words + (rows >> 5)
+        np.bitwise_or.at(
+            stored.reshape(-1), flat_idx,
+            np.uint32(1) << (rows & 31).astype(np.uint32),
+        )
+        store = stored
+    return SegmentIndex(alphabet, reference_ids, part_rows, reference_ids,
+                        sym_ids, pos_ids, store, counts=counts)
 
 
 def synthetic_database(
@@ -35,29 +83,59 @@ def synthetic_database(
     n_partitions: int = 4,
     mutations_per_genome: int = 30,
     seed: int = 0,
+    rich: bool = False,
 ) -> Database:
+    """rich=True adds the full column/segment zoo — an amino-acid segment
+    ("geneE"), a pango-lineage column, a float column, and nuc + AA
+    insertion columns — so fuzz/parity harnesses can reach every one of
+    the 21 query-expression types. Default off: the benchmark corpora stay
+    lean and bit-identical to round-1 numbers."""
     rng = np.random.default_rng(seed)
     reference_ids = rng.integers(1, 5, size=length).astype(np.uint8)  # A/C/G/T
     reference_str = "".join(NUCLEOTIDE.chars[i] for i in reference_ids)
-    genomes = ReferenceGenomes({"main": reference_str}, {})
+    aa_length = max(16, length // 4)
+    aa_reference_ids = rng.integers(1, 21, size=aa_length).astype(np.uint8)
+    aa_reference_str = "".join(AMINO_ACID.chars[i] for i in aa_reference_ids)
+    genomes = ReferenceGenomes(
+        {"main": reference_str},
+        {"geneE": aa_reference_str} if rich else {})
 
+    metadata = [
+        Metadata("key", ValueType.STRING),
+        Metadata("date", ValueType.DATE),
+        Metadata("country", ValueType.STRING, generate_index=True),
+        Metadata("age", ValueType.INT),
+    ]
+    if rich:
+        metadata += [
+            Metadata("pango_lineage", ValueType.PANGOLINEAGE,
+                     generate_index=True),
+            Metadata("qc_value", ValueType.FLOAT),
+            Metadata("nucleotideInsertions", ValueType.NUC_INSERTION),
+            Metadata("aminoAcidInsertions", ValueType.AA_INSERTION),
+        ]
     config = DatabaseConfig(
         schema=DatabaseSchema(
             instance_name="synthetic",
             primary_key="key",
-            metadata=[
-                Metadata("key", ValueType.STRING),
-                Metadata("date", ValueType.DATE),
-                Metadata("country", ValueType.STRING, generate_index=True),
-                Metadata("age", ValueType.INT),
-            ],
+            metadata=metadata,
             date_to_sort_by="date",
         )
     )
-    db = Database(config, PangoLineageAliasLookup(), genomes)
+    alias_key = PangoLineageAliasLookup()
+    db = Database(config, alias_key, genomes)
     key_dict = Dictionary()
     country_dict = Dictionary()
     db.dictionaries = {"key": key_dict, "country": country_dict}
+    if rich:
+        pango_dicts = (Dictionary(), Dictionary())
+        nuc_ins_dict = Dictionary()
+        aa_ins_dict = Dictionary()
+        db.dictionaries.update({
+            "pango_lineage": pango_dicts,
+            "nucleotideInsertions": nuc_ins_dict,
+            "aminoAcidInsertions": aa_ins_dict,
+        })
 
     rows_per_partition = [
         n_rows // n_partitions + (1 if i < n_rows % n_partitions else 0)
@@ -100,46 +178,53 @@ def synthetic_database(
         partition.columns = {
             "key": key_col, "date": date_col, "country": country_col, "age": age_col,
         }
+        if rich:
+            pango_col = PangoLineageColumnPartition(alias_key, *pango_dicts)
+            for lineage_idx in rng.integers(0, len(LINEAGES), size=part_rows):
+                pango_col.insert(LINEAGES[int(lineage_idx)])
+            pango_col.finalize()
+            qc_col = FloatColumnPartition()
+            qc = rng.random(part_rows) * 100.0
+            qc[rng.random(part_rows) < 0.1] = np.nan  # nulls
+            qc_col.values = qc
+            nuc_ins_col = InsertionColumnPartition(
+                nuc_ins_dict, "main", NUCLEOTIDE, "nuc_insertion")
+            aa_ins_col = InsertionColumnPartition(
+                aa_ins_dict, None, AMINO_ACID, "aa_insertion")
+            nuc_chars = "ACGT"
+            aa_chars = "ACDEFGHIKLMNPQRSTVWY"
+            for _ in range(part_rows):
+                if rng.random() < 0.25:
+                    n_ins = 1 + int(rng.random() < 0.2)
+                    parts = []
+                    for _ in range(n_ins):
+                        ins = "".join(nuc_chars[i] for i in
+                                      rng.integers(0, 4, size=rng.integers(1, 9)))
+                        parts.append(f"{int(rng.integers(1, length))}:{ins}")
+                    nuc_ins_col.insert(",".join(parts))
+                else:
+                    nuc_ins_col.insert_null()
+                if rng.random() < 0.2:
+                    ins = "".join(aa_chars[i] for i in
+                                  rng.integers(0, 20, size=rng.integers(1, 7)))
+                    aa_ins_col.insert(f"geneE:{int(rng.integers(1, aa_length))}:{ins}")
+                else:
+                    aa_ins_col.insert_null()
+            nuc_ins_col.finalize()
+            aa_ins_col.finalize()
+            partition.columns.update({
+                "pango_lineage": pango_col, "qc_value": qc_col,
+                "nucleotideInsertions": nuc_ins_col,
+                "aminoAcidInsertions": aa_ins_col,
+            })
 
         # --- compact bitplanes: reference implicit, mutations stored ---
-        n_mut = part_rows * mutations_per_genome
-        rows = rng.integers(0, part_rows, size=n_mut).astype(np.int64)
-        positions = rng.integers(0, length, size=n_mut).astype(np.int64)
-        # dedupe (row, pos) so each row has exactly one symbol per position
-        flat = rows * length + positions
-        flat, unique_idx = np.unique(flat, return_index=True)
-        rows, positions = rows[unique_idx], positions[unique_idx]
-        # mutate to a symbol != reference: shift 1..3 within {1..4}
-        shift = rng.integers(1, 4, size=len(rows)).astype(np.uint8)
-        syms = ((reference_ids[positions] - 1 + shift) % 4 + 1).astype(np.int64)
-        # group mutations by (symbol, position) -> one stored row each; the
-        # reference symbol stays implicit (majority), so memory is compact
-        # from the start (no dense [S, L, W] tensor is ever allocated)
-        pair = syms * length + positions
-        unique_pairs, pair_idx = np.unique(pair, return_inverse=True)
-        sym_ids = (unique_pairs // length).astype(np.int32)
-        pos_ids = (unique_pairs % length).astype(np.int32)
-        counts = np.bincount(pair_idx, minlength=len(unique_pairs)).astype(np.int64)
-        if n_words >= CSR_MIN_WORDS:
-            # build CSR directly (the dense per-pair rows would be ~100x
-            # bigger at multi-million-sequence scale)
-            store = CsrRowStore.from_coo(
-                n_words, len(unique_pairs), pair_idx.astype(np.int32),
-                (rows >> 5).astype(np.int32),
-                (np.uint32(1) << (rows & 31).astype(np.uint32)),
-            )
-        else:
-            stored = np.zeros((len(unique_pairs), n_words), dtype=np.uint32)
-            flat_idx = pair_idx * n_words + (rows >> 5)
-            np.bitwise_or.at(
-                stored.reshape(-1), flat_idx,
-                np.uint32(1) << (rows & 31).astype(np.uint32),
-            )
-            store = stored
-        partition.nuc_sequences["main"] = SegmentIndex(
-            NUCLEOTIDE, reference_ids, part_rows, reference_ids,
-            sym_ids, pos_ids, store, counts=counts,
-        )
+        partition.nuc_sequences["main"] = _random_segment(
+            NUCLEOTIDE, reference_ids, part_rows, mutations_per_genome, rng, 4)
+        if rich:
+            partition.aa_sequences["geneE"] = _random_segment(
+                AMINO_ACID, aa_reference_ids, part_rows,
+                max(2, mutations_per_genome // 4), rng, 20)
         partition.validate()
         db.partitions.append(partition)
         row_base += part_rows

@@ -3,11 +3,13 @@ match a host-only oracle engine on random (filter, action) pairs.
 
 The filter fuzzer (test_fuzz_filters) pins device==host at the bitset
 level; this suite pins the whole response — Aggregated group-by through
-the device segment-sum fast path, Mutations through the device popcount
-reduction, Details/FastaAligned materialization — against a second
-Database built from the same seed that never touches the device engine
-(ref: endToEndTests/test/query.test.js deep-equal discipline, applied to
-randomized queries instead of the checked-in corpus).
+the device segment-sum fast path, Mutations (nuc + AA) through the device
+popcount reduction, Details/FastaAligned materialization, Insertions —
+against a second Database built from the same seed that never touches the
+device engine (ref: endToEndTests/test/query.test.js deep-equal
+discipline, applied to randomized queries instead of the checked-in
+corpus). `Fasta` needs an unaligned store the synthetic corpus doesn't
+build — it stays pinned by the conformance corpus + test_native_http.
 """
 
 import json
@@ -17,6 +19,14 @@ import pytest
 
 from tests.test_fuzz_filters import random_filter
 
+GROUP_FIELDS = ["country", "age", "date", "pango_lineage", "qc_value"]
+DETAIL_FIELDS = ["key", "country", "age", "date", "pango_lineage", "qc_value",
+                 "nucleotideInsertions", "aminoAcidInsertions"]
+
+ACTION_KINDS = ["agg", "agg_group", "agg_group_ordered", "mutations",
+                "aa_mutations", "details", "details_ordered", "insertions",
+                "aa_insertions", "fasta_aligned"]
+
 
 def _canon(rows: list[dict]) -> list[str]:
     """Order-insensitive canonical form (queries without orderBy leave row
@@ -24,44 +34,77 @@ def _canon(rows: list[dict]) -> list[str]:
     return sorted(json.dumps(r, sort_keys=True) for r in rows)
 
 
-def random_action(rng: random.Random) -> tuple[dict, str]:
+def _order_by(rng: random.Random, fields: list[str]):
+    """Mix plain-string and {field, order} descending forms."""
+    out = []
+    for f in fields:
+        if rng.random() < 0.4:
+            out.append({"field": f,
+                        "order": rng.choice(["ascending", "descending"])})
+        else:
+            out.append(f)
+    return out
+
+
+def random_action(rng: random.Random, kind: str | None = None) -> tuple[dict, str]:
     """Returns (action_json, compare_mode) where compare_mode is "exact"
     (orderBy pins a total order) or "multiset"."""
-    kind = rng.choice(["agg", "agg_group", "agg_group_ordered", "mutations",
-                       "details", "details_ordered", "fasta_aligned"])
+    kind = kind or rng.choice(ACTION_KINDS)
     if kind == "agg":
         return {"type": "Aggregated"}, "multiset"
     if kind in ("agg_group", "agg_group_ordered"):
-        fields = rng.sample(["country", "age", "date"], rng.randint(1, 3))
+        fields = rng.sample(GROUP_FIELDS, rng.randint(1, 3))
         action = {"type": "Aggregated", "groupByFields": fields}
         if kind == "agg_group_ordered":
             # ordering by every group-by field makes the sort key unique,
             # so exact list comparison is well-defined even with offset/limit
-            action["orderByFields"] = list(fields)
+            action["orderByFields"] = _order_by(rng, list(fields))
             if rng.random() < 0.5:
                 action["limit"] = rng.randint(1, 8)
             if rng.random() < 0.5:
                 action["offset"] = rng.randint(0, 4)
             return action, "exact"
         return action, "multiset"
-    if kind == "mutations":
-        return {"type": "Mutations",
-                "minProportion": rng.choice([0.0, 0.001, 0.05, 0.3, 1.0])}, \
-            "multiset"
+    if kind in ("mutations", "aa_mutations"):
+        action = {"type": "Mutations" if kind == "mutations"
+                  else "AminoAcidMutations",
+                  "minProportion": rng.choice([0.0, 0.001, 0.05, 0.3, 1.0])}
+        if rng.random() < 0.4:
+            action["orderByFields"] = _order_by(
+                rng, ["mutation"])  # unique key -> exact
+            if rng.random() < 0.5:
+                action["limit"] = rng.randint(1, 30)
+            if rng.random() < 0.3:
+                action["offset"] = rng.randint(0, 10)
+            return action, "exact"
+        return action, "multiset"
     if kind in ("details", "details_ordered"):
-        fields = rng.sample(["key", "country", "age", "date"], rng.randint(1, 4))
+        fields = rng.sample(DETAIL_FIELDS, rng.randint(1, 5))
         if "key" not in fields:
             fields.append("key")
         action = {"type": "Details", "fields": fields}
         if kind == "details_ordered":
-            action["orderByFields"] = ["key"]  # primary key: unique
+            action["orderByFields"] = _order_by(rng, ["key"])  # unique
             if rng.random() < 0.7:
                 action["limit"] = rng.randint(1, 20)
             if rng.random() < 0.5:
                 action["offset"] = rng.randint(0, 10)
             return action, "exact"
         return action, "multiset"
-    return {"type": "FastaAligned", "sequenceName": ["main"]}, "multiset"
+    if kind in ("insertions", "aa_insertions"):
+        action = {"type": "Insertions" if kind == "insertions"
+                  else "AminoAcidInsertions"}
+        if rng.random() < 0.4:
+            # (position, sequenceName, insertions) triple is unique per row
+            action["orderByFields"] = _order_by(
+                rng, ["position", "insertions", "count"])
+            if rng.random() < 0.5:
+                action["limit"] = rng.randint(1, 15)
+            return action, "exact"
+        return action, "multiset"
+    name = random.Random(rng.random()).choice([["main"], ["geneE"],
+                                               ["main", "geneE"]])
+    return {"type": "FastaAligned", "sequenceName": name}, "multiset"
 
 
 @pytest.fixture(scope="module")
@@ -71,31 +114,39 @@ def engines():
 
     # two independent Database objects from the same seed: the host oracle
     # must never see the device engine (Mutations picks up db.device_engine)
-    db_dev = synthetic_database(n_rows=999, length=333, n_partitions=3, seed=7)
-    db_host = synthetic_database(n_rows=999, length=333, n_partitions=3, seed=7)
+    db_dev = synthetic_database(n_rows=999, length=333, n_partitions=3,
+                                seed=7, rich=True)
+    db_host = synthetic_database(n_rows=999, length=333, n_partitions=3,
+                                 seed=7, rich=True)
     return (QueryEngine(db_dev, use_device=True),
             QueryEngine(db_host, use_device=False))
+
+
+def _check_one(dev_engine, host_engine, query, mode):
+    dev_rows = dev_engine.execute(query)["queryResult"]
+    host_rows = host_engine.execute(query)["queryResult"]
+    if mode == "exact":
+        assert dev_rows == host_rows, query
+    else:
+        assert _canon(dev_rows) == _canon(host_rows), query
 
 
 def test_fuzz_actions_device_vs_host(engines):
     dev_engine, host_engine = engines
     rng = random.Random(1234)
-    checked = 0
-    for _ in range(50):
-        db = dev_engine.database
-        action, mode = random_action(rng)
+    kinds_seen = set()
+    for i in range(120):
+        kind = ACTION_KINDS[i % len(ACTION_KINDS)]  # every kind, many times
+        action, mode = random_action(rng, kind)
+        kinds_seen.add(action["type"])
         query = json.dumps({
-            "filterExpression": random_filter(rng, db),
+            "filterExpression": random_filter(rng, dev_engine.database),
             "action": action,
         })
-        dev_rows = dev_engine.execute(query)["queryResult"]
-        host_rows = host_engine.execute(query)["queryResult"]
-        if mode == "exact":
-            assert dev_rows == host_rows, query
-        else:
-            assert _canon(dev_rows) == _canon(host_rows), query
-        checked += 1
-    assert checked == 50
+        _check_one(dev_engine, host_engine, query, mode)
+    assert kinds_seen == {"Aggregated", "Mutations", "AminoAcidMutations",
+                          "Details", "Insertions", "AminoAcidInsertions",
+                          "FastaAligned"}
 
 
 def test_fuzz_actions_sparse_tier(engines):
@@ -106,9 +157,9 @@ def test_fuzz_actions_sparse_tier(engines):
     from lapis_silo_tpu.testing import synthetic_database
 
     db_dev = synthetic_database(n_rows=8192, length=256, n_partitions=2,
-                                mutations_per_genome=2, seed=19)
+                                mutations_per_genome=2, seed=19, rich=True)
     db_host = synthetic_database(n_rows=8192, length=256, n_partitions=2,
-                                 mutations_per_genome=2, seed=19)
+                                 mutations_per_genome=2, seed=19, rich=True)
     dev_engine = QueryEngine(db_dev, use_device=True)
     dev_engine._device_engine = DeviceEngine(db_dev, sparse_min_words=1)
     db_dev.device_engine = dev_engine._device_engine
@@ -116,15 +167,10 @@ def test_fuzz_actions_sparse_tier(engines):
     host_engine = QueryEngine(db_host, use_device=False)
 
     rng = random.Random(4321)
-    for _ in range(25):
-        action, mode = random_action(rng)
+    for i in range(40):
+        action, mode = random_action(rng, ACTION_KINDS[i % len(ACTION_KINDS)])
         query = json.dumps({
             "filterExpression": random_filter(rng, db_dev),
             "action": action,
         })
-        dev_rows = dev_engine.execute(query)["queryResult"]
-        host_rows = host_engine.execute(query)["queryResult"]
-        if mode == "exact":
-            assert dev_rows == host_rows, query
-        else:
-            assert _canon(dev_rows) == _canon(host_rows), query
+        _check_one(dev_engine, host_engine, query, mode)
