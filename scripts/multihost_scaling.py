@@ -48,7 +48,73 @@ def measure(coordinator, n_queries=6):
     return elapsed, len(result["queryResult"])
 
 
+def overhead_mode():
+    """Coordinator fan-out/merge overhead: workers pinned to TINY shards so
+    coordination (not compute) dominates. The measurable half of the
+    >=80%-linear claim on a 2-vCPU box: per-added-worker cost of the
+    fan-out + JSON merge, for a count (minimal payload) and a Mutations
+    query (real merge work). Output: a table over 0/1/2/4/8 workers +
+    per-worker overhead from the slope."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from lapis_silo_tpu.parallel.multihost import Coordinator
+    from lapis_silo_tpu.testing import synthetic_database
+
+    rows, length = 1024, 512
+    count_q = json.dumps({"action": {"type": "Aggregated"},
+                          "filterExpression": {"type": "True"}})
+    mut_q = json.dumps({"action": {"type": "Mutations", "minProportion": 0.001},
+                       "filterExpression": {"type": "True"}})
+
+    def bench(coordinator, query, n=40):
+        coordinator.execute_query(query)  # warm
+        t0 = time.perf_counter()
+        for _ in range(n):
+            coordinator.execute_query(query)
+        return (time.perf_counter() - t0) / n
+
+    local_db = synthetic_database(n_rows=rows, length=length,
+                                  n_partitions=1, seed=300)
+    workers, urls = [], []
+    results = []
+    try:
+        for n_remote in [0, 1, 2, 4, 8]:
+            while len(workers) < n_remote:
+                i = len(workers)
+                proc = subprocess.Popen(
+                    [sys.executable, "-c", WORKER_SNIPPET.format(
+                        repo=repo, rows=rows, length=length, seed=400 + i)],
+                    stdout=subprocess.PIPE, text=True)
+                workers.append(proc)
+                urls.append(
+                    f"http://127.0.0.1:{int(proc.stdout.readline())}")
+            coordinator = Coordinator(local_db, list(urls),
+                                      include_local=True)
+            t_count = bench(coordinator, count_q)
+            t_mut = bench(coordinator, mut_q)
+            results.append((n_remote, t_count, t_mut))
+            print(f"{n_remote} workers: count {t_count * 1e6:.0f} us, "
+                  f"Mutations {t_mut * 1e6:.0f} us", flush=True)
+        # per-worker overhead = slope between 1 and 8 remote workers
+        (_, c1, m1), (_, c8, m8) = results[1], results[-1]
+        print(json.dumps({
+            "per_worker_count_overhead_us": round((c8 - c1) / 7 * 1e6, 1),
+            "per_worker_mutations_overhead_us": round((m8 - m1) / 7 * 1e6, 1),
+            "count_base_us": round(results[0][1] * 1e6, 1),
+            "mutations_base_us": round(results[0][2] * 1e6, 1),
+        }))
+    finally:
+        for proc in workers:
+            proc.kill()
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--overhead":
+        overhead_mode()
+        return
     total_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
     length = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     n_hosts = int(sys.argv[3]) if len(sys.argv) > 3 else 3
