@@ -30,6 +30,9 @@ sys.path.insert(0, {repo!r})
 from lapis_silo_tpu.testing import synthetic_database
 from lapis_silo_tpu.parallel.multihost import start_worker
 db = synthetic_database(n_rows={rows}, length={length}, n_partitions=2, seed={seed})
+if {pin_version!r}:
+    from lapis_silo_tpu.storage.database import DataVersion
+    db.data_version = DataVersion({pin_version!r})
 server = start_worker(db)
 print(server.server_address[1], flush=True)
 import threading
@@ -78,6 +81,9 @@ def overhead_mode():
 
     local_db = synthetic_database(n_rows=rows, length=length,
                                   n_partitions=1, seed=300)
+    # all hosts must agree on the data version (the Coordinator retries
+    # "flip in progress" otherwise); the workers pin to the local one
+    pin = local_db.data_version.value
     workers, urls = [], []
     results = []
     try:
@@ -86,7 +92,8 @@ def overhead_mode():
                 i = len(workers)
                 proc = subprocess.Popen(
                     [sys.executable, "-c", WORKER_SNIPPET.format(
-                        repo=repo, rows=rows, length=length, seed=400 + i)],
+                        repo=repo, rows=rows, length=length, seed=400 + i,
+                        pin_version=pin)],
                     stdout=subprocess.PIPE, text=True)
                 workers.append(proc)
                 urls.append(
@@ -142,7 +149,8 @@ def main():
         for i in range(n_hosts - 1):
             proc = subprocess.Popen(
                 [sys.executable, "-c", WORKER_SNIPPET.format(
-                    repo=repo, rows=per_host, length=length, seed=200 + i)],
+                    repo=repo, rows=per_host, length=length, seed=200 + i,
+                    pin_version="")],
                 stdout=subprocess.PIPE, text=True)
             workers.append(proc)
         for proc in workers:
