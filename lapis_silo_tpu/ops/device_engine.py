@@ -559,6 +559,105 @@ class DeviceEngine:
         self._program_memo: "OrderedDict[str, tuple]" = OrderedDict()
         self._program_memo_lock = threading.Lock()
 
+        # HOT-LEAF POOL: an HBM-resident [C+1, PW/128, 128] cache of
+        # densified sparse-leaf rows, LRU-managed by leaf id. Serving
+        # workloads repeat filters, so the same leaves come back batch
+        # after batch — with the pool they densify ONCE (in place, via the
+        # pool-update kernel) and every later dispatch reads the resident
+        # row like a bank row. This is the dynamic form of per-leaf
+        # dense/sparse placement: hot rows live dense, cold rows stream.
+        # Fused-densify dispatches (the poolless path) remain for meshes
+        # and for engines without the Mosaic kernels.
+        pool_budget = float(os.environ.get("SILO_LEAF_POOL_GB", "3.0")) * 2**30
+        row_bytes = 4 * self.n_flat_words
+        want_slots = int(pool_budget // row_bytes)
+        self.pool_slots = 0
+        if (n_sparse > 0 and self.bank3 and self.mesh is None
+                and os.environ.get("SILO_LEAF_POOL", "1") != "0"
+                and want_slots >= 64):
+            # never more slots than leaves exist (+1 scratch), cap the
+            # upside so small corpora don't allocate pointlessly
+            self.pool_slots = min(want_slots, n_sparse, 8192)
+        self.leaf_pool = None  # allocated on first use (_ensure_resident)
+        self._leaf_slot: "OrderedDict[int, int]" = OrderedDict()  # LRU
+        self._free_slots: list[int] = []
+        self._pool_lock = threading.RLock()
+        # batch-wide sparse-leaf cap: poolless engines split at the densify
+        # block cap; pooled ones at the slot count (all of a dispatch's
+        # leaves must be resident simultaneously)
+        self.sparse_batch_cap = self.pool_slots or self.max_sparse_k
+
+    # -- hot-leaf pool -----------------------------------------------------
+
+    def _ensure_resident(self, leaf_ids: list[int]) -> dict[int, int]:
+        """Make every leaf row resident in the pool (LRU; misses densify in
+        place via the pool-update kernel). Returns leaf id -> slot. Caller
+        holds _pool_lock; stream ordering makes it safe to overwrite an
+        evicted slot while earlier-enqueued VMs still reference it — they
+        execute first on the single device queue."""
+        C = self.pool_slots
+        if self.leaf_pool is None:
+            hi = self.n_flat_words // 128
+            self.leaf_pool = jnp.zeros((C + 1, hi, 128), jnp.uint32)
+            self._free_slots = list(range(C))
+        slot_map: dict[int, int] = {}
+        misses: list[int] = []
+        for leaf in leaf_ids:
+            slot = self._leaf_slot.get(leaf)
+            if slot is not None:
+                self._leaf_slot.move_to_end(leaf)
+                slot_map[leaf] = slot
+            else:
+                misses.append(leaf)
+        if not misses:
+            return slot_map
+        needed = set(leaf_ids)
+        for leaf in misses:
+            if self._free_slots:
+                slot = self._free_slots.pop()
+            else:
+                for old in self._leaf_slot:  # LRU order
+                    if old not in needed:
+                        slot = self._leaf_slot.pop(old)
+                        break
+                else:
+                    raise ProgramTooLarge(
+                        f"leaf pool ({C} slots) smaller than one batch")
+            self._leaf_slot[leaf] = slot
+            slot_map[leaf] = slot
+        n_p = self.n_partitions
+        for i in range(0, len(misses), _SPARSE_K_BUCKETS[-1]):
+            chunk = misses[i : i + _SPARSE_K_BUCKETS[-1]]
+            k_bucket = next(b for b in _SPARSE_K_BUCKETS[1:]
+                            if b >= len(chunk))
+            ids = np.asarray(chunk, dtype=np.int64)
+            starts = np.zeros(k_bucket * n_p, dtype=np.int32)
+            lens = np.zeros(k_bucket * n_p, dtype=np.int32)
+            starts[: len(ids) * n_p] = self.sparse_starts_pp[ids].reshape(-1)
+            lens[: len(ids) * n_p] = self.sparse_lengths_pp[ids].reshape(-1)
+            slots = np.full(k_bucket, C, dtype=np.int32)  # pad -> scratch
+            slots[: len(chunk)] = [slot_map[leaf] for leaf in chunk]
+            run = _pool_update_jit(k_bucket, self.n_flat_words)
+            self.leaf_pool = run(
+                self.leaf_pool, self.sparse_stream[0], self.sparse_stream[1],
+                jax.device_put(starts), jax.device_put(lens),
+                jax.device_put(slots))
+        return slot_map
+
+    def _rewrite_sparse_operands(self, code: np.ndarray,
+                                 leaf_ids: list[int],
+                                 slot_map: dict[int, int]) -> np.ndarray:
+        """B_SPARSE operands index the program's leaf list; the pooled VM
+        reads pool slots instead."""
+        mask = (code[0] == ALU) & (((code[2] >> 28) & 0xF) == B_SPARSE)
+        if not mask.any():
+            return code
+        table = np.asarray([slot_map[leaf] for leaf in leaf_ids],
+                           dtype=code.dtype)
+        code = code.copy()
+        code[1, mask] = table[code[1, mask]]
+        return code
+
     # -- lowering ---------------------------------------------------------
 
     def _static_ref_source(self, program: _Program, ref: tuple):
@@ -637,7 +736,7 @@ class DeviceEngine:
             raise ProgramTooLarge(len(program.opcodes))
         if len(program.dyn_rows) > _DYN_BUCKETS[-1]:
             raise ProgramTooLarge(f"dyn rows {len(program.dyn_rows)}")
-        if len(program.sparse_leaves) > self.max_sparse_k:
+        if len(program.sparse_leaves) > self.sparse_batch_cap:
             raise ProgramTooLarge(f"sparse leaves {len(program.sparse_leaves)}")
         if max_regs > MAX_REGS:
             raise ProgramTooLarge(f"registers {max_regs}")
@@ -827,18 +926,23 @@ class DeviceEngine:
             dyn = dyn.reshape(n_dyn, self.n_flat_words)
         else:
             dyn = None
-        sparse_k, sparse_m, sparse_arrays = self._assemble_sparse(
-            program.sparse_leaves, *self.sparse_floors([program])
-        )
+        if self.pool_slots:
+            sparse_k, sparse_m, sparse_arrays = (
+                len(program.sparse_leaves), 0, None)
+        else:
+            sparse_k, sparse_m, sparse_arrays = self._assemble_sparse(
+                program.sparse_leaves, *self.sparse_floors([program])
+            )
         n_regs = next(b for b in _REG_BUCKETS if b >= program.max_regs)
         return (bucket, n_dyn, code, dyn, n, sparse_k, sparse_m, sparse_arrays,
                 n_regs)
 
     def sparse_floors(self, programs) -> tuple[int, int]:
         """Smallest ladder rung covering the programs' sparse needs; falls
-        back to natural (unpinned) buckets when nothing fits."""
+        back to natural (unpinned) buckets when nothing fits. Pooled
+        engines have no densify shapes to pin."""
         leaves = sorted({r for p in programs for r in p.sparse_leaves})
-        if not leaves or not self.sparse_shape_ladder:
+        if not leaves or not self.sparse_shape_ladder or self.pool_slots:
             return (0, 0)
         k_act = len(leaves)
         e_act = int(self.sparse_lengths[leaves].sum())
@@ -943,16 +1047,35 @@ class DeviceEngine:
         shape = (n_dyn, self.n_flat_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
         return self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp, n_regs,
-                              "words", n_instr)
+                              "words", n_instr,
+                              sparse_leaf_ids=program.sparse_leaves)
 
     def _dispatch(self, bucket, n_dyn, code, dyn_dev, k, m, sp, n_regs,
-                  output, n_instr):
+                  output, n_instr, sparse_leaf_ids=None):
         """ONE device dispatch for the whole query (or batch): when the
         program touches the sparse tier, the leaf densification fuses into
         the same executable (a second dispatch costs a full relay RTT).
         All per-query integer data (program + sparse-leaf bounds) travels
         as ONE packed upload — each host->device transfer costs a relay
-        round-trip of its own."""
+        round-trip of its own.
+
+        With the hot-leaf pool active, sparse leaves instead resolve to
+        resident pool rows: misses densify in place (one pool-update
+        dispatch per ≤1024 misses), and the VM — ONE executable per bucket,
+        shared by sparse and dense traffic — reads the pool like a second
+        bank. Repeated leaves never densify again."""
+        if self.pool_slots and k:
+            assert sparse_leaf_ids is not None
+            with self._pool_lock:
+                slot_map = self._ensure_resident(sparse_leaf_ids)
+                code = self._rewrite_sparse_operands(code, sparse_leaf_ids,
+                                                     slot_map)
+                run = _interpreter(bucket, self.n_rows, n_dyn,
+                                   self.pool_slots + 1, self.n_flat_words,
+                                   output, n_regs, mesh=None)
+                return run(jnp.asarray(code), self.bank, dyn_dev,
+                           self.leaf_pool, self.full_masks,
+                           jnp.int32(_round_instr(n_instr)))
         if k:
             run = _interpreter(bucket, self.n_rows, n_dyn, k,
                                self.n_flat_words, output, n_regs, m,
@@ -976,13 +1099,15 @@ class DeviceEngine:
         """Fused filter + popcount in ONE device dispatch; returns the scalar
         device array without blocking. `program` skips re-lowering when the
         caller already has it."""
+        if program is None:
+            program = self.lower(filter_expr)[0]
         (bucket, n_dyn, code, dyn, n_instr, k, m, sp, n_regs) = (
-            self._prepare(filter_expr) if program is None
-            else self._prepare_program(program))
+            self._prepare_program(program))
         shape = (n_dyn, self.n_flat_words)
         dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
         return self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp, n_regs,
-                              "count", n_instr)
+                              "count", n_instr,
+                              sparse_leaf_ids=program.sparse_leaves)
 
     def count_batch(self, filter_exprs: list, min_bucket: int = 0,
                     min_sparse_k: int = 0, min_sparse_e: int = 0) -> list[int]:
@@ -1126,7 +1251,7 @@ class DeviceEngine:
         total_dyn = sum(len(p.dyn_rows) for p in lowered)
         total_sparse = len({r for p in lowered for r in p.sparse_leaves})
         if q > 1 and (total > _BATCH_LEN_BUCKETS[-1] or total_dyn > _DYN_BUCKETS[-1]
-                      or total_sparse > self.max_sparse_k):
+                      or total_sparse > self.sparse_batch_cap):
             acc_len = acc_dyn = 0
             acc_sparse: set[int] = set()
             split = q
@@ -1136,7 +1261,7 @@ class DeviceEngine:
                 acc_sparse.update(p.sparse_leaves)
                 if i and (acc_len > _BATCH_LEN_BUCKETS[-1]
                           or acc_dyn > _DYN_BUCKETS[-1]
-                          or len(acc_sparse) > self.max_sparse_k):
+                          or len(acc_sparse) > self.sparse_batch_cap):
                     split = i
                     break
             return self.count_dispatches(lowered[:split], min_bucket,
@@ -1202,16 +1327,21 @@ class DeviceEngine:
         # covers it, so live traffic converges onto the ladder's compiled
         # executables instead of arbitrary natural (K, E) shapes (each new
         # shape is a minutes-long remote compile).
-        if (not min_sparse_k and not min_sparse_e and all_sparse_leaves
-                and self.sparse_shape_ladder):
-            k_act = len(all_sparse_leaves)
-            e_act = int(self.sparse_lengths[all_sparse_leaves].sum())
-            for ladder_k, ladder_e in self.sparse_shape_ladder:
-                if k_act <= ladder_k and e_act <= ladder_e:
-                    min_sparse_k, min_sparse_e = ladder_k, ladder_e
-                    break
-        k, m, sp = self._assemble_sparse(all_sparse_leaves, min_sparse_k,
-                                         min_sparse_e)
+        if self.pool_slots:
+            # pooled leaves need no densify shapes: k only routes the
+            # dispatch into the pool branch (slots replace descriptors)
+            k, m, sp = len(all_sparse_leaves), 0, None
+        else:
+            if (not min_sparse_k and not min_sparse_e and all_sparse_leaves
+                    and self.sparse_shape_ladder):
+                k_act = len(all_sparse_leaves)
+                e_act = int(self.sparse_lengths[all_sparse_leaves].sum())
+                for ladder_k, ladder_e in self.sparse_shape_ladder:
+                    if k_act <= ladder_k and e_act <= ladder_e:
+                        min_sparse_k, min_sparse_e = ladder_k, ladder_e
+                        break
+            k, m, sp = self._assemble_sparse(all_sparse_leaves, min_sparse_k,
+                                             min_sparse_e)
         n_regs = next(b for b in _REG_BUCKETS
                       if b >= max(p.max_regs for p in lowered))
         if os.environ.get("SILO_DEBUG_DISPATCH") == "1":
@@ -1222,7 +1352,8 @@ class DeviceEngine:
                   f"sparse_k={len(all_sparse_leaves)}/{k} e={m} "
                   f"regs={n_regs}", file=sys.stderr, flush=True)
         counts = self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp,
-                                n_regs, "multi_count", cursor)
+                                n_regs, "multi_count", cursor,
+                                sparse_leaf_ids=all_sparse_leaves)
         return [(counts, q)]
 
     def count(self, filter_expr) -> int:
@@ -1641,6 +1772,22 @@ class _MicroBatcher:
             del engine
 
 
+@functools.lru_cache(maxsize=None)
+def _pool_update_jit(k_bucket: int, n_words: int):
+    """In-place hot-leaf-pool update: densify up to k_bucket leaves from
+    the resident CSR stream straight into their pool slots. The pool is
+    donated, so XLA aliases the buffer — the dispatch writes only the
+    touched rows."""
+    from . import pallas_kernels as pk
+
+    def run(pool, stream_idx, stream_words, starts, lens, slots):
+        return pk.densify_rows_into_pool(pool, stream_idx, stream_words,
+                                         starts, lens, slots, k_bucket,
+                                         n_words)
+
+    return jax.jit(run, donate_argnums=0)
+
+
 def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
                  n_per_leaf: int, stream_idx, stream_words, starts, lens):
     """[K, PW] densified sparse-tier rows (global word space), via a FLAT
@@ -1833,6 +1980,11 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
     per instruction; this form is bounded by actual word traffic."""
 
     def run_one(code, bank, dyn, sparse_rows, full_mask, n_instr):
+        if sparse_rows.ndim == 3:
+            # 3-D leaf pool (kernel-at-rest layout); this XLA fallback is
+            # rare (register file past the kernel budget, CPU tests) — the
+            # in-jit relayout cost only hits here
+            sparse_rows = sparse_rows.reshape(sparse_rows.shape[0], -1)
         opcodes, operands, regspec = code[0], code[1], code[2]
         zero_row = jnp.zeros((n_words,), jnp.uint32)
 

@@ -486,7 +486,14 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
     n_blocks = n_hi // w_hi
 
     dyn3 = dyn.reshape(n_dyn, n_hi, 128)
-    sparse3 = sparse_rows.reshape(n_sparse_k, n_hi, 128)
+    # The leaf pool arrives pre-shaped 3-D for the same reason as the bank:
+    # reshaping a resident [C, PW] array here would relayout-copy the whole
+    # pool (1+ GB at 10M) inside every dispatch.
+    if sparse_rows.ndim == 3:
+        assert sparse_rows.shape[1:] == (n_hi, 128), sparse_rows.shape
+        sparse3 = sparse_rows
+    else:
+        sparse3 = sparse_rows.reshape(n_sparse_k, n_hi, 128)
     full2 = full.reshape(n_hi, 128)
 
     def kernel(ops_ref, oper_ref, spec_ref, ninstr_ref,
@@ -778,3 +785,28 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
         interpret=interpret,
     )(starts, lens, idx2, wrd2)
     return out.reshape(n_sparse_k, n_words)
+
+
+def densify_rows_into_pool(pool3, stream_idx, stream_words, starts, lens,
+                           slots, n_sparse_k: int, n_words: int,
+                           interpret: bool | None = None):
+    """Densify n_sparse_k leaves and write them into pool slots (the
+    hot-leaf cache): pool3 [C, PW/128, 128] comes back with slot rows
+    replaced and every other row untouched. The rows build in the proven
+    densify_rows kernel (~18 ns/entry); the pool write is a row-granular
+    XLA scatter fused into the same executable — with the caller donating
+    pool3 it updates in place (the copy is K rows, ~0.5 ms at the 10M
+    shape, not a pool-sized copy). Padded grid slots point at a scratch
+    row (callers reserve the last slot) and carry lens 0, so they just
+    zero it.
+
+    (A variant writing straight from the kernel via a scalar-prefetch
+    OUTPUT index map + input_output_aliases hung the Mosaic compile for
+    20+ minutes on real hardware — data-dependent output block indices
+    are not a supported pattern; the scatter form costs nothing at row
+    granularity.)"""
+    hi = n_words // 128
+    assert pool3.shape[1:] == (hi, 128), (pool3.shape, hi)
+    rows = densify_rows(stream_idx, stream_words, starts, lens,
+                        n_sparse_k, n_words, interpret=interpret)
+    return pool3.at[slots].set(rows.reshape(n_sparse_k, hi, 128))

@@ -148,3 +148,93 @@ def test_sparse_kernel_path_matches_dense(example_dataset_db, dense_engine,
     assert got == want
     assert calls["densify"] > 0, "densify kernel was never reached"
     de._interpreter.cache_clear()  # drop closures over the spy/env
+
+
+def _interpret_pool_engine(example_dataset_db, monkeypatch, budget_slots=None):
+    from lapis_silo_tpu.ops import device_engine as de
+
+    import jax
+
+    monkeypatch.setenv("SILO_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("SILO_FORCE_BANK3", "1")
+    if budget_slots is not None:
+        # translate a slot count into the GB knob (row size known post-init
+        # only; probe once)
+        probe = de.DeviceEngine(example_dataset_db, sparse_min_words=1,
+                                devices=jax.devices()[:1])
+        row_bytes = 4 * probe.n_flat_words
+        monkeypatch.setenv("SILO_LEAF_POOL_GB",
+                           repr(budget_slots * row_bytes / 2**30))
+    de._interpreter.cache_clear()
+    engine = de.DeviceEngine(example_dataset_db, sparse_min_words=1,
+                             devices=jax.devices()[:1])
+    assert engine.pool_slots > 0, "leaf pool inactive"
+    return engine
+
+
+def test_leaf_pool_caches_across_batches(example_dataset_db, dense_engine,
+                                         monkeypatch):
+    """Second identical batch must answer entirely from resident pool rows:
+    zero new densify work, bit-identical counts (the dynamic hot-leaf form
+    of per-row dense/sparse placement)."""
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+    from lapis_silo_tpu.query.engine import Query
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    engine = _interpret_pool_engine(example_dataset_db, monkeypatch)
+    de._pool_update_jit.cache_clear()  # cached jits close over the real fn
+    calls = {"densify": 0}
+    real = pk.densify_rows_into_pool
+
+    def spy(*args, **kwargs):
+        calls["densify"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "densify_rows_into_pool", spy)
+    batch = [Query(json.dumps({"filterExpression": f,
+                               "action": {"type": "Aggregated"}})).filter
+             for f in FILTERS]
+    want = dense_engine.count_batch(batch)
+    first = engine.count_batch(batch)
+    assert first == want
+    assert calls["densify"] > 0, "pool update never ran"
+    after_first = calls["densify"]
+    second = engine.count_batch(batch)
+    assert second == want
+    assert calls["densify"] == after_first, "warm batch re-densified"
+    de._interpreter.cache_clear()
+    de._pool_update_jit.cache_clear()  # drop jits closed over the spy
+
+
+def test_leaf_pool_eviction_stays_correct(example_dataset_db, dense_engine,
+                                          monkeypatch):
+    """A pool far smaller than the leaf universe must evict and refill
+    without ever answering wrong: cycle query sets that overflow it."""
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+    from lapis_silo_tpu.query.engine import Query
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    engine = _interpret_pool_engine(example_dataset_db, monkeypatch,
+                                    budget_slots=64)
+    assert engine.pool_slots == 64
+    rounds = []
+    for base in (100, 2000, 4000, 100, 2000):
+        rounds.append([
+            {"type": "Or", "children": [
+                {"type": "NucleotideEquals", "position": base + i * 7 + 1,
+                 "symbol": s} for i in range(4) for s in ("A", "T")
+            ]}
+        ])
+    for filters in rounds:
+        batch = [Query(json.dumps({"filterExpression": f,
+                                   "action": {"type": "Aggregated"}})).filter
+                 for f in filters]
+        got = engine.count_batch(batch)
+        want = dense_engine.count_batch(batch)
+        assert got == want, filters
+    assert len(engine._leaf_slot) <= engine.pool_slots
+    de._interpreter.cache_clear()
