@@ -902,6 +902,48 @@ class DeviceEngine:
             host[pi, : bitset.words_for(n)] for pi, n in enumerate(self.part_rows)
         ]
 
+    # device->host transfers below this size don't beat the fused-extract
+    # dispatch's own cost; small corpora just pull the full bitset
+    COMPACT_MIN_WORDS = 131072
+    COMPACT_CAP_WORDS = 16384
+
+    def evaluate_compact(self, filter_expr) -> list[np.ndarray]:
+        """evaluate() for row-materializing actions at scale (SURVEY "hard
+        parts": popcount-prefix-sum + index gather): the VM dispatch fuses
+        a nonzero-word extraction, so a selective filter on a 10M-row
+        corpus transfers ~KBs of (index, word) pairs — not the full [P, W]
+        bitset — and the action reconstructs it host-side. Overflowing the
+        cap falls back to pulling the full bitset (already computed, same
+        dispatch: no second device pass)."""
+        if self.n_flat_words < self.COMPACT_MIN_WORDS:
+            return self.evaluate(filter_expr)
+        program, _regs = self.lower(filter_expr)
+        if len(program.opcodes) == 1 and program.opcodes[0] == ALU:
+            spec = program.regspec[0]
+            if ((spec >> 24) & 0xF == M_MOVB
+                    and (spec >> 28) & 0xF in (B_FULL, B_ZERO)):
+                return self.evaluate(filter_expr)  # trivial short-circuits
+        (bucket, n_dyn, code, dyn, n_instr, k, m, sp,
+         n_regs) = self._prepare_program(program)
+        shape = (n_dyn, self.n_flat_words)
+        dyn_dev = self._zero_dyn(shape) if dyn is None else self._put_dyn(dyn)
+        cap = self.COMPACT_CAP_WORDS
+        n_nz, idx, vals, words = self._dispatch(
+            bucket, n_dyn, code, dyn_dev, k, m, sp, n_regs,
+            f"compact:{cap}", n_instr,
+            sparse_leaf_ids=program.sparse_leaves)
+        if int(n_nz) > cap:
+            host = np.ascontiguousarray(np.asarray(words))
+        else:
+            n = int(n_nz)
+            host = np.zeros(self.n_flat_words, dtype=np.uint32)
+            host[np.asarray(idx)[:n]] = np.asarray(vals)[:n]
+        host = host.reshape(self.n_partitions, self.n_words)
+        return [
+            host[pi, : bitset.words_for(nr)]
+            for pi, nr in enumerate(self.part_rows)
+        ]
+
     def _prepare(self, filter_expr):
         return self._prepare_program(self.lower(filter_expr)[0])
 
@@ -1903,6 +1945,16 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
             return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
         if output == "multi_count":
             return outs  # [MAX_BATCH_QUERIES]
+        if output.startswith("compact"):
+            # row extraction fused into the SAME dispatch: selective
+            # filters transfer (n_nonzero_words, first-cap indices, their
+            # words) — KBs — instead of the full [PW] bitset; the caller
+            # falls back to a full pull when the result overflows the cap
+            cap = int(output.split(":")[1])
+            nz = words != 0
+            n_nz = nz.sum(dtype=jnp.int32)
+            idx = jnp.nonzero(nz, size=cap, fill_value=0)[0].astype(jnp.int32)
+            return n_nz, idx, words[idx], words
         return words
 
     if n_sparse_e and n_sparse_k:

@@ -72,7 +72,10 @@ class QueryEngine:
 
                     self._device_engine = DeviceEngine(db)
                     db.device_engine = self._device_engine
-                return self._device_engine.evaluate(query.filter)
+                # fused nonzero-word extraction: selective filters on large
+                # corpora transfer KBs instead of the whole [P, W] bitset
+                # (falls back internally when the result is wide)
+                return self._device_engine.evaluate_compact(query.filter)
             except (ImportError, NotImplementedError):
                 self._use_device = False  # no device path for this database
             except Exception as ex:

@@ -168,3 +168,41 @@ def test_host_count_fast_paths(example_dataset_db):
                                   "action": {"type": "Aggregated"}}))
         program, _ = engine.lower(query.filter)
         assert engine.host_count(program) is not None, filter_json
+
+
+def test_evaluate_compact_matches_evaluate():
+    """Fused nonzero-word extraction (compact output mode) returns the
+    same per-partition bitsets as the full pull — selective, wide (cap
+    overflow fallback), trivial, and empty filters."""
+    import json
+
+    from lapis_silo_tpu.ops.device_engine import DeviceEngine
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.testing import synthetic_database
+
+    db = synthetic_database(n_rows=2048, length=512, n_partitions=2, seed=5)
+    engine = DeviceEngine(db)
+    engine.COMPACT_MIN_WORDS = 0  # force the compact path on a small corpus
+    filters = [
+        {"type": "NucleotideEquals", "position": 17, "symbol": "A"},
+        {"type": "HasNucleotideMutation", "position": 300},
+        {"type": "Not", "child": {"type": "HasNucleotideMutation",
+                                  "position": 3}},  # wide: overflows caps
+        {"type": "True"},
+        {"type": "False"},
+        {"type": "And", "children": [
+            {"type": "StringEquals", "column": "country", "value": "Spain"},
+            {"type": "IntBetween", "column": "age", "from": 10, "to": 30}]},
+    ]
+    for cap in (8, 16384):
+        engine.COMPACT_CAP_WORDS = cap
+        for f in filters:
+            flt = Query(json.dumps({"filterExpression": f,
+                                    "action": {"type": "Aggregated"}})).filter
+            got = engine.evaluate_compact(flt)
+            want = engine.evaluate(flt)
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                import numpy as np
+
+                np.testing.assert_array_equal(g, w, err_msg=f"{f} cap={cap}")
