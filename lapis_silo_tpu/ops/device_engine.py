@@ -644,6 +644,31 @@ class DeviceEngine:
                 jax.device_put(slots))
         return slot_map
 
+    def warm_pool_updates(self):
+        """Pre-compile every pool-update K bucket (the watcher calls this
+        before a snapshot goes live): a no-op update per bucket — zero
+        lengths, every slot pointed at the scratch row — touches the
+        executable without changing any resident leaf."""
+        if not self.pool_slots:
+            return
+        with self._pool_lock:
+            if self.leaf_pool is None:
+                hi = self.n_flat_words // 128
+                self.leaf_pool = jnp.zeros((self.pool_slots + 1, hi, 128),
+                                           jnp.uint32)
+                self._free_slots = list(range(self.pool_slots))
+            n_p = self.n_partitions
+            for k_bucket in _SPARSE_K_BUCKETS[1:]:
+                if k_bucket > self.pool_slots:
+                    break
+                zeros = np.zeros(k_bucket * n_p, dtype=np.int32)
+                slots = np.full(k_bucket, self.pool_slots, dtype=np.int32)
+                run = _pool_update_jit(k_bucket, self.n_flat_words)
+                self.leaf_pool = run(
+                    self.leaf_pool, self.sparse_stream[0],
+                    self.sparse_stream[1], jax.device_put(zeros),
+                    jax.device_put(zeros.copy()), jax.device_put(slots))
+
     def _rewrite_sparse_operands(self, code: np.ndarray,
                                  leaf_ids: list[int],
                                  slot_map: dict[int, int]) -> np.ndarray:

@@ -126,6 +126,9 @@ class DatabaseDirectoryWatcher:
                                           min_bucket=_BATCH_LEN_BUCKETS[-1],
                                           min_sparse_k=min_k,
                                           min_sparse_e=min_e)
+                # pooled engines: every pool-update K bucket must be
+                # compiled before live miss bursts hit them
+                engine.warm_pool_updates()
             logger.info("device warm-up done in %.1f s", time.time() - t0)
         except Exception:  # noqa: BLE001 — warm-up must never block serving
             logger.exception("device warm-up failed (serving anyway)")
