@@ -626,22 +626,34 @@ class DeviceEngine:
             self._leaf_slot[leaf] = slot
             slot_map[leaf] = slot
         n_p = self.n_partitions
-        for i in range(0, len(misses), _SPARSE_K_BUCKETS[-1]):
-            chunk = misses[i : i + _SPARSE_K_BUCKETS[-1]]
-            k_bucket = next(b for b in _SPARSE_K_BUCKETS[1:]
-                            if b >= len(chunk))
-            ids = np.asarray(chunk, dtype=np.int64)
-            starts = np.zeros(k_bucket * n_p, dtype=np.int32)
-            lens = np.zeros(k_bucket * n_p, dtype=np.int32)
-            starts[: len(ids) * n_p] = self.sparse_starts_pp[ids].reshape(-1)
-            lens[: len(ids) * n_p] = self.sparse_lengths_pp[ids].reshape(-1)
-            slots = np.full(k_bucket, C, dtype=np.int32)  # pad -> scratch
-            slots[: len(chunk)] = [slot_map[leaf] for leaf in chunk]
-            run = _pool_update_jit(k_bucket, self.n_flat_words)
-            self.leaf_pool = run(
-                self.leaf_pool, self.sparse_stream[0], self.sparse_stream[1],
-                jax.device_put(starts), jax.device_put(lens),
-                jax.device_put(slots))
+        try:
+            for i in range(0, len(misses), _SPARSE_K_BUCKETS[-1]):
+                chunk = misses[i : i + _SPARSE_K_BUCKETS[-1]]
+                k_bucket = next(b for b in _SPARSE_K_BUCKETS[1:]
+                                if b >= len(chunk))
+                ids = np.asarray(chunk, dtype=np.int64)
+                starts = np.zeros(k_bucket * n_p, dtype=np.int32)
+                lens = np.zeros(k_bucket * n_p, dtype=np.int32)
+                starts[: len(ids) * n_p] = self.sparse_starts_pp[ids].reshape(-1)
+                lens[: len(ids) * n_p] = self.sparse_lengths_pp[ids].reshape(-1)
+                slots = np.full(k_bucket, C, dtype=np.int32)  # pad -> scratch
+                slots[: len(chunk)] = [slot_map[leaf] for leaf in chunk]
+                run = _pool_update_jit(k_bucket, self.n_flat_words)
+                self.leaf_pool = run(
+                    self.leaf_pool, self.sparse_stream[0],
+                    self.sparse_stream[1], jax.device_put(starts),
+                    jax.device_put(lens), jax.device_put(slots))
+        except Exception:
+            # a failed update must not leave the cache claiming leaves are
+            # resident (their slots were never written — every later hit
+            # would silently read wrong rows), and a donated-then-failed
+            # execution may have invalidated the pool handle itself. The
+            # pool is a cache: drop it wholesale and let the next dispatch
+            # reallocate and re-densify.
+            self.leaf_pool = None
+            self._leaf_slot.clear()
+            self._free_slots = []
+            raise
         return slot_map
 
     def warm_pool_updates(self):
@@ -1261,13 +1273,15 @@ class DeviceEngine:
                 regs[dst] = a & (b ^ full)
         return int(bitset.popcount(regs[0].reshape(-1)))
 
-    def count_programs(self, lowered: list[_Program], min_bucket: int = 0,
-                       min_sparse_k: int = 0, min_sparse_e: int = 0) -> list[int]:
-        """count_batch over already-lowered programs (the micro-batcher
-        lowers per query so one bad query can't poison a whole batch).
-        Host-answerable programs (stored cardinalities, metadata-only
-        filters) never reach the device — they'd otherwise drag their
-        sparse leaves into the batch's densify budget."""
+    def count_split(self, lowered: list[_Program], min_bucket: int = 0,
+                    min_sparse_k: int = 0, min_sparse_e: int = 0):
+        """Phase 1 of a batched count (non-blocking): answer host-computable
+        programs (stored cardinalities, metadata-only filters — they'd
+        otherwise drag their sparse leaves into the batch's densify budget)
+        and enqueue the device dispatches with async readbacks started.
+        Returns (results-with-None-at-device-slots, device_idx, dispatches);
+        finish with count_finish — the split lets serving loops dispatch
+        batch k while batch k-1's readback is in flight."""
         results: list[int | None] = [None] * len(lowered)
         device_idx: list[int] = []
         device_programs: list[_Program] = []
@@ -1279,6 +1293,7 @@ class DeviceEngine:
                 device_programs.append(program)
             else:
                 results[i] = host
+        dispatches = []
         if device_programs:
             dispatches = self.count_dispatches(device_programs, min_bucket,
                                                min_sparse_k, min_sparse_e)
@@ -1290,11 +1305,24 @@ class DeviceEngine:
                     counts.copy_to_host_async()
                 except Exception:  # noqa: BLE001 — optional fast path
                     pass
-            flat = (int(c) for counts, q in dispatches
-                    for c in np.asarray(counts)[:q])
-            for i, count in zip(device_idx, flat):
-                results[i] = count
+        return results, device_idx, dispatches
+
+    @staticmethod
+    def count_finish(results, device_idx, dispatches) -> list[int]:
+        """Phase 2 (blocking): pull the dispatch counts and fill the device
+        slots of a count_split result."""
+        flat = (int(c) for counts, q in dispatches
+                for c in np.asarray(counts)[:q])
+        for i, count in zip(device_idx, flat):
+            results[i] = count
         return results
+
+    def count_programs(self, lowered: list[_Program], min_bucket: int = 0,
+                       min_sparse_k: int = 0, min_sparse_e: int = 0) -> list[int]:
+        """count_batch over already-lowered programs (the micro-batcher
+        lowers per query so one bad query can't poison a whole batch)."""
+        return self.count_finish(*self.count_split(
+            lowered, min_bucket, min_sparse_k, min_sparse_e))
 
     def count_dispatches(self, lowered: list[_Program], min_bucket: int = 0,
                          min_sparse_k: int = 0, min_sparse_e: int = 0,

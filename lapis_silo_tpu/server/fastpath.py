@@ -30,6 +30,7 @@ import ctypes
 import json
 import logging
 import threading
+import time
 
 logger = logging.getLogger(__name__)
 
@@ -38,6 +39,11 @@ _GEN_SHIFT = 20
 _IDX_MASK = (1 << _GEN_SHIFT) - 1
 _GEN_MASK = (1 << (32 - _GEN_SHIFT)) - 1
 _NEGATIVE_CACHE_MAX = 65536
+# registrations per generation are bounded too: the C++ map stores full
+# body bytes and the table a lowered program each — a client iterating
+# distinct count queries must not grow server memory without limit
+# (overflow just stays on the slow path)
+_POSITIVE_CACHE_MAX = 65536
 
 
 def fastpath_symbols_available(lib) -> bool:
@@ -147,6 +153,8 @@ class CountFastPath:
         key = bytes(body)
         if key in state.registered or key in state.negative:
             return
+        if len(state.registered) >= _POSITIVE_CACHE_MAX:
+            return  # table full for this generation: stay on the slow path
         data = self._count_shaped(key)
         if data is None:
             if len(state.negative) < _NEGATIVE_CACHE_MAX:
@@ -216,7 +224,10 @@ class CountFastPath:
             gen = self._next_gen
             self._next_gen += 1
             new_state = _Generation(gen, self._swap_epoch, database, engine)
-            self._tables[gen] = new_state
+            # keyed by the MASKED generation — handles carry only
+            # _GEN_MASK bits, so an unmasked key would stop matching after
+            # 4096 snapshot swaps (every registered body would 500 forever)
+            self._tables[gen & _GEN_MASK] = new_state
             self._state = new_state
         return new_state
 
@@ -237,7 +248,7 @@ class CountFastPath:
             dispatched = self._dispatch(self._pop_copy(n))
             if dispatched is not None:
                 self._complete(dispatched)
-        keep = self._state.gen if self._state is not None else None
+        keep = (self._state.gen & _GEN_MASK) if self._state is not None else None
         self._tables = {g: t for g, t in self._tables.items() if g == keep}
 
     def _pop_copy(self, n: int) -> list[tuple[int, int]]:
@@ -251,6 +262,11 @@ class CountFastPath:
         # k-1's readback is in flight. With more connections than one batch
         # holds, both round trips overlap the device work and the cycle
         # time halves (measured: 6.1k -> see BENCHMARKS "serving pipeline").
+        #
+        # The loop body is fully guarded: an uncaught exception would kill
+        # the only thread that pops fast-path tasks while the C++ map keeps
+        # matching bodies — every matched connection would then hang
+        # forever (the slow path never sees a matched body).
         inflight = None
         while True:
             n = self._lib.silo_fastpath_wait(
@@ -258,21 +274,43 @@ class CountFastPath:
                 0 if inflight is not None else 250)
             if n < 0:
                 if inflight is not None:
-                    self._complete(inflight)
+                    try:
+                        self._complete(inflight)
+                    except Exception:  # noqa: BLE001 — shutting down
+                        logger.exception("fast-path final drain failed")
                 return  # server stopping
-            dispatched = self._dispatch(self._pop_copy(n)) if n else None
-            if inflight is not None:
-                self._complete(inflight)
-            inflight = dispatched
-            if inflight is None:
-                # idle moment: generation maintenance
-                state = self._state
-                if state is not None and (
-                        state.epoch != self._swap_epoch
-                        or state.database is not self._mutex.get_database()):
-                    self._retire(state)
-                if self._state is None:
-                    self._ensure_state()
+            dispatched = None
+            try:
+                dispatched = self._dispatch(self._pop_copy(n)) if n else None
+                if inflight is not None:
+                    self._complete(inflight)
+                inflight = dispatched
+                if inflight is None:
+                    # idle moment: generation maintenance
+                    state = self._state
+                    if state is not None and (
+                            state.epoch != self._swap_epoch
+                            or state.database is not self._mutex.get_database()):
+                        self._retire(state)
+                    if self._state is None:
+                        self._ensure_state()
+            except Exception:  # noqa: BLE001 — the drainer must survive
+                logger.exception("fast-path drain iteration failed")
+                # no task may be dropped silently: a matched connection the
+                # drainer never answers hangs forever
+                for pending in (inflight, dispatched):
+                    if not pending:
+                        continue
+                    for entry in pending:
+                        try:
+                            self._respond_error(
+                                entry[1], 500,
+                                {"error": "Internal Server Error",
+                                 "message": "fast-path drain failed"})
+                        except Exception:  # noqa: BLE001 — best effort
+                            pass
+                inflight = None
+                time.sleep(0.05)  # never spin on a persistent fault
 
     def _dispatch(self, tasks: list[tuple[int, int]]):
         """Phase 1 (non-blocking): group tasks by generation, coalesce
@@ -308,32 +346,11 @@ class CountFastPath:
                         programs.append(table.programs[handle_idx])
                     task_slot.append(slot)
                 engine = table.engine
-                # host/device split mirrors DeviceEngine.count_programs
-                slot_counts: list = [None] * len(programs)
-                allow_interpret = len(programs) <= 8
-                device_slots: list[int] = []
-                device_programs = []
-                for slot, program in enumerate(programs):
-                    host = engine.host_count(program,
-                                             allow_interpret=allow_interpret)
-                    if host is None:
-                        device_slots.append(slot)
-                        device_programs.append(program)
-                    else:
-                        slot_counts[slot] = host
-                dispatches = []
-                if device_programs:
-                    min_k, min_e = engine.sparse_floors(device_programs)
-                    dispatches = engine.count_dispatches(
-                        device_programs, min_bucket=_BATCH_LEN_BUCKETS[-1],
-                        min_sparse_k=min_k, min_sparse_e=min_e)
-                    for counts, _q in dispatches:
-                        try:
-                            counts.copy_to_host_async()
-                        except Exception:  # noqa: BLE001 — optional
-                            pass
-                batch.append((table, keys, task_slot, slot_counts,
-                              device_slots, dispatches))
+                min_k, min_e = engine.sparse_floors(programs)
+                split = engine.count_split(
+                    programs, min_bucket=_BATCH_LEN_BUCKETS[-1],
+                    min_sparse_k=min_k, min_sparse_e=min_e)
+                batch.append((table, keys, task_slot, split))
             except Exception as ex:  # noqa: BLE001 — parity: JSON 500
                 logger.exception("fast-path batch dispatch failed")
                 self._respond_error(
@@ -343,15 +360,13 @@ class CountFastPath:
 
     def _complete(self, batch) -> None:
         """Phase 2 (blocking): pull each group's device counts to the host,
-        fan them out to the coalesced tasks, hand C++ the answers."""
-        import numpy as np
-
-        for table, keys, task_slot, slot_counts, device_slots, dispatches in batch:
+        fan them out to the coalesced tasks, hand C++ the answers. Entries
+        pop as they are answered so a mid-batch crash cannot double-answer
+        a connection from the drain loop's recovery path."""
+        while batch:
+            table, keys, task_slot, split = batch.pop(0)
             try:
-                flat = (int(c) for counts, q in dispatches
-                        for c in np.asarray(counts)[:q])
-                for slot, count in zip(device_slots, flat):
-                    slot_counts[slot] = count
+                slot_counts = table.engine.count_finish(*split)
                 counts = [slot_counts[s] for s in task_slot]
             except Exception as ex:  # noqa: BLE001 — parity: JSON 500
                 logger.exception("fast-path batch readback failed")

@@ -94,11 +94,18 @@ def synthetic_database(
     reference_ids = rng.integers(1, 5, size=length).astype(np.uint8)  # A/C/G/T
     reference_str = "".join(NUCLEOTIDE.chars[i] for i in reference_ids)
     aa_length = max(16, length // 4)
-    aa_reference_ids = rng.integers(1, 21, size=aa_length).astype(np.uint8)
-    aa_reference_str = "".join(AMINO_ACID.chars[i] for i in aa_reference_ids)
-    genomes = ReferenceGenomes(
-        {"main": reference_str},
-        {"geneE": aa_reference_str} if rich else {})
+    if rich:
+        # rich-only draws stay OFF the shared stream for lean corpora:
+        # consuming them unconditionally would shift every later draw and
+        # silently change the benchmark corpora round-1 numbers (and
+        # bench.py's vs_baseline) were measured on
+        aa_reference_ids = rng.integers(1, 21, size=aa_length).astype(np.uint8)
+        aa_reference_str = "".join(AMINO_ACID.chars[i] for i in aa_reference_ids)
+        genomes = ReferenceGenomes({"main": reference_str},
+                                   {"geneE": aa_reference_str})
+    else:
+        aa_reference_ids = None
+        genomes = ReferenceGenomes({"main": reference_str}, {})
 
     metadata = [
         Metadata("key", ValueType.STRING),

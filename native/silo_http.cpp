@@ -499,12 +499,15 @@ struct Server {
       comp.close_after = !task.keep_alive;
       comp.bytes = build_response(resp, task.keep_alive);
       {
+        // the event_fd write stays under c_mu: stop() closes the fd under
+        // the same lock, so a late completion can never write to a closed
+        // (or kernel-reused) descriptor
         std::lock_guard<std::mutex> lk(c_mu);
         completions.push_back(std::move(comp));
+        uint64_t one = 1;
+        ssize_t ignored = write(event_fd, &one, sizeof(one));
+        (void)ignored;
       }
-      uint64_t one = 1;
-      ssize_t ignored = write(event_fd, &one, sizeof(one));
-      (void)ignored;
     }
   }
 
@@ -561,6 +564,10 @@ struct Server {
     for (auto& w : workers) {
       if (w.joinable()) w.join();
     }
+    // close under c_mu: the Python drainer thread outlives this join set
+    // and may still be finishing a respond call — its event_fd write holds
+    // the same lock, so it either lands before the close or sees -1
+    std::lock_guard<std::mutex> lk(c_mu);
     if (listen_fd >= 0) ::close(listen_fd);
     if (epoll_fd >= 0) ::close(epoll_fd);
     if (event_fd >= 0) ::close(event_fd);
@@ -703,12 +710,16 @@ void fp_complete(Server& server, const uint64_t* keys, int n,
     done.push_back(std::move(comp));
   }
   {
+    // event_fd write under c_mu: stop() closes the fd under the same lock
+    // after joining the io/worker threads, but the DRAINER calling this is
+    // an external thread — without the lock it could write into a closed
+    // or kernel-reused descriptor during shutdown
     std::lock_guard<std::mutex> lk(server.c_mu);
     for (auto& comp : done) server.completions.push_back(std::move(comp));
+    uint64_t one = 1;
+    ssize_t ignored = write(server.event_fd, &one, sizeof(one));
+    (void)ignored;
   }
-  uint64_t one = 1;
-  ssize_t ignored = write(server.event_fd, &one, sizeof(one));
-  (void)ignored;
 }
 
 }  // namespace
