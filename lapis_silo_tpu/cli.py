@@ -78,6 +78,34 @@ def _graceful_sigterm():
         pass
 
 
+def _graceful_exit():
+    """Cleanup is DONE — exit 0 NOW, skipping interpreter finalization.
+
+    CPython restores SIG_DFL for caught signals within ~50 ms of entering
+    finalization, but module teardown (jax/numpy state) keeps the process
+    alive for hundreds of ms after that; a process-group supervisor's
+    follow-up SIGTERM landing in that window killed the process with
+    status -15 despite a fully graceful unwind. Blocking via
+    pthread_sigmask cannot close the window either: a process-directed
+    SIGTERM is delivered to ANY thread with the signal unblocked (jax
+    worker threads), and only the caller's thread can be masked. The
+    callers' `finally` blocks have already stopped the watcher/server and
+    flushed state, so skipping finalization loses nothing. A hung cleanup
+    still honors the `_graceful_sigterm` escalation chain (third SIGTERM
+    -> SIG_DFL); error paths bypass this and exit nonzero as usual."""
+    import logging
+    import os
+    import sys
+
+    logging.shutdown()
+    try:
+        sys.stdout.flush()
+        sys.stderr.flush()
+    except Exception:  # noqa: BLE001 — broken pipes must not mask exit 0
+        pass
+    os._exit(0)
+
+
 def handle_api(args) -> int:
     import os
 
@@ -117,6 +145,7 @@ def handle_api(args) -> int:
         watcher.stop()
         if server is not None:
             server.server_close()
+    _graceful_exit()
     return 0
 
 
@@ -172,6 +201,7 @@ def _supervise_api(args, n_procs: int) -> int:
                 child.wait(timeout=max(0.1, deadline - time.time()))
             except subprocess.TimeoutExpired:
                 child.kill()
+    _graceful_exit()
     return 0
 
 
@@ -206,6 +236,7 @@ def handle_worker(args) -> int:
             watcher.stop()
         if server is not None:
             server.shutdown()
+    _graceful_exit()
     return 0
 
 
@@ -258,6 +289,7 @@ def handle_coordinator(args) -> int:
             local_watcher.stop()
         if server is not None:
             server.server_close()
+    _graceful_exit()
     return 0
 
 
