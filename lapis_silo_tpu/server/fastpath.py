@@ -257,35 +257,47 @@ class CountFastPath:
         return [(self._keys[i], self._handles[i]) for i in range(n)]
 
     def _drain_loop(self) -> None:
-        # Two-deep pipeline: the relay costs a round trip to dispatch and
-        # another to read counts back, so batch k dispatches while batch
-        # k-1's readback is in flight. With more connections than one batch
-        # holds, both round trips overlap the device work and the cycle
-        # time halves (measured: 6.1k -> see BENCHMARKS "serving pipeline").
+        # k-deep pipeline (SILO_FASTPATH_DEPTH, default 2): the relay costs
+        # a round trip to dispatch and another to read counts back, so
+        # batch k dispatches while up to depth-1 earlier batches' readbacks
+        # are in flight. With more connections than one batch holds, the
+        # round trips overlap the device work (measured: 6.1k sync -> 16.9k
+        # at depth 2, see BENCHMARKS "serving pipeline"); deeper pipelines
+        # trade p99 latency for throughput until the device VM saturates
+        # (~12 ms per 512-query batch).
         #
         # The loop body is fully guarded: an uncaught exception would kill
         # the only thread that pops fast-path tasks while the C++ map keeps
         # matching bodies — every matched connection would then hang
         # forever (the slow path never sees a matched body).
-        inflight = None
+        import collections
+        import os
+
+        depth = max(1, int(os.environ.get("SILO_FASTPATH_DEPTH", "2")))
+        inflight: collections.deque = collections.deque()
         while True:
             n = self._lib.silo_fastpath_wait(
                 self._sid, self._keys, self._handles, MAX_BATCH,
-                0 if inflight is not None else 250)
+                0 if inflight else 250)
             if n < 0:
-                if inflight is not None:
+                while inflight:
                     try:
-                        self._complete(inflight)
+                        self._complete(inflight.popleft())
                     except Exception:  # noqa: BLE001 — shutting down
                         logger.exception("fast-path final drain failed")
                 return  # server stopping
             dispatched = None
             try:
                 dispatched = self._dispatch(self._pop_copy(n)) if n else None
-                if inflight is not None:
-                    self._complete(inflight)
-                inflight = dispatched
-                if inflight is None:
+                if dispatched is not None:
+                    inflight.append(dispatched)
+                    dispatched = None
+                    while len(inflight) >= depth:
+                        self._complete(inflight.popleft())
+                elif inflight:
+                    # no new work: drain the oldest in-flight batch
+                    self._complete(inflight.popleft())
+                else:
                     # idle moment: generation maintenance
                     state = self._state
                     if state is not None and (
@@ -298,9 +310,11 @@ class CountFastPath:
                 logger.exception("fast-path drain iteration failed")
                 # no task may be dropped silently: a matched connection the
                 # drainer never answers hangs forever
-                for pending in (inflight, dispatched):
-                    if not pending:
-                        continue
+                pending_batches = list(inflight)
+                inflight.clear()
+                if dispatched:
+                    pending_batches.append(dispatched)
+                for pending in pending_batches:
                     for entry in pending:
                         try:
                             self._respond_error(
@@ -309,7 +323,6 @@ class CountFastPath:
                                  "message": "fast-path drain failed"})
                         except Exception:  # noqa: BLE001 — best effort
                             pass
-                inflight = None
                 time.sleep(0.05)  # never spin on a persistent fault
 
     def _dispatch(self, tasks: list[tuple[int, int]]):
