@@ -207,6 +207,78 @@ def test_fastpath_concurrent_hammer(served):
     assert backend.resolves == before  # 400 requests, zero slow-path
 
 
+def test_deep_pipeline_survives_swaps_under_load(example_dataset_db,
+                                                 monkeypatch):
+    """SILO_FASTPATH_DEPTH=3: several batches in flight while the snapshot
+    swaps underneath. Every response must be internally consistent — the
+    bytes of either the old snapshot's answer or the new one's — and the
+    fast path must re-engage for the restored snapshot afterwards."""
+    from lapis_silo_tpu.server.native_http import (
+        NativeHTTPServer,
+        native_http_available,
+    )
+    from lapis_silo_tpu.storage.database import Database
+
+    if not native_http_available():
+        pytest.skip("native HTTP library unavailable")
+    monkeypatch.setenv("SILO_FASTPATH_DEPTH", "3")
+    mutex = DatabaseMutex(example_dataset_db)
+    backend = CountingBackend(mutex)
+    server = NativeHTTPServer(backend, port=0)
+    if server._fastpath is None:
+        server.shutdown()
+        pytest.skip("fast path unavailable (stale libsilo_http.so)")
+    try:
+        port = server.server_address[1]
+        bodies = [_query({"type": "NucleotideEquals", "position": p,
+                          "symbol": "A"}) for p in (500, 1000, 1500, 2000)]
+        full = {}
+        for body in bodies:
+            s, _h, d = _request(port, body)
+            assert s == 200
+            full[body] = d
+            _wait_fast(port, body, backend)
+        empty_answer = json.dumps(
+            {"queryResult": [{"count": 0}]}).encode()
+        errors = []
+        stop = threading.Event()
+
+        def hammer(body):
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=60)
+                while not stop.is_set():
+                    s, _h, d = _request(port, body, conn=conn)
+                    assert s == 200, d
+                    assert d in (full[body], empty_answer), d
+                conn.close()
+            except Exception as ex:  # noqa: BLE001
+                errors.append(ex)
+
+        threads = [threading.Thread(target=hammer, args=(b,))
+                   for b in bodies for _ in range(2)]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(4):
+                time.sleep(0.15)
+                mutex.set_database(Database.empty())
+                time.sleep(0.15)
+                mutex.set_database(example_dataset_db)
+        finally:
+            stop.set()
+            for t in threads:
+                t.join()
+        assert not errors
+        # restored snapshot: correct bytes and the fast path re-engages
+        for body in bodies:
+            s, _h, d = _request(port, body)
+            assert s == 200 and d == full[body]
+        _wait_fast(port, bodies[0], backend)
+    finally:
+        server.shutdown()
+
+
 def test_fastpath_connection_close(served):
     import socket
 
