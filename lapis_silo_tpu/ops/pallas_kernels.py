@@ -440,7 +440,7 @@ def _vm_block_hi(n_hi: int, n_regs: int, vmem_cap_bytes: int = 64 << 20):
     """Largest per-block hi-row count (multiple of the whole-words-per-
     partition quantum that divides n_hi) whose register file fits VMEM;
     None when even one quantum overflows (callers fall back to XLA)."""
-    per_hi = (n_regs + 3) * 128 * 4  # regs+trash, slot, full, words out
+    per_hi = (n_regs + 5) * 128 * 4  # regs+trash, 2 slots, full, words out
     cap = max(vmem_cap_bytes // per_hi, 0)
     if cap >= n_hi:
         return n_hi
@@ -496,11 +496,20 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
         sparse3 = sparse_rows.reshape(n_sparse_k, n_hi, 128)
     full2 = full.reshape(n_hi, 128)
 
+    # Double-buffered b-source prefetch: the instruction stream is static
+    # (SMEM scalars), so instruction i+1's row DMA starts into the other
+    # slot while instruction i computes — the serial start();wait() form
+    # exposed the full HBM round-trip latency per instruction (~1.8 us of
+    # the measured 4.1 us load+AND cost). SILO_VM_PREFETCH=0 restores the
+    # serial schedule for A/B runs (same 2-slot layout, no early start).
+    prefetch = os.environ.get("SILO_VM_PREFETCH", "1") != "0"
+
     def kernel(ops_ref, oper_ref, spec_ref, ninstr_ref,
                bank_ref, dyn_ref, sparse_ref, full_ref,
                words_ref, counts_ref, regs_ref, slot_ref, sem):
         b = pl.program_id(0)
         hi0 = b * w_hi
+        n = ninstr_ref[0]
 
         @pl.when(b == 0)
         def _():
@@ -511,7 +520,45 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
 
         regs_ref[...] = jnp.zeros_like(regs_ref)
 
+        def each_dma(i, slot, action):
+            """Run `action` on the async-copy descriptor moving instruction
+            i's b-source row into `slot` — guarded per source kind, so
+            starts and waits pair exactly (bsrc 0/4/5 issue no DMA)."""
+            operand = oper_ref[i]
+            bsrc = (spec_ref[i] >> 28) & 0xF
+
+            def mk(ref, hi):
+                return pltpu.make_async_copy(
+                    ref.at[jnp.clip(operand, 0, hi), pl.ds(hi0, w_hi), :],
+                    slot_ref.at[slot], sem.at[slot])
+
+            @pl.when(bsrc == 1)  # B_BANK
+            def _():
+                action(mk(bank_ref, n_rows - 1))
+
+            @pl.when(bsrc == 2)  # B_DYN
+            def _():
+                action(mk(dyn_ref, n_dyn - 1))
+
+            @pl.when(bsrc == 3)  # B_SPARSE
+            def _():
+                action(mk(sparse_ref, n_sparse_k - 1))
+
+        if prefetch:
+            @pl.when(n > 0)
+            def _():
+                each_dma(0, 0, lambda cp: cp.start())
+
         def body(i, _):
+            cur = i & 1
+            if prefetch:
+                @pl.when(i + 1 < n)
+                def _():
+                    each_dma(i + 1, 1 - cur, lambda cp: cp.start())
+            else:
+                each_dma(i, cur, lambda cp: cp.start())
+            each_dma(i, cur, lambda cp: cp.wait())
+
             operand = oper_ref[i]
             spec = spec_ref[i]
             dst = spec & 0xFF
@@ -520,25 +567,6 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
             mode = (spec >> 24) & 0xF
             bsrc = (spec >> 28) & 0xF
 
-            def dma(ref, hi):
-                cp = pltpu.make_async_copy(
-                    ref.at[jnp.clip(operand, 0, hi), pl.ds(hi0, w_hi), :],
-                    slot_ref, sem)
-                cp.start()
-                cp.wait()
-
-            @pl.when(bsrc == 1)  # B_BANK
-            def _():
-                dma(bank_ref, n_rows - 1)
-
-            @pl.when(bsrc == 2)  # B_DYN
-            def _():
-                dma(dyn_ref, n_dyn - 1)
-
-            @pl.when(bsrc == 3)  # B_SPARSE
-            def _():
-                dma(sparse_ref, n_sparse_k - 1)
-
             a = regs_ref[jnp.minimum(ra, n_regs - 1)]
             full_blk = full_ref[...]
             bsel = jnp.where(
@@ -546,7 +574,7 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
                 jnp.where(
                     bsrc == 4, full_blk,
                     jnp.where(bsrc == 5, jnp.zeros_like(full_blk),
-                              slot_ref[...]),
+                              slot_ref[cur]),
                 ),
             )
             val = jnp.where(
@@ -570,7 +598,7 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
 
             return 0
 
-        jax.lax.fori_loop(0, ninstr_ref[0], body, 0)
+        jax.lax.fori_loop(0, n, body, 0)
         words_ref[...] = regs_ref[0]
 
     try:
@@ -594,8 +622,8 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
         ],
         scratch_shapes=[
             pltpu.VMEM((n_regs + 1, w_hi, 128), jnp.uint32),
-            pltpu.VMEM((w_hi, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, w_hi, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     words, counts = pl.pallas_call(
