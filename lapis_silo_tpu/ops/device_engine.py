@@ -89,6 +89,13 @@ _SPARSE_K_BUCKETS = (0, 4, 16, 64, 256, 1024, 4096)
 # 2**21) ran 174 ms/512-batch vs 103 ms with 384 MB (2 splits at natural
 # E=2**19). Splits are cheap (dispatches pipeline); slot waste is not.
 _SPARSE_K_BYTE_CAP = 384 << 20
+# SMEM cap on the densify/pool-update kernels' scalar-prefetch operands:
+# starts+lens are [K * n_partitions] i32 EACH, and TPU scalar memory holds
+# roughly 1 MB — a K=4096 x 32-partition update (2 x 512 KB) exhausted
+# scoped SMEM on v5e (RESOURCE_EXHAUSTED at compile). 128 KB per array
+# (K * P * 4 bytes) keeps the proven round-1 shapes (1024 x 16) and caps
+# new ones; misses beyond the cap split into more update dispatches.
+_SPARSE_K_SMEM_BYTE_CAP = 128 << 10
 # flat per-partition entry budgets for the ragged densify. The densify
 # pays ~45 ns per budget SLOT (gather + scatter + cumsum passes run over
 # the whole static budget, not the live entries), so bucket granularity is
@@ -514,7 +521,8 @@ class DeviceEngine:
         # under live traffic).
         self.max_sparse_k = max(
             (b for b in _SPARSE_K_BUCKETS
-             if b * self.n_flat_words * 4 <= _SPARSE_K_BYTE_CAP),
+             if b * self.n_flat_words * 4 <= _SPARSE_K_BYTE_CAP
+             and b * self.n_partitions * 4 <= _SPARSE_K_SMEM_BYTE_CAP),
             default=_SPARSE_K_BUCKETS[1],
         )
         if n_sparse:
@@ -582,6 +590,14 @@ class DeviceEngine:
         self._leaf_slot: "OrderedDict[int, int]" = OrderedDict()  # LRU
         self._free_slots: list[int] = []
         self._pool_lock = threading.RLock()
+        # pool updates chunk misses at the widest K bucket whose
+        # starts/lens scalar-prefetch operands fit SMEM (a 4096 x 32
+        # update's 2 x 512 KB exhausted v5e scoped memory)
+        self._pool_update_k_cap = max(
+            (b for b in _SPARSE_K_BUCKETS[1:]
+             if b * self.n_partitions * 4 <= _SPARSE_K_SMEM_BYTE_CAP),
+            default=_SPARSE_K_BUCKETS[1],
+        )
         # batch-wide sparse-leaf cap: poolless engines split at the densify
         # block cap; pooled ones at the slot count (all of a dispatch's
         # leaves must be resident simultaneously)
@@ -626,9 +642,10 @@ class DeviceEngine:
             self._leaf_slot[leaf] = slot
             slot_map[leaf] = slot
         n_p = self.n_partitions
+        step = self._pool_update_k_cap
         try:
-            for i in range(0, len(misses), _SPARSE_K_BUCKETS[-1]):
-                chunk = misses[i : i + _SPARSE_K_BUCKETS[-1]]
+            for i in range(0, len(misses), step):
+                chunk = misses[i : i + step]
                 k_bucket = next(b for b in _SPARSE_K_BUCKETS[1:]
                                 if b >= len(chunk))
                 ids = np.asarray(chunk, dtype=np.int64)
@@ -671,7 +688,7 @@ class DeviceEngine:
                 self._free_slots = list(range(self.pool_slots))
             n_p = self.n_partitions
             for k_bucket in _SPARSE_K_BUCKETS[1:]:
-                if k_bucket > self.pool_slots:
+                if k_bucket > min(self.pool_slots, self._pool_update_k_cap):
                     break
                 zeros = np.zeros(k_bucket * n_p, dtype=np.int32)
                 slots = np.full(k_bucket, self.pool_slots, dtype=np.int32)

@@ -208,6 +208,51 @@ def test_leaf_pool_caches_across_batches(example_dataset_db, dense_engine,
     de._pool_update_jit.cache_clear()  # drop jits closed over the spy
 
 
+def test_pool_update_k_cap_splits_miss_bursts(example_dataset_db,
+                                              dense_engine, monkeypatch):
+    """A miss burst wider than the SMEM-derived K cap must split into
+    several pool-update dispatches, none padded past the cap's bucket —
+    a 4096 x 32-partition update's starts/lens scalar-prefetch operands
+    (2 x 512 KB) exhausted v5e scoped SMEM (RESOURCE_EXHAUSTED)."""
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+    from lapis_silo_tpu.query.engine import Query
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    engine = _interpret_pool_engine(example_dataset_db, monkeypatch)
+    assert engine._pool_update_k_cap * engine.n_partitions * 4 <= (
+        de._SPARSE_K_SMEM_BYTE_CAP)
+    engine._pool_update_k_cap = 4  # force splitting with a tiny cap
+    seen_k = []
+    real_jit = de._pool_update_jit
+
+    def counting_jit(k_bucket, n_words):
+        run = real_jit(k_bucket, n_words)
+
+        def wrapper(*args, **kwargs):
+            seen_k.append(k_bucket)
+            return run(*args, **kwargs)
+
+        return wrapper
+
+    monkeypatch.setattr(de, "_pool_update_jit", counting_jit)
+    filters = [{"type": "Or", "children": [
+        {"type": "NucleotideEquals", "position": 3000 + i * 11 + 1,
+         "symbol": s} for i in range(16) for s in ("A", "C", "T", "G")
+    ]}]
+    batch = [Query(json.dumps({"filterExpression": f,
+                               "action": {"type": "Aggregated"}})).filter
+             for f in filters]
+    got = engine.count_batch(batch)
+    want = dense_engine.count_batch(batch)
+    assert got == want
+    assert len(seen_k) > 1, "burst did not split at the K cap"
+    assert all(k <= 4 for k in seen_k), seen_k
+    de._interpreter.cache_clear()
+    real_jit.cache_clear()
+
+
 def test_leaf_pool_eviction_stays_correct(example_dataset_db, dense_engine,
                                           monkeypatch):
     """A pool far smaller than the leaf universe must evict and refill
