@@ -590,6 +590,12 @@ class DeviceEngine:
         self._leaf_slot: "OrderedDict[int, int]" = OrderedDict()  # LRU
         self._free_slots: list[int] = []
         self._pool_lock = threading.RLock()
+        # observability: cumulative miss/update traffic (a working set
+        # slightly over the slot count shows up as steady-state miss churn
+        # here long before it shows up in latency)
+        self.pool_hits = 0
+        self.pool_misses = 0
+        self.pool_update_dispatches = 0
         # pool updates chunk misses at the widest K bucket whose
         # starts/lens scalar-prefetch operands fit SMEM (a 4096 x 32
         # update's 2 x 512 KB exhausted v5e scoped memory)
@@ -625,6 +631,8 @@ class DeviceEngine:
                 slot_map[leaf] = slot
             else:
                 misses.append(leaf)
+        self.pool_hits += len(slot_map)
+        self.pool_misses += len(misses)
         if not misses:
             return slot_map
         needed = set(leaf_ids)
@@ -660,6 +668,7 @@ class DeviceEngine:
                     self.leaf_pool, self.sparse_stream[0],
                     self.sparse_stream[1], jax.device_put(starts),
                     jax.device_put(lens), jax.device_put(slots))
+                self.pool_update_dispatches += 1
         except Exception:
             # a failed update must not leave the cache claiming leaves are
             # resident (their slots were never written — every later hit

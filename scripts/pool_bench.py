@@ -99,7 +99,10 @@ def main():
                             n_partitions=n_partitions)
     log(f"corpus {time.time() - t0:.0f}s")
     t0 = time.time()
-    engine = de.DeviceEngine(db)
+    # smoke runs force the sparse tier (small corpora are dense by gate)
+    sparse_min_words = (1 if os.environ.get("SILO_BENCH_FORCE_SPARSE") == "1"
+                        else None)
+    engine = de.DeviceEngine(db, sparse_min_words=sparse_min_words)
     jax.block_until_ready(engine.bank)
     log(f"engine up {time.time() - t0:.0f}s: sparse rows={engine.n_sparse} "
         f"pool slots={engine.pool_slots} "
@@ -107,9 +110,13 @@ def main():
         if engine.sparse_stream else "engine up (dense)")
     assert engine.pool_slots > 0, "pool inactive — nothing to measure"
 
-    # hot working set: ~n_hot/2 positions x up to 2 leaves each
+    # hot working set: n_hot/4 positions — each contributes up to ~4
+    # leaves (an equals row, plus HasNucleotideMutation's non-ref symbol
+    # rows), and the universe MUST fit the pool or the LRU churns
+    # evictions at steady state (measured: 165 ms/batch in-pool vs
+    # 700-800 ms thrashing when the universe ran ~20% over the slots)
     rng = np.random.default_rng(7)
-    positions = rng.choice(length, size=max(8, n_hot // 2), replace=False)
+    positions = rng.choice(length, size=max(8, n_hot // 4), replace=False)
 
     def lower_batch(queries):
         return [engine.lower(Query(q).filter)[0] for q in queries]
@@ -141,11 +148,15 @@ def main():
     times = []
     for i in range(n_batches):
         progs = lower_batch(hot_queries(db, positions, n_queries, seed=i + 1))
+        m0, u0 = engine.pool_misses, engine.pool_update_dispatches
         t0 = time.perf_counter()
         engine.count_programs(progs, min_bucket=de._BATCH_LEN_BUCKETS[-1])
         times.append(time.perf_counter() - t0)
         log(f"hot batch {i}: {times[-1] * 1e3:.1f} ms "
-            f"({n_queries / times[-1]:.0f} qps)")
+            f"({n_queries / times[-1]:.0f} qps) "
+            f"misses={engine.pool_misses - m0} "
+            f"updates={engine.pool_update_dispatches - u0} "
+            f"resident={len(engine._leaf_slot)}")
     best = min(times)
     results["hot_qps"] = round(n_queries / best, 1)
     results["hot_ms_per_batch"] = round(best * 1e3, 1)
@@ -155,11 +166,14 @@ def main():
     for i in range(n_batches):
         queries = sample_count_queries(db, n_queries=n_queries, seed=100 + i)
         progs = lower_batch(queries)
+        m0, u0 = engine.pool_misses, engine.pool_update_dispatches
         t0 = time.perf_counter()
         engine.count_programs(progs, min_bucket=de._BATCH_LEN_BUCKETS[-1])
         times.append(time.perf_counter() - t0)
         log(f"cold batch {i}: {times[-1] * 1e3:.1f} ms "
-            f"({n_queries / times[-1]:.0f} qps)")
+            f"({n_queries / times[-1]:.0f} qps) "
+            f"misses={engine.pool_misses - m0} "
+            f"updates={engine.pool_update_dispatches - u0}")
     best = min(times)
     results["cold_qps"] = round(n_queries / best, 1)
     results["cold_ms_per_batch"] = round(best * 1e3, 1)
