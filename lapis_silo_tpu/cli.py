@@ -96,7 +96,12 @@ def _graceful_exit():
     import logging
     import os
     import sys
+    import threading
 
+    if threading.current_thread() is not threading.main_thread():
+        # embedded use (the same case _graceful_sigterm tolerates): the
+        # host process is not ours to kill — return 0 to the caller
+        return
     logging.shutdown()
     try:
         sys.stdout.flush()

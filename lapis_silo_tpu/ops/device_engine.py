@@ -96,6 +96,17 @@ _SPARSE_K_BYTE_CAP = 384 << 20
 # (K * P * 4 bytes) keeps the proven round-1 shapes (1024 x 16) and caps
 # new ones; misses beyond the cap split into more update dispatches.
 _SPARSE_K_SMEM_BYTE_CAP = 128 << 10
+
+
+def _smem_k_cap(n_partitions: int) -> int:
+    """Widest K bucket whose starts/lens prefetch arrays fit the SMEM
+    budget — shared by max_sparse_k (poolless densify) and the pool-update
+    chunking so the two bounds cannot silently diverge."""
+    return max(
+        (b for b in _SPARSE_K_BUCKETS[1:]
+         if b * n_partitions * 4 <= _SPARSE_K_SMEM_BYTE_CAP),
+        default=_SPARSE_K_BUCKETS[1],
+    )
 # flat per-partition entry budgets for the ragged densify. The densify
 # pays ~45 ns per budget SLOT (gather + scatter + cumsum passes run over
 # the whole static budget, not the live entries), so bucket granularity is
@@ -519,11 +530,11 @@ class DeviceEngine:
         # dispatch shape collapses onto one executable per output kind
         # (remote TPU compiles are minutes each; shapes must not proliferate
         # under live traffic).
-        self.max_sparse_k = max(
-            (b for b in _SPARSE_K_BUCKETS
-             if b * self.n_flat_words * 4 <= _SPARSE_K_BYTE_CAP
-             and b * self.n_partitions * 4 <= _SPARSE_K_SMEM_BYTE_CAP),
-            default=_SPARSE_K_BUCKETS[1],
+        self.max_sparse_k = min(
+            max((b for b in _SPARSE_K_BUCKETS
+                 if b * self.n_flat_words * 4 <= _SPARSE_K_BYTE_CAP),
+                default=_SPARSE_K_BUCKETS[1]),
+            _smem_k_cap(self.n_partitions),
         )
         if n_sparse:
             self.floor_sparse_k = self.max_sparse_k
@@ -599,11 +610,7 @@ class DeviceEngine:
         # pool updates chunk misses at the widest K bucket whose
         # starts/lens scalar-prefetch operands fit SMEM (a 4096 x 32
         # update's 2 x 512 KB exhausted v5e scoped memory)
-        self._pool_update_k_cap = max(
-            (b for b in _SPARSE_K_BUCKETS[1:]
-             if b * self.n_partitions * 4 <= _SPARSE_K_SMEM_BYTE_CAP),
-            default=_SPARSE_K_BUCKETS[1],
-        )
+        self._pool_update_k_cap = _smem_k_cap(self.n_partitions)
         # batch-wide sparse-leaf cap: poolless engines split at the densify
         # block cap; pooled ones at the slot count (all of a dispatch's
         # leaves must be resident simultaneously)

@@ -273,8 +273,16 @@ class CountFastPath:
         import collections
         import os
 
-        depth = max(1, int(os.environ.get("SILO_FASTPATH_DEPTH", "2")))
+        try:
+            depth = max(1, int(os.environ.get("SILO_FASTPATH_DEPTH", "2")))
+        except ValueError:
+            # a malformed value must not kill the only thread that answers
+            # fast-path matches (matched connections would hang forever)
+            logger.warning("invalid SILO_FASTPATH_DEPTH=%r; using 2",
+                           os.environ.get("SILO_FASTPATH_DEPTH"))
+            depth = 2
         inflight: collections.deque = collections.deque()
+        current = None  # batch popped for completion; entries pop as answered
         while True:
             n = self._lib.silo_fastpath_wait(
                 self._sid, self._keys, self._handles, MAX_BATCH,
@@ -293,10 +301,14 @@ class CountFastPath:
                     inflight.append(dispatched)
                     dispatched = None
                     while len(inflight) >= depth:
-                        self._complete(inflight.popleft())
+                        current = inflight.popleft()
+                        self._complete(current)
+                        current = None
                 elif inflight:
                     # no new work: drain the oldest in-flight batch
-                    self._complete(inflight.popleft())
+                    current = inflight.popleft()
+                    self._complete(current)
+                    current = None
                 else:
                     # idle moment: generation maintenance
                     state = self._state
@@ -309,9 +321,15 @@ class CountFastPath:
             except Exception:  # noqa: BLE001 — the drainer must survive
                 logger.exception("fast-path drain iteration failed")
                 # no task may be dropped silently: a matched connection the
-                # drainer never answers hangs forever
+                # drainer never answers hangs forever. `current` is the
+                # batch that blew up mid-_complete — _complete pops entries
+                # as it answers them, so re-walking it covers exactly the
+                # still-unanswered groups (no double answer possible).
                 pending_batches = list(inflight)
                 inflight.clear()
+                if current:
+                    pending_batches.append(current)
+                    current = None
                 if dispatched:
                     pending_batches.append(dispatched)
                 for pending in pending_batches:
