@@ -599,6 +599,13 @@ class DeviceEngine:
             self.pool_slots = min(want_slots, n_sparse, 8192)
         self.leaf_pool = None  # allocated on first use (_ensure_resident)
         self._leaf_slot: "OrderedDict[int, int]" = OrderedDict()  # LRU
+        # Segmented LRU: leaves hit on a SECOND distinct call promote into
+        # _protected (recency-ordered, capped at 80% of slots); eviction
+        # takes probationary (unprotected) LRU victims first, so a cold
+        # full-corpus scan — every leaf touched once — cannot flush the
+        # repeatedly-hit serving working set out of the pool.
+        self._protected: "OrderedDict[int, None]" = OrderedDict()
+        self._protected_cap = max(1, (self.pool_slots * 4) // 5)
         self._free_slots: list[int] = []
         self._pool_lock = threading.RLock()
         # observability: cumulative miss/update traffic (a working set
@@ -635,6 +642,11 @@ class DeviceEngine:
             slot = self._leaf_slot.get(leaf)
             if slot is not None:
                 self._leaf_slot.move_to_end(leaf)
+                # second distinct touch -> protected segment (SLRU)
+                self._protected[leaf] = None
+                self._protected.move_to_end(leaf)
+                if len(self._protected) > self._protected_cap:
+                    self._protected.popitem(last=False)  # demote, stays resident
                 slot_map[leaf] = slot
             else:
                 misses.append(leaf)
@@ -643,17 +655,34 @@ class DeviceEngine:
         if not misses:
             return slot_map
         needed = set(leaf_ids)
+        n_evict = len(misses) - len(self._free_slots)
+        victims: list[int] = []
+        if n_evict > 0:
+            # one pass in global LRU order: probationary victims first,
+            # protected LRU only when probation can't cover the misses
+            protected_spare: list[int] = []
+            for old in self._leaf_slot:
+                if old in needed:
+                    continue
+                if old in self._protected:
+                    protected_spare.append(old)
+                else:
+                    victims.append(old)
+                    if len(victims) == n_evict:
+                        break
+            if len(victims) < n_evict:
+                victims.extend(protected_spare[: n_evict - len(victims)])
+            if len(victims) < n_evict:
+                raise ProgramTooLarge(
+                    f"leaf pool ({C} slots) smaller than one batch")
+        victims.reverse()  # pop() below takes probationary-LRU first
         for leaf in misses:
             if self._free_slots:
                 slot = self._free_slots.pop()
             else:
-                for old in self._leaf_slot:  # LRU order
-                    if old not in needed:
-                        slot = self._leaf_slot.pop(old)
-                        break
-                else:
-                    raise ProgramTooLarge(
-                        f"leaf pool ({C} slots) smaller than one batch")
+                old = victims.pop()
+                slot = self._leaf_slot.pop(old)
+                self._protected.pop(old, None)
             self._leaf_slot[leaf] = slot
             slot_map[leaf] = slot
         n_p = self.n_partitions
@@ -685,6 +714,7 @@ class DeviceEngine:
             # reallocate and re-densify.
             self.leaf_pool = None
             self._leaf_slot.clear()
+            self._protected.clear()
             self._free_slots = []
             raise
         return slot_map

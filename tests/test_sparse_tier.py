@@ -253,6 +253,58 @@ def test_pool_update_k_cap_splits_miss_bursts(example_dataset_db,
     real_jit.cache_clear()
 
 
+def test_pool_scan_resistance(example_dataset_db, dense_engine, monkeypatch):
+    """Segmented LRU: a cold scan (every leaf touched once) must not flush
+    the repeatedly-hit working set. Hot leaves promoted by a second touch
+    survive scan rounds that overflow the pool; the hot re-run misses
+    nothing and stays bit-identical."""
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+    from lapis_silo_tpu.query.engine import Query
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    engine = _interpret_pool_engine(example_dataset_db, monkeypatch,
+                                    budget_slots=64)
+
+    def filt(f):
+        return Query(json.dumps({"filterExpression": f,
+                                 "action": {"type": "Aggregated"}})).filter
+
+    # discover positions whose filters really carry sparse leaves (most
+    # positions in the 100-seq corpus have no variation and lower to
+    # constants — no device work, nothing pooled)
+    leafy = []
+    total_leaves = 0
+    for pos in range(1, 29904, 7):
+        f = {"type": "HasNucleotideMutation", "position": pos}
+        program, _ = engine.lower(filt(f))
+        if program.sparse_leaves:
+            leafy.append(f)
+            total_leaves += len(program.sparse_leaves)
+        if total_leaves > 4 * engine.pool_slots:
+            break
+    assert total_leaves > 4 * engine.pool_slots, (
+        "corpus too uniform for a scan test")
+    hot_f, scan_fs = leafy[:2], leafy[2:]
+    hot = [filt(f) for f in hot_f]
+    want_hot = dense_engine.count_batch(hot)
+    assert engine.count_batch(hot) == want_hot   # touch 1: probation
+    assert engine.count_batch(hot) == want_hot   # touch 2: promoted
+    hot_resident = set(engine._leaf_slot)
+    assert hot_resident & set(engine._protected), "no promotion happened"
+    # scan: every remaining leafy filter once — several pool-loads of
+    # one-touch leaves
+    for i in range(0, len(scan_fs), 8):
+        scan = [filt(f) for f in scan_fs[i : i + 8]]
+        assert engine.count_batch(scan) == dense_engine.count_batch(scan)
+    m0 = engine.pool_misses
+    assert engine.count_batch(hot) == want_hot
+    assert engine.pool_misses == m0, (
+        "scan evicted the protected working set")
+    de._interpreter.cache_clear()
+
+
 def test_leaf_pool_eviction_stays_correct(example_dataset_db, dense_engine,
                                           monkeypatch):
     """A pool far smaller than the leaf universe must evict and refill
