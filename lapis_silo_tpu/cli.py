@@ -69,6 +69,7 @@ def _graceful_sigterm():
         signal.signal(signal.SIGTERM, signal.SIG_DFL)
 
     def _term(_signum, _frame):
+        _TERM_OBSERVED[0] = True
         signal.signal(signal.SIGTERM, _ignore_once)
         raise KeyboardInterrupt
 
@@ -76,6 +77,14 @@ def _graceful_sigterm():
         signal.signal(signal.SIGTERM, _term)
     except ValueError:  # not the main thread (embedded use)
         pass
+
+
+# set by the SIGTERM handler and the callers' KeyboardInterrupt catches:
+# _graceful_exit only hard-exits when a termination signal was actually in
+# play (the follow-up-signal-during-finalization hazard below); a clean,
+# signal-free return goes back to the caller normally (atexit handlers,
+# coverage, embedders all see an ordinary return).
+_TERM_OBSERVED = [False]
 
 
 def _graceful_exit():
@@ -98,6 +107,10 @@ def _graceful_exit():
     import sys
     import threading
 
+    if not _TERM_OBSERVED[0]:
+        # no termination signal in play — the hazard this guards against
+        # cannot occur, so return normally (atexit, coverage, embedders)
+        return
     if threading.current_thread() is not threading.main_thread():
         # embedded use (the same case _graceful_sigterm tolerates): the
         # host process is not ours to kill — return 0 to the caller
@@ -145,7 +158,7 @@ def handle_api(args) -> int:
             runtime.data_directory)
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
+        _TERM_OBSERVED[0] = True  # SIGINT carries the same follow-up hazard
     finally:
         watcher.stop()
         if server is not None:
@@ -195,7 +208,7 @@ def _supervise_api(args, n_procs: int) -> int:
                     children[i] = spawn()
             time.sleep(1.0)
     except KeyboardInterrupt:
-        pass
+        _TERM_OBSERVED[0] = True  # SIGINT carries the same follow-up hazard
     finally:
         for child in children:
             if child.poll() is None:
@@ -235,7 +248,7 @@ def handle_worker(args) -> int:
         while True:
             time.sleep(3600)
     except KeyboardInterrupt:
-        pass
+        _TERM_OBSERVED[0] = True  # SIGINT carries the same follow-up hazard
     finally:
         if watcher is not None:
             watcher.stop()
@@ -286,7 +299,7 @@ def handle_coordinator(args) -> int:
             f" + local shard {runtime.data_directory}" if local_watcher else "")
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
+        _TERM_OBSERVED[0] = True  # SIGINT carries the same follow-up hazard
     finally:
         if controller is not None:
             controller.stop()

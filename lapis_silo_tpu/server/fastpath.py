@@ -34,7 +34,7 @@ import time
 
 logger = logging.getLogger(__name__)
 
-MAX_BATCH = 512  # mirrors ops.device_engine.MAX_BATCH_QUERIES
+MAX_BATCH = 2048  # mirrors ops.device_engine.MAX_BATCH_QUERIES
 _GEN_SHIFT = 20
 _IDX_MASK = (1 << _GEN_SHIFT) - 1
 _GEN_MASK = (1 << (32 - _GEN_SHIFT)) - 1
@@ -352,7 +352,7 @@ class CountFastPath:
         — pure fan-out, not a cache), answer host-computable programs'
         slots inline, and enqueue ONE device dispatch per group. Returns
         the in-flight batch for _complete."""
-        from ..ops.device_engine import _BATCH_LEN_BUCKETS
+        from ..ops.device_engine import SERVE_LEN_BUCKET
 
         by_gen: dict[int, list[tuple[int, int]]] = {}
         for key, handle in tasks:
@@ -382,7 +382,7 @@ class CountFastPath:
                 engine = table.engine
                 min_k, min_e = engine.sparse_floors(programs)
                 split = engine.count_split(
-                    programs, min_bucket=_BATCH_LEN_BUCKETS[-1],
+                    programs, min_bucket=SERVE_LEN_BUCKET,
                     min_sparse_k=min_k, min_sparse_e=min_e)
                 batch.append((table, keys, task_slot, split))
             except Exception as ex:  # noqa: BLE001 — parity: JSON 500
@@ -398,7 +398,13 @@ class CountFastPath:
         pop as they are answered so a mid-batch crash cannot double-answer
         a connection from the drain loop's recovery path."""
         while batch:
-            table, keys, task_slot, split = batch.pop(0)
+            # Peek, answer, THEN pop: if the respond call itself raises,
+            # the group stays in `batch` where the drain loop's recovery
+            # walk can still answer it — popping first would strand its
+            # connections in neither `current` nor `inflight`. The pop
+            # immediately follows the respond with no fallible statement
+            # between, so a group can never be answered twice either.
+            table, keys, task_slot, split = batch[0]
             try:
                 slot_counts = table.engine.count_finish(*split)
                 counts = [slot_counts[s] for s in task_slot]
@@ -407,11 +413,13 @@ class CountFastPath:
                 self._respond_error(
                     keys, 500, {"error": "Internal Server Error",
                                 "message": str(ex)})
+                batch.pop(0)
                 continue
             ckeys = (ctypes.c_uint64 * len(keys))(*keys)
             vals = (ctypes.c_int64 * len(keys))(*counts)
             self._lib.silo_fastpath_respond_counts(
                 self._sid, ckeys, vals, len(keys), table.version)
+            batch.pop(0)
 
     def _respond_error(self, keys: list[int], status: int, payload: dict) -> None:
         body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
