@@ -72,10 +72,17 @@ M_ANDN = 4  # a & (b ^ full_mask)
 NO_DST = 255
 
 _LEN_BUCKETS = (16, 64, 256, 512)
-# top bucket sized for ~512-query batches (the bench mix lowers to ~6.5k
-# instructions); the instruction stream is scalar-prefetched to SMEM
-# (3 x bucket i32 = 96 KB at 8192), so the bucket can't grow unboundedly
-_BATCH_LEN_BUCKETS = (64, 256, 1024, 4096, 8192)
+# top bucket sized for ~2048-query batches (the bench mix lowers to ~13
+# instructions/query); the instruction stream is scalar-prefetched to SMEM
+# (3 x bucket i32 = 384 KB at 32768 of the ~1 MB scoped budget), so the
+# bucket can't grow unboundedly. Wide dispatches are THE amortizer of the
+# relay's per-dispatch overhead (~15-35 ms serialized): 4x the queries per
+# dispatch quadruples ceiling throughput when the VM body is millisecond-
+# scale. Serving paths pin SERVE_LEN_BUCKET (hardware-validated); the two
+# top rungs serve explicitly wide batched callers.
+_BATCH_LEN_BUCKETS = (64, 256, 1024, 4096, 8192, 16384, 32768)
+# the bucket serving paths converge on (one executable for all traffic)
+SERVE_LEN_BUCKET = 8192
 _DYN_BUCKETS = (1, 4, 16, 64, 256)
 # sparse-leaf count per dispatch and per-leaf segment-length budget (the
 # leaves gather straight from the device-resident CSR stream; the per-query
@@ -101,12 +108,20 @@ _SPARSE_K_SMEM_BYTE_CAP = 128 << 10
 def _smem_k_cap(n_partitions: int) -> int:
     """Widest K bucket whose starts/lens prefetch arrays fit the SMEM
     budget — shared by max_sparse_k (poolless densify) and the pool-update
-    chunking so the two bounds cannot silently diverge."""
-    return max(
-        (b for b in _SPARSE_K_BUCKETS[1:]
-         if b * n_partitions * 4 <= _SPARSE_K_SMEM_BYTE_CAP),
-        default=_SPARSE_K_BUCKETS[1],
-    )
+    chunking so the two bounds cannot silently diverge. Raises when even
+    the smallest bucket overflows the budget (n_partitions > 8192):
+    proceeding would reintroduce the RESOURCE_EXHAUSTED Mosaic compile
+    this cap exists to prevent — an explicit error beats a wedged compile."""
+    fit = [b for b in _SPARSE_K_BUCKETS[1:]
+           if b * n_partitions * 4 <= _SPARSE_K_SMEM_BYTE_CAP]
+    if not fit:
+        raise ProgramTooLarge(
+            f"sparse-tier densify needs K>={_SPARSE_K_BUCKETS[1]} x "
+            f"{n_partitions} partitions of i32 scalar-prefetch bounds, "
+            f"over the {_SPARSE_K_SMEM_BYTE_CAP >> 10} KB SMEM budget — "
+            "reduce partition count or disable the sparse tier "
+            "(SILO_DENSE_BANK_BUDGET_GB)")
+    return max(fit)
 # flat per-partition entry budgets for the ragged densify. The densify
 # pays ~45 ns per budget SLOT (gather + scatter + cumsum passes run over
 # the whole static budget, not the live entries), so bucket granularity is
@@ -116,10 +131,10 @@ def _smem_k_cap(n_partitions: int) -> int:
 _SPARSE_E_BUCKETS = (0, 4096, 32768, 262144, 1 << 19, 1 << 20, 1 << 21,
                      1 << 22, 1 << 23, 1 << 24)
 # Per-dispatch query cap. Every dispatch costs a full relay round trip
-# (~25 ms) and the relay serializes dispatches, so throughput is
+# (~25-45 ms) and the relay serializes dispatches, so throughput is
 # RTT-capped at (1/RTT) * MAX_BATCH_QUERIES — the batch must be as wide
 # as the instruction stream (3 x bucket i32 in SMEM) allows.
-MAX_BATCH_QUERIES = 512
+MAX_BATCH_QUERIES = 2048
 MAX_REGS = 32
 # register-file buckets: one executable per bucket; N-Of threshold circuits
 # use ceil(log2(max(n,k)+1)) + 3 registers above their operand slot
@@ -530,11 +545,16 @@ class DeviceEngine:
         # dispatch shape collapses onto one executable per output kind
         # (remote TPU compiles are minutes each; shapes must not proliferate
         # under live traffic).
+        # the SMEM cap only binds when the sparse tier exists (its densify
+        # kernels are the ones with scalar-prefetch bounds) — a dense-only
+        # engine over many partitions must not trip the cap's error
+        smem_cap = (_smem_k_cap(self.n_partitions) if n_sparse
+                    else _SPARSE_K_BUCKETS[-1])
         self.max_sparse_k = min(
             max((b for b in _SPARSE_K_BUCKETS
                  if b * self.n_flat_words * 4 <= _SPARSE_K_BYTE_CAP),
                 default=_SPARSE_K_BUCKETS[1]),
-            _smem_k_cap(self.n_partitions),
+            smem_cap,
         )
         if n_sparse:
             self.floor_sparse_k = self.max_sparse_k
@@ -617,7 +637,7 @@ class DeviceEngine:
         # pool updates chunk misses at the widest K bucket whose
         # starts/lens scalar-prefetch operands fit SMEM (a 4096 x 32
         # update's 2 x 512 KB exhausted v5e scoped memory)
-        self._pool_update_k_cap = _smem_k_cap(self.n_partitions)
+        self._pool_update_k_cap = smem_cap
         # batch-wide sparse-leaf cap: poolless engines split at the densify
         # block cap; pooled ones at the slot count (all of a dispatch's
         # leaves must be resident simultaneously)
@@ -1916,7 +1936,7 @@ class _MicroBatcher:
                 min_k, min_e = engine.sparse_floors(programs)
                 counts = engine.count_programs(
                     programs,
-                    min_bucket=_BATCH_LEN_BUCKETS[-1],
+                    min_bucket=SERVE_LEN_BUCKET,
                     min_sparse_k=min_k,
                     min_sparse_e=min_e,
                 )

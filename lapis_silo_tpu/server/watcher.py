@@ -85,7 +85,7 @@ class DatabaseDirectoryWatcher:
             # minutes on a remote compile.
             engine = getattr(database, "device_engine", None)
             if engine is not None:
-                from ..ops.device_engine import _BATCH_LEN_BUCKETS
+                from ..ops.device_engine import SERVE_LEN_BUCKET
                 from ..query.engine import Query
 
                 query = Query(json.dumps(
@@ -123,7 +123,7 @@ class DatabaseDirectoryWatcher:
                 # on any rung must not stall minutes on a remote compile
                 for min_k, min_e in (engine.sparse_shape_ladder or [(0, 0)]):
                     engine.count_programs(programs,
-                                          min_bucket=_BATCH_LEN_BUCKETS[-1],
+                                          min_bucket=SERVE_LEN_BUCKET,
                                           min_sparse_k=min_k,
                                           min_sparse_e=min_e)
                 # pooled engines: every pool-update K bucket must be
