@@ -13,6 +13,7 @@ ordering — which the sorted-date range filters depend on.
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 from ..common.dates import string_to_date
@@ -55,6 +56,7 @@ class Preprocessor:
         self.config = database_config
 
     def preprocess(self) -> Database:
+        import contextlib
         import os
         import tempfile
 
@@ -70,26 +72,102 @@ class Preprocessor:
         # Sequence data streams through disk spools (spool.py) so peak RAM
         # stays ~= one partition's compressed blobs, never the raw corpus
         # (the reference's zstd-table pattern, preprocessor.cpp:255-333).
-        spool_parent = self.pcfg.intermediate_results_directory
-        with tempfile.TemporaryDirectory(
-            prefix="silo_spool_",
-            dir=spool_parent if os.path.isdir(spool_parent) else None,
-        ) as tmpdir:
+        # By default the spools live in a PERSISTENT resume workdir under
+        # intermediate_results_directory with per-stage commit manifests —
+        # the reference's file-backed ingest database
+        # (preprocessing_database.cpp:39): a crashed run restarts from the
+        # last committed stage. SILO_RESUME=0 restores per-run tempdirs.
+        self._resume = self._make_resume_store(reference_genomes)
+        if self._resume is not None:
+            workdir_ctx = contextlib.nullcontext(self._resume.workdir)
+        else:
+            spool_parent = self.pcfg.intermediate_results_directory
+            workdir_ctx = tempfile.TemporaryDirectory(
+                prefix="silo_spool_",
+                dir=spool_parent if os.path.isdir(spool_parent) else None,
+            )
+        with workdir_ctx as tmpdir:
             if self.pcfg.ndjson_input_filename:
                 table, sequences, unaligned = self._load_ndjson(
                     reference_genomes, tmpdir)
             else:
-                table = self._load_metadata_tsv()
+                table = self._load_metadata_tsv_resumable(tmpdir)
                 sequences, unaligned = None, None
 
             db = self._build_database(
                 table, alias_key, reference_genomes, sequences, unaligned, tmpdir
             )
+        if self._resume is not None:
+            if os.environ.get("SILO_KEEP_INTERMEDIATES") == "1":
+                logger.info("keeping preprocessing intermediates at %s",
+                            self._resume.workdir)
+            else:
+                self._resume.clear()
         db.data_version = DataVersion.mine()
         logger.info("preprocessing took %.1f s", time.time() - t0)
         return db
 
+    def _make_resume_store(self, reference_genomes: ReferenceGenomes):
+        """A ResumeStore bound to this run's input/config signature, or
+        None when resumability is disabled (SILO_RESUME=0) or the
+        intermediate directory is unusable. The workdir is
+        per-signature, so concurrent runs over different corpora never
+        share state and a changed input can never read stale stages."""
+        import os
+
+        if os.environ.get("SILO_RESUME") == "0":
+            return None
+        from .resume import ResumeStore, compute_signature, file_fingerprint
+
+        parts = [repr(self.config.schema)]  # dataclass: stable field repr
+        parts.append(file_fingerprint(self.pcfg.reference_genome_path()))
+        pango = self.pcfg.pango_lineage_definition_path()
+        if pango:
+            parts.append(file_fingerprint(pango))
+        if self.pcfg.ndjson_input_filename:
+            parts.append("ndjson:" + file_fingerprint(self.pcfg.ndjson_path()))
+        else:
+            parts.append("tsv:" + file_fingerprint(self.pcfg.metadata_path()))
+            for name in reference_genomes.raw_nucleotide_sequences:
+                parts.append(file_fingerprint(
+                    self.pcfg.nuc_filename_no_extension(name)))
+                parts.append(file_fingerprint(
+                    self.pcfg.unaligned_nuc_filename_no_extension(name)))
+            for name in reference_genomes.raw_aa_sequences:
+                parts.append(file_fingerprint(
+                    self.pcfg.gene_filename_no_extension(name)))
+        signature = compute_signature(parts)
+        parent = self.pcfg.intermediate_results_directory or "./temp/"
+        workdir = os.path.join(parent, f"silo_resume_{signature}")
+        try:
+            store = ResumeStore(workdir, signature)
+        except OSError as ex:
+            logger.warning("resume store unavailable (%s) — using tempdir", ex)
+            return None
+        if store.any_stage_committed():
+            logger.info("resuming preprocessing from committed stages in %s",
+                        workdir)
+        return store
+
     # -- inputs ---------------------------------------------------------------
+
+    def _load_metadata_tsv_resumable(self, tmpdir: str) -> MetadataTable:
+        """_load_metadata_tsv behind a "scan" stage manifest (columnar
+        table dump), mirroring the NDJSON path's resume behavior."""
+        resume = getattr(self, "_resume", None)
+        if resume is None:
+            return self._load_metadata_tsv()
+        from .resume import load_metadata_table, save_metadata_table
+
+        dump = os.path.join(tmpdir, "metadata_table.npz")
+        if resume.done("scan"):
+            table = load_metadata_table(dump)
+            logger.info("scan stage resumed: %d rows", table.n_rows)
+            return table
+        table = self._load_metadata_tsv()
+        save_metadata_table(table, dump)
+        resume.commit("scan", {"n_rows": table.n_rows})
+        return table
 
     def _load_metadata_tsv(self) -> MetadataTable:
         """Streams the TSV straight into a dictionary-encoded columnar
@@ -139,6 +217,24 @@ class Preprocessor:
         for name in gene_names:
             ref = reference_genomes.raw_aa_sequences[name].encode("ascii")
             sequences[("aa", name)] = SequenceSpool(tmpdir, f"g_aa_{name}", 1, ref)
+
+        resume = getattr(self, "_resume", None)
+        if resume is not None and resume.done("scan"):
+            # committed scan stage: the global spool files are complete on
+            # disk and the metadata table reloads columnar — skip the scan
+            from .resume import load_metadata_table
+
+            table = load_metadata_table(
+                os.path.join(tmpdir, "metadata_table.npz"))
+            logger.info("scan stage resumed: %d rows, spools on disk",
+                        table.n_rows)
+            return table, sequences, unaligned
+        if resume is not None:
+            # partial scan from a crashed run: spool frames would append
+            # after re-scanned duplicates (harmless for correctness —
+            # last frame per row wins — but pure disk bloat); start clean
+            for spool in (*sequences.values(), *unaligned.values()):
+                spool.reset()
 
         def flatten_insertions(metadata, nuc_ins, aa_ins):
             # insertion lists -> comma-joined strings (metadata_info.cpp:62-97)
@@ -220,6 +316,12 @@ class Preprocessor:
                     handle_record(json.loads(line))
         for spool in (*sequences.values(), *unaligned.values()):
             spool.finish_writes()
+        if resume is not None:
+            from .resume import save_metadata_table
+
+            save_metadata_table(
+                table, os.path.join(tmpdir, "metadata_table.npz"))
+            resume.commit("scan", {"n_rows": table.n_rows})
         return table, sequences, unaligned
 
     def _make_ndjson_scanner(self, reference_genomes: ReferenceGenomes):
@@ -465,6 +567,8 @@ class Preprocessor:
             if ndjson_sequences is None else None
         )
 
+        resume = getattr(self, "_resume", None)
+
         def fill_segment(kind: str, name: str, reference_ids, spool: SequenceSpool):
             for pid, partition in enumerate(partitions):
                 builder = SegmentIndexBuilder(
@@ -485,30 +589,56 @@ class Preprocessor:
                     partition.nuc_sequences[name] = segment
                 else:
                     partition.aa_sequences[name] = segment
-            spool.cleanup()
+            if resume is None:
+                # resumable runs keep routed spools until the snapshot is
+                # written: a crash mid-build must be able to re-fill every
+                # segment without re-scanning the input
+                spool.cleanup()
 
         def spool_fasta(path_no_ext: str, tag: str, dictionary: bytes,
                         required_error: str | None) -> SequenceSpool | None:
             """Stream a FASTA file (keyed by primary key) into a per-
-            partition spool; None if the file is absent and optional."""
+            partition spool; None if the file is absent and optional.
+            Stage-committed when resumable: a later crash re-reads the
+            spool, not the FASTA."""
+            stage = f"fasta_{tag}"
+            if resume is not None:
+                payload = resume.payload(stage)
+                if payload is not None:
+                    if payload.get("absent"):
+                        return None
+                    return SequenceSpool(tmpdir, tag, n_partitions, dictionary)
             stream = readers.open_maybe_compressed(path_no_ext)
             if stream is None:
                 if required_error is not None:
                     raise PreprocessingError(required_error)
+                if resume is not None:
+                    resume.commit(stage, {"absent": True})
                 return None
             spool = SequenceSpool(tmpdir, tag, n_partitions, dictionary)
+            if resume is not None:
+                spool.reset()
             with stream:
                 for key, seq in readers.iter_fasta(stream):
                     slot = key_to_slot.get(key)
                     if slot is not None:
                         spool.add(slot[0], slot[1], seq)
             spool.finish_writes()
+            if resume is not None:
+                resume.commit(stage, {"absent": False})
             return spool
 
         def routed(global_spool: SequenceSpool, tag: str) -> SequenceSpool:
             per_part = SequenceSpool(
                 tmpdir, tag, n_partitions, global_spool.dictionary)
+            stage = f"route_{tag}"
+            if resume is not None and resume.done(stage):
+                return per_part  # routed files complete on disk
+            if resume is not None:
+                per_part.reset()
             global_spool.route(per_part, assignment)
+            if resume is not None:
+                resume.commit(stage, {})
             global_spool.cleanup()
             return per_part
 
@@ -555,7 +685,9 @@ class Preprocessor:
                 for local_row in range(partition.sequence_count):
                     store.add_compressed(blobs.get(local_row))
                 stores.append(store)
-            if spool is not None:
+            if spool is not None and resume is None:
+                # resumable runs keep the spool until the snapshot commits
+                # (its stage manifest claims the files exist)
                 spool.cleanup()
             db.unaligned_nuc_sequences[name] = stores
 

@@ -104,6 +104,12 @@ class SequenceSpool:
             target.add_compressed(pid, local_row, blob)
         target.finish_writes()
 
+    def reset(self):
+        """Drop any partial frames from a crashed prior run (resume path):
+        duplicates would still read back correctly — last frame per row
+        wins — but re-appending doubles the disk footprint."""
+        self.cleanup()
+
     def cleanup(self):
         self.finish_writes()
         for path in self._paths:
