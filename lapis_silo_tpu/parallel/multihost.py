@@ -520,7 +520,6 @@ class _WorkerClient:
         a short-timeout caller (version polls) are reused by unbounded
         callers and vice versa."""
         import http.client
-        import socket
 
         with self._lock:
             conn = self._pool.pop() if self._pool else None

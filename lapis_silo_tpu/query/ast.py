@@ -10,7 +10,7 @@ column fallbacks to Empty vs. thrown errors).
 from __future__ import annotations
 
 import json as _json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -51,7 +51,7 @@ e2e numbers by tests/test_info_parity.py.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -1,13 +1,11 @@
 """Measure TPU compile time of interpreter variants to find what makes the
 sparse densify expensive (run on the axon relay; each compile is minutes)."""
 
-import functools
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, ".")
 from lapis_silo_tpu.ops import device_engine as de  # noqa: E402

@@ -11,7 +11,6 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 
 from lapis_silo_tpu.config.database_config import get_validated_config
 from lapis_silo_tpu.preprocessing.preprocessing_config import read_preprocessing_config

@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WORKER_SNIPPET = """
 import os, sys
+if {cpu!r} != "":
+    os.sched_setaffinity(0, {{int({cpu!r})}})
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -93,7 +95,7 @@ def overhead_mode():
                 proc = subprocess.Popen(
                     [sys.executable, "-c", WORKER_SNIPPET.format(
                         repo=repo, rows=rows, length=length, seed=400 + i,
-                        pin_version=pin)],
+                        pin_version=pin, cpu="")],
                     stdout=subprocess.PIPE, text=True)
                 workers.append(proc)
                 urls.append(
@@ -118,9 +120,102 @@ def overhead_mode():
             proc.kill()
 
 
+def curve_mode():
+    """Strong-scaling throughput curve over 1/2/4/8 worker PROCESSES for
+    the four merge families (count, group-by Aggregated, Mutations,
+    Details orderBy+limit). One fixed corpus splits evenly across the
+    workers; each worker is affinity-pinned round-robin over the
+    machine's cores, and the coordinator holds NO local shard — host 0
+    does exactly fan-out + JSON merge, nothing else, so any host-0
+    serialization would show up directly as a flat curve.
+
+    On an H-core box the ideal strong-scaling speedup is min(N, H)
+    (N > H workers time-share cores); %-of-linear is reported against
+    that. The per-worker fan-out overhead (~low hundreds of us, see
+    --overhead) bounds the asymptote."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from lapis_silo_tpu.parallel.multihost import Coordinator
+    from lapis_silo_tpu.testing import synthetic_database
+
+    total_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 98304
+    length = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
+    n_cores = len(os.sched_getaffinity(0))
+    queries = {
+        "count": (json.dumps({
+            "action": {"type": "Aggregated"},
+            "filterExpression": {"type": "NucleotideEquals", "position": 7,
+                                 "symbol": "T"}}), 30),
+        "groupby": (json.dumps({
+            "action": {"type": "Aggregated", "groupByFields": ["country"]},
+            "filterExpression": {"type": "True"}}), 20),
+        "mutations": (json.dumps({
+            "action": {"type": "Mutations", "minProportion": 0.001},
+            "filterExpression": {"type": "True"}}), 8),
+        "details": (json.dumps({
+            "action": {"type": "Details", "fields": ["country", "date"],
+                       "orderByFields": ["country"], "limit": 50},
+            "filterExpression": {"type": "True"}}), 8),
+    }
+    # config/metadata donor for the coordinator (no local shard served)
+    donor = synthetic_database(n_rows=256, length=length, n_partitions=1,
+                               seed=900)
+    pin = donor.data_version.value
+    results: dict[int, dict[str, float]] = {}
+    base_rows: dict[str, int] = {}
+    for n_workers in (1, 2, 4, 8):
+        per = total_rows // n_workers
+        workers = []
+        try:
+            for i in range(n_workers):
+                proc = subprocess.Popen(
+                    [sys.executable, "-c", WORKER_SNIPPET.format(
+                        repo=repo, rows=per, length=length, seed=500 + i,
+                        pin_version=pin, cpu=str(i % n_cores))],
+                    stdout=subprocess.PIPE, text=True)
+                workers.append(proc)
+            urls = [f"http://127.0.0.1:{int(p.stdout.readline())}"
+                    for p in workers]
+            coordinator = Coordinator(donor, urls, include_local=False)
+            row = {}
+            for name, (query, reps) in queries.items():
+                first = coordinator.execute_query(query)  # warm + sanity
+                if n_workers == 1:
+                    base_rows[name] = len(first["queryResult"])
+                else:
+                    assert len(first["queryResult"]) == base_rows[name], name
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    coordinator.execute_query(query)
+                row[name] = reps / (time.perf_counter() - t0)
+            results[n_workers] = row
+            print(f"{n_workers} workers: " + "  ".join(
+                f"{k}={v:.1f} q/s" for k, v in row.items()), flush=True)
+        finally:
+            for proc in workers:
+                proc.kill()
+    print("\n| workers | " + " | ".join(queries) + " | ideal |")
+    print("|---|" + "---|" * (len(queries) + 1))
+    for n_workers, row in results.items():
+        ideal = min(n_workers, n_cores)
+        cells = []
+        for name in queries:
+            speed = row[name] / results[1][name]
+            cells.append(f"{row[name]:.1f} q/s ({speed / ideal:.0%})")
+        print(f"| {n_workers} | " + " | ".join(cells) + f" | {ideal}x |")
+    print(json.dumps({"cores": n_cores, "total_rows": total_rows,
+                      "qps": results}))
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--overhead":
         overhead_mode()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--curve":
+        curve_mode()
         return
     total_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
     length = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
@@ -150,7 +245,7 @@ def main():
             proc = subprocess.Popen(
                 [sys.executable, "-c", WORKER_SNIPPET.format(
                     repo=repo, rows=per_host, length=length, seed=200 + i,
-                    pin_version="")],
+                    pin_version="", cpu="")],
                 stdout=subprocess.PIPE, text=True)
             workers.append(proc)
         for proc in workers:

@@ -20,7 +20,8 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import pytest  # noqa: E402
 
-REFERENCE_ROOT = "/root/reference"
+# CI checks out the (public) reference repo elsewhere and points this at it
+REFERENCE_ROOT = os.environ.get("SILO_REFERENCE_ROOT", "/root/reference")
 
 
 def reference_available() -> bool:

@@ -5,7 +5,6 @@ device + host paths, snapshot roundtrip)."""
 import json
 import os
 
-import numpy as np
 import pytest
 
 from .conftest import REFERENCE_ROOT, reference_available

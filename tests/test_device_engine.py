@@ -6,7 +6,7 @@ import os
 import numpy as np
 import pytest
 
-from .conftest import REFERENCE_ROOT, reference_available
+from .conftest import REFERENCE_ROOT
 
 QUERIES_DIR = os.path.join(REFERENCE_ROOT, "endToEndTests/test/queries")
 

@@ -3,7 +3,6 @@ bad snapshots are skipped/logged, the server keeps serving the old data, and
 a newer valid snapshot hot-swaps in."""
 
 import json
-import os
 import shutil
 
 
