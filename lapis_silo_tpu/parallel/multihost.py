@@ -394,7 +394,7 @@ class WorkerHandler(BaseHTTPRequestHandler):
             body_payload = {"error": "Bad request", "message": str(ex)}
             status = 400
         except Exception as ex:  # noqa: BLE001
-            body_payload = {"error": "Internal Server Error", "message": str(ex)}
+            body_payload = {"error": "Internal server error", "message": str(ex)}
             status = 500
         self._send_json(status, body_payload)
 
@@ -450,7 +450,7 @@ def _worker_router(mutex, watcher):
                     return 400, {"error": "Bad request",
                                  "message": str(ex)}, None
                 except Exception as ex:  # noqa: BLE001 — keep serving
-                    return 500, {"error": "Internal Server Error",
+                    return 500, {"error": "Internal server error",
                                  "message": str(ex)}, None
         return 404, {"error": "Not found",
                      "message": f"Resource {path} does not exist"}, None

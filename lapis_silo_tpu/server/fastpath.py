@@ -340,7 +340,7 @@ class CountFastPath:
                         try:
                             self._respond_error(
                                 entry[1], 500,
-                                {"error": "Internal Server Error",
+                                {"error": "Internal server error",
                                  "message": "fast-path drain failed"})
                         except Exception:  # noqa: BLE001 — best effort
                             pass
@@ -364,7 +364,7 @@ class CountFastPath:
             keys = [key for key, _ in group]
             if table is None:
                 self._respond_error(
-                    keys, 500, {"error": "Internal Server Error",
+                    keys, 500, {"error": "Internal server error",
                                 "message": "fast-path generation retired"})
                 continue
             try:
@@ -388,7 +388,7 @@ class CountFastPath:
             except Exception as ex:  # noqa: BLE001 — parity: JSON 500
                 logger.exception("fast-path batch dispatch failed")
                 self._respond_error(
-                    keys, 500, {"error": "Internal Server Error",
+                    keys, 500, {"error": "Internal server error",
                                 "message": str(ex)})
         return batch or None
 
@@ -411,7 +411,7 @@ class CountFastPath:
             except Exception as ex:  # noqa: BLE001 — parity: JSON 500
                 logger.exception("fast-path batch readback failed")
                 self._respond_error(
-                    keys, 500, {"error": "Internal Server Error",
+                    keys, 500, {"error": "Internal server error",
                                 "message": str(ex)})
                 batch.pop(0)
                 continue

@@ -67,7 +67,7 @@ def native_http_available() -> bool:
 
 
 _FALLBACK_500 = json.dumps(
-    {"error": "Internal Server Error", "message": "unhandled error"}
+    {"error": "Internal server error", "message": "unhandled error"}
 ).encode("utf-8")
 
 

@@ -109,7 +109,7 @@ def route_request(backend, method: str, target: str, body: bytes):
                 return 200, info, view.data_version
             except Exception as ex:  # noqa: BLE001 — parity: JSON 500
                 logger.exception("info failed")
-                return (500, {"error": "Internal Server Error",
+                return (500, {"error": "Internal server error",
                               "message": str(ex)}, None)
         if path == "/query":
             return _method_not_allowed(method, path)
@@ -133,7 +133,7 @@ def route_request(backend, method: str, target: str, body: bytes):
             return 400, {"error": "Bad request", "message": str(ex)}, None
         except Exception as ex:  # noqa: BLE001 — parity: 500, keep serving
             logger.exception("query failed")
-            return (500, {"error": "Internal Server Error",
+            return (500, {"error": "Internal server error",
                           "message": str(ex)}, None)
     # any other method on any path (reference rest_resource.cpp)
     return _method_not_allowed(method, path)

@@ -33,6 +33,15 @@ class DataVersion:
         return self.value < other.value
 
 
+class _MapAtError(KeyError):
+    """std::map::at out_of_range replica: libstdc++'s what() is the bare
+    string "map::at" (no key), and the 500 JSON body carries it verbatim —
+    KeyError's default str() would quote the key instead."""
+
+    def __str__(self):
+        return "map::at"
+
+
 class Database:
     def __init__(
         self,
@@ -144,7 +153,9 @@ class Database:
 
         if "main" not in self.nuc_sequences:
             # reference: DetailedDatabaseInfo::sequences.at("main") throws
-            raise KeyError("main")
+            # std::out_of_range whose what() is libstdc++'s "map::at" —
+            # the HTTP 500 body carries that exact message
+            raise _MapAtError("main")
         section_length = 500
         length = len(self.nuc_sequences["main"])
         n_sections = length // section_length + 1
@@ -177,9 +188,14 @@ class Database:
             frozen_total += st.frozen_total
             computed_total += st.portable_total
             if st.bitset_gap.any():
-                # reference bug: size_per_genome_symbol_and_section.at("GAP")
-                # on a map with keys {"-", "N", "NOT_N_NOT_GAP"} only
-                raise KeyError("GAP")
+                # reference bug (database.cpp:291): the GAP branch does
+                # size_per_genome_symbol_and_section.at("GAP") on a map the
+                # constructor (database.cpp:153-158) only gave keys
+                # {"-", "N", "NOT_N_NOT_GAP"} — std::out_of_range with
+                # what() == "map::at" -> HTTP 500. Pinned by
+                # test_info_parity.test_gap_bitset_container_500 on a
+                # >4096-gap corpus (a real bitset container).
+                raise _MapAtError("GAP")
             bitset_missing += st.bitset_missing
             bitset_other += st.bitset_other
 

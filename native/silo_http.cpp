@@ -491,7 +491,7 @@ struct Server {
       if (!resp.set) {
         resp.status = 500;
         resp.body =
-            "{\"error\":\"Internal Server Error\","
+            "{\"error\":\"Internal server error\","
             "\"message\":\"handler produced no response\"}";
       }
       Completion comp;

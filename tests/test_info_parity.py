@@ -7,6 +7,7 @@ reproduces them through the Roaring size model (storage/roaring_stats.py)
 over the compact bitplane layout.
 """
 
+import json
 import os
 
 import numpy as np
@@ -249,3 +250,96 @@ def test_snapshot_stats_sidecar_optional(example_dataset_db, tmp_path,
     loaded2 = load_database(path2)
     assert loaded2._roaring_stats is None  # fell back to lazy
     assert loaded2.info() == expected_info
+
+
+@pytest.fixture(scope="module")
+def gap_corpus_factory(tmp_path_factory):
+    """Corpora big enough to make REAL CRoaring bitset containers (>4096
+    values in one 65536-chunk): n_gap_rows sequences carry '-' at position
+    6 (every 3rd row — single-value runs, so a run container would cost
+    2+4*n_runs > 8192 bytes and the bitmap stays a bitset)."""
+
+    def build(n_rows: int, gap_stride: int):
+        from lapis_silo_tpu.config.database_config import get_validated_config
+        from lapis_silo_tpu.preprocessing.preprocessing_config import (
+            PreprocessingConfig,
+        )
+        from lapis_silo_tpu.preprocessing.preprocessor import Preprocessor
+
+        work = tmp_path_factory.mktemp("gap_corpus")
+        reference = "ACGTACGTACGTACGTACGTACGTACGTAC"
+        (work / "reference_genomes.json").write_text(json.dumps({
+            "nucleotideSequences": [{"name": "main", "sequence": reference}],
+            "genes": [],
+        }))
+        (work / "database_config.yaml").write_text(
+            "schema:\n  instanceName: gaptest\n  metadata:\n"
+            "    - name: key\n      type: string\n  primaryKey: key\n")
+        with open(work / "metadata.tsv", "w") as f:
+            f.write("key\n")
+            for i in range(n_rows):
+                f.write(f"K{i:06d}\n")
+        with open(work / "nuc_main.fasta", "w") as f:
+            for i in range(n_rows):
+                seq = reference
+                if i % gap_stride == 0:
+                    seq = seq[:5] + "-" + seq[6:]
+                f.write(f">K{i:06d}\n{seq}\n")
+        pcfg = PreprocessingConfig(
+            input_directory=str(work),
+            metadata_filename="metadata.tsv",
+        )
+        dbconf = get_validated_config(str(work / "database_config.yaml"))
+        return Preprocessor(pcfg, dbconf).preprocess()
+
+    return build
+
+
+def test_gap_bitset_container_500(gap_corpus_factory):
+    """PIN the GAP-500 branch on a corpus that actually produces a bitset
+    container for the gap symbol: 5,334 of 16,000 rows share '-' at one
+    position (>4096 values, single-value runs). The reference increments
+    size_per_genome_symbol_and_section.at("GAP") (database.cpp:291) on a
+    map whose constructor (database.cpp:153-158) only created keys
+    {"-", "N", "NOT_N_NOT_GAP"} — std::out_of_range, what() == "map::at",
+    surfaced by the error handler as HTTP 500 {"error": "Internal server
+    error", "message": "map::at"} (error_request_handler.cpp:28)."""
+    db = gap_corpus_factory(16000, 3)
+    # precondition: the gap bitmap at position 6 really is a bitset
+    # container in the Roaring size model
+    stats = [per["main"] for per in db._nuc_roaring_stats() if "main" in per]
+    assert any(st.bitset_gap.any() for st in stats), \
+        "corpus failed to produce a GAP bitset container"
+    with pytest.raises(KeyError) as excinfo:
+        db.detailed_info()
+    assert str(excinfo.value) == "map::at"
+
+    # over the router: the handler chain turns it into the reference's 500
+    from lapis_silo_tpu.server.router import route_request
+
+    class _View:
+        data_version = db.data_version
+
+        def info(self, detailed=False, tpu=False):
+            return db.detailed_info() if detailed else db.info()
+
+    class _Backend:
+        def resolve(self):
+            return _View()
+
+    status, body, _version = route_request(
+        _Backend(), "GET", "/info?details=true", b"")
+    assert status == 500
+    assert body == {"error": "Internal server error", "message": "map::at"}
+
+
+def test_gap_array_container_ok(gap_corpus_factory):
+    """Control: the same corpus shape with <=4096 gap values (array
+    container) serves /info?details=true fine, with the '-' section row
+    all zero (the reference records gap bitsets under the nonexistent
+    "GAP" key, never under '-')."""
+    db = gap_corpus_factory(12000, 3)  # 4000 gaps <= 4096 -> array
+    detailed = db.detailed_info()
+    sections = detailed["bitmapContainerSizePerGenomeSection"]
+    assert all(v == 0
+               for v in sections["sizePerGenomeSymbolAndSection"]["-"])
