@@ -28,189 +28,36 @@ src/silo/query_engine/actions/mutations.cpp:140-166.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..query import ir
 from . import bitset
 
-# Opcodes — a REGISTER machine, not a stack machine: every instruction
-# performs exactly ONE unconditional register write
-#     reg[dst] = mode(reg[ra], b)     b = one of six gatherable sources
-# so the while_loop interpreter has no lax.switch over carried buffers. A
-# switch-based stack VM measured ~66 us/instruction of pure overhead at
-# W=32768 (the branch joins copy every carried buffer each instruction);
-# the branchless select form is bounded by the actual word traffic — and
-# since the per-instruction cost is opcode-independent, loads FUSE into
-# the ALU op (one instruction per filter leaf, not two).
-ALU = 0          # reg[dst] = mode(reg[ra], b(bsrc, operand/rb))
-EMIT_COUNT = 1   # out[operand] = popcount(reg[ra]); used by batched queries
-NOP = 2
 
-# b-operand sources (regspec bits 28..31)
-B_REG = 0     # reg[rb]
-B_BANK = 1    # bank[operand]            (static plane row)
-B_DYN = 2     # dyn[operand]             (per-query dynamic row)
-B_SPARSE = 3  # sparse_rows[operand]     (densified sparse-tier row)
-B_FULL = 4    # full_mask
-B_ZERO = 5    # 0
-
-# ALU modes (regspec bits 24..27). NOT(x) = XOR with b = full_mask (exact
-# under the invariant that rows carry no bits beyond the valid sequences).
-M_MOVB = 0  # b
-M_AND = 1   # a & b
-M_OR = 2    # a | b
-M_XOR = 3   # a ^ b          (bit-sliced threshold adders; NOT via B_FULL)
-M_ANDN = 4  # a & (b ^ full_mask)
-
-# no-write destination sentinel: the register file carries one trailing
-# trash slot and dynamic_update_index clamps out-of-range indices onto it
-NO_DST = 255
-
-_LEN_BUCKETS = (16, 64, 256, 512)
-# top bucket sized for ~2048-query batches (the bench mix lowers to ~13
-# instructions/query); the instruction stream is scalar-prefetched to SMEM
-# (3 x bucket i32 = 384 KB at 32768 of the ~1 MB scoped budget), so the
-# bucket can't grow unboundedly. Wide dispatches are THE amortizer of the
-# relay's per-dispatch overhead (~15-35 ms serialized): 4x the queries per
-# dispatch quadruples ceiling throughput when the VM body is millisecond-
-# scale. Serving paths pin SERVE_LEN_BUCKET (hardware-validated); the two
-# top rungs serve explicitly wide batched callers.
-_BATCH_LEN_BUCKETS = (64, 256, 1024, 4096, 8192, 16384, 32768)
-# the bucket serving paths converge on (one executable for all traffic)
-SERVE_LEN_BUCKET = 8192
-_DYN_BUCKETS = (1, 4, 16, 64, 256)
-# sparse-leaf count per dispatch and per-leaf segment-length budget (the
-# leaves gather straight from the device-resident CSR stream; the per-query
-# upload is just (start, len) pairs). The engine caps K so the densified
-# [K, W] block stays under ~256 MB HBM (see max_sparse_k).
-_SPARSE_K_BUCKETS = (0, 4, 16, 64, 256, 1024, 4096)
-# densified-block HBM cap: sets max_sparse_k = the widest K bucket whose
-# [K, PW] block fits. Wide batches split at max_sparse_k; a bigger cap
-# saves split round trips but drags the ladder's E floor to the worst case
-# (top-max_k leaves) — measured at 1M x 16: a 1.5 GB cap (K=4096, E floor
-# 2**21) ran 174 ms/512-batch vs 103 ms with 384 MB (2 splits at natural
-# E=2**19). Splits are cheap (dispatches pipeline); slot waste is not.
-_SPARSE_K_BYTE_CAP = 384 << 20
-# SMEM cap on the densify/pool-update kernels' scalar-prefetch operands:
-# starts+lens are [K * n_partitions] i32 EACH, and TPU scalar memory holds
-# roughly 1 MB — a K=4096 x 32-partition update (2 x 512 KB) exhausted
-# scoped SMEM on v5e (RESOURCE_EXHAUSTED at compile). 128 KB per array
-# (K * P * 4 bytes) keeps the proven round-1 shapes (1024 x 16) and caps
-# new ones; misses beyond the cap split into more update dispatches.
-_SPARSE_K_SMEM_BYTE_CAP = 128 << 10
-
-
-def _smem_k_cap(n_partitions: int) -> int:
-    """Widest K bucket whose starts/lens prefetch arrays fit the SMEM
-    budget — shared by max_sparse_k (poolless densify) and the pool-update
-    chunking so the two bounds cannot silently diverge. Raises when even
-    the smallest bucket overflows the budget (n_partitions > 8192):
-    proceeding would reintroduce the RESOURCE_EXHAUSTED Mosaic compile
-    this cap exists to prevent — an explicit error beats a wedged compile."""
-    fit = [b for b in _SPARSE_K_BUCKETS[1:]
-           if b * n_partitions * 4 <= _SPARSE_K_SMEM_BYTE_CAP]
-    if not fit:
-        raise ProgramTooLarge(
-            f"sparse-tier densify needs K>={_SPARSE_K_BUCKETS[1]} x "
-            f"{n_partitions} partitions of i32 scalar-prefetch bounds, "
-            f"over the {_SPARSE_K_SMEM_BYTE_CAP >> 10} KB SMEM budget — "
-            "reduce partition count or disable the sparse tier "
-            "(SILO_DENSE_BANK_BUDGET_GB)")
-    return max(fit)
-# flat per-partition entry budgets for the ragged densify. The densify
-# pays ~45 ns per budget SLOT (gather + scatter + cumsum passes run over
-# the whole static budget, not the live entries), so bucket granularity is
-# a direct multiplier on sparse-batch cost — an 8x jump from 262144 to
-# 2**21 measured 330 ms/batch at 1M x 16 where ~2x-stepped rungs cost half
-# that. Each rung in live use is one (lazily compiled) executable.
-_SPARSE_E_BUCKETS = (0, 4096, 32768, 262144, 1 << 19, 1 << 20, 1 << 21,
-                     1 << 22, 1 << 23, 1 << 24)
-# Per-dispatch query cap. Every dispatch costs a full relay round trip
-# (~25-45 ms) and the relay serializes dispatches, so throughput is
-# RTT-capped at (1/RTT) * MAX_BATCH_QUERIES — the batch must be as wide
-# as the instruction stream (3 x bucket i32 in SMEM) allows.
-MAX_BATCH_QUERIES = 2048
-MAX_REGS = 32
-# register-file buckets: one executable per bucket; N-Of threshold circuits
-# use ceil(log2(max(n,k)+1)) + 3 registers above their operand slot
-_REG_BUCKETS = (4, 8, 16, MAX_REGS)
-# instructions executed per while_loop iteration (callers round n_instr up
-# to a multiple of this; iterations start at multiples of it, so the padded
-# NOP tail inside the bucket is never overshot)
-_UNROLL = 4
-
-
-def _round_instr(n: int) -> int:
-    return -(-n // _UNROLL) * _UNROLL
-
-# Rows whose word-level density (nnz words / W, totalled over partitions)
-# is below 1/SPARSE_DENSITY_CUTOFF move to the sparse tier. The tier
-# auto-activates only when the projected ALL-DENSE bank would exceed
-# SPARSE_BANK_BUDGET_GB (override: SILO_DENSE_BANK_BUDGET_GB env var) —
-# dense count dispatches beat the densify path whenever dense fits.
-SPARSE_DENSITY_CUTOFF = 8
-SPARSE_BANK_BUDGET_GB = 12.0
-
-
-class StructureMismatch(Exception):
-    """Per-partition IRs diverged structurally; caller falls back to host."""
-
-
-class ProgramTooLarge(Exception):
-    pass
-
-
-class _Program:
-    def __init__(self):
-        self.opcodes: list[int] = []
-        self.operands: list[int] = []
-        self.regspec: list[int] = []  # dst | ra<<8 | rb<<16 | mode<<24
-        self.dyn_rows: list[list[np.ndarray]] = []  # per dyn leaf: per partition words
-        # per sparse leaf: the global sparse-row id — its per-partition
-        # (start, len) slice of the device-resident CSR stream is resolved
-        # at dispatch assembly and gathered+scattered on device
-        self.sparse_leaves: list[int] = []
-        self._sparse_cache: dict = {}
-        self.max_regs = MAX_REGS
-
-    def emit(self, opcode: int, operand: int = 0, dst: int = NO_DST,
-             ra: int = 0, rb: int = 0, mode: int = 0, bsrc: int = B_REG):
-        self.opcodes.append(opcode)
-        self.operands.append(operand)
-        self.regspec.append(
-            dst | (ra << 8) | (rb << 16) | (mode << 24) | (bsrc << 28)
-        )
-
-    def alu(self, mode: int, dst: int, ra: int, rb: int = 0):
-        """reg[dst] = mode(reg[ra], reg[rb])"""
-        self.emit(ALU, 0, dst, ra, rb, mode)
-
-    def alu_src(self, mode: int, dst: int, ra: int, bsrc: int, operand: int = 0):
-        """reg[dst] = mode(reg[ra], <bsrc source>)"""
-        self.emit(ALU, operand, dst, ra, 0, mode, bsrc)
-
-    def load(self, dst: int, bsrc: int, operand: int = 0):
-        """reg[dst] = <bsrc source>"""
-        self.emit(ALU, operand, dst, 0, 0, M_MOVB, bsrc)
-
-    def add_dyn(self, rows_per_partition: list[np.ndarray]) -> int:
-        self.dyn_rows.append(rows_per_partition)
-        return len(self.dyn_rows) - 1
-
-    def add_sparse(self, sparse_row_id: int) -> int:
-        cached = self._sparse_cache.get(sparse_row_id)
-        if cached is not None:
-            return cached
-        self.sparse_leaves.append(sparse_row_id)
-        leaf = len(self.sparse_leaves) - 1
-        self._sparse_cache[sparse_row_id] = leaf
-        return leaf
-
+# Re-exported VM/reduction surface: the ISA, buckets, program container,
+# and executable builders moved to ops/vm.py and ops/reductions.py; every
+# existing `device_engine.X` reference (tests, scripts, __graft_entry__)
+# keeps working through these names.
+from .vm import (  # noqa: F401
+    ALU, EMIT_COUNT, NOP,
+    B_REG, B_BANK, B_DYN, B_SPARSE, B_FULL, B_ZERO,
+    M_MOVB, M_AND, M_OR, M_XOR, M_ANDN, NO_DST,
+    _LEN_BUCKETS, _BATCH_LEN_BUCKETS, SERVE_LEN_BUCKET, _DYN_BUCKETS,
+    _SPARSE_K_BUCKETS, _SPARSE_K_BYTE_CAP, _SPARSE_K_SMEM_BYTE_CAP,
+    _SPARSE_E_BUCKETS, MAX_BATCH_QUERIES, MAX_REGS, _REG_BUCKETS, _UNROLL,
+    SPARSE_DENSITY_CUTOFF, SPARSE_BANK_BUDGET_GB,
+    StructureMismatch, ProgramTooLarge, _Program,
+    _smem_k_cap, _round_instr, _pool_update_jit, _densify_one,
+    _densify_jit, _interpreter, build_run_one, build_run_one_with_emit,
+)
+from .reductions import (  # noqa: F401
+    _popcount_words_jit, _group_counts_jit, _boundary_sums,
+    _sparse_mutation_counts_jit, _sparse_mutation_counts_pallas_jit,
+    _mutation_counts_jit,
+)
 
 class DeviceEngine:
     def __init__(self, database, devices=None, sparse_min_words: int | None = None):
@@ -713,17 +560,18 @@ class DeviceEngine:
                 k_bucket = next(b for b in _SPARSE_K_BUCKETS[1:]
                                 if b >= len(chunk))
                 ids = np.asarray(chunk, dtype=np.int64)
-                starts = np.zeros(k_bucket * n_p, dtype=np.int32)
-                lens = np.zeros(k_bucket * n_p, dtype=np.int32)
-                starts[: len(ids) * n_p] = self.sparse_starts_pp[ids].reshape(-1)
-                lens[: len(ids) * n_p] = self.sparse_lengths_pp[ids].reshape(-1)
-                slots = np.full(k_bucket, C, dtype=np.int32)  # pad -> scratch
-                slots[: len(chunk)] = [slot_map[leaf] for leaf in chunk]
-                run = _pool_update_jit(k_bucket, self.n_flat_words)
+                kp = k_bucket * n_p
+                blob = np.zeros(2 * kp + k_bucket, dtype=np.int32)
+                blob[: len(ids) * n_p] = self.sparse_starts_pp[ids].reshape(-1)
+                blob[kp : kp + len(ids) * n_p] = (
+                    self.sparse_lengths_pp[ids].reshape(-1))
+                blob[2 * kp :] = C  # pad slots -> scratch row
+                blob[2 * kp : 2 * kp + len(chunk)] = [
+                    slot_map[leaf] for leaf in chunk]
+                run = _pool_update_jit(k_bucket, n_p, self.n_flat_words)
                 self.leaf_pool = run(
                     self.leaf_pool, self.sparse_stream[0],
-                    self.sparse_stream[1], jax.device_put(starts),
-                    jax.device_put(lens), jax.device_put(slots))
+                    self.sparse_stream[1], jax.device_put(blob))
                 self.pool_update_dispatches += 1
         except Exception:
             # a failed update must not leave the cache claiming leaves are
@@ -756,13 +604,13 @@ class DeviceEngine:
             for k_bucket in _SPARSE_K_BUCKETS[1:]:
                 if k_bucket > min(self.pool_slots, self._pool_update_k_cap):
                     break
-                zeros = np.zeros(k_bucket * n_p, dtype=np.int32)
-                slots = np.full(k_bucket, self.pool_slots, dtype=np.int32)
-                run = _pool_update_jit(k_bucket, self.n_flat_words)
+                kp = k_bucket * n_p
+                blob = np.zeros(2 * kp + k_bucket, dtype=np.int32)
+                blob[2 * kp :] = self.pool_slots  # scratch row
+                run = _pool_update_jit(k_bucket, n_p, self.n_flat_words)
                 self.leaf_pool = run(
                     self.leaf_pool, self.sparse_stream[0],
-                    self.sparse_stream[1], jax.device_put(zeros),
-                    jax.device_put(zeros.copy()), jax.device_put(slots))
+                    self.sparse_stream[1], jax.device_put(blob))
 
     def _rewrite_sparse_operands(self, code: np.ndarray,
                                  leaf_ids: list[int],
@@ -780,229 +628,15 @@ class DeviceEngine:
 
     # -- lowering ---------------------------------------------------------
 
-    def _static_ref_source(self, program: _Program, ref: tuple):
-        """(bsrc, operand) for a (kind, name, sym, pos) plane if it is a
-        single gatherable source under the compact two-tier layout, else
-        None (majority symbols need sibling reconstruction)."""
-        kind, name, sym, pos = ref
-        meta = self.segment_meta[(kind, name)]
-        row = int(meta["row_map"][sym, pos])
-        if row >= 0:
-            return (B_BANK, row)
-        if row == -1:
-            sparse_id = int(meta["sparse_map"][sym, pos])
-            if sparse_id >= 0:
-                # densified from the resident CSR stream pre-VM; the
-                # per-query upload is just the (start, len) pair
-                return (B_SPARSE, program.add_sparse(sparse_id))
-            # no sequence has this symbol here, in any partition
-            return (B_ZERO, 0)
-        return None  # majority
+    # -- lowering (ops/lowering.py) ---------------------------------------
 
-    def _emit_static_ref(self, program: _Program, ref: tuple, dst: int) -> int:
-        """Emit instructions for one (kind, name, sym, pos) plane, leaving
-        the result in reg[dst]; returns the register high-water mark."""
-        source = self._static_ref_source(program, ref)
-        if source is not None:
-            program.load(dst, *source)
-            return dst + 1
-        # majority symbol: reconstruct as NOT(OR(stored sibling rows)),
-        # siblings drawn from both tiers
-        kind, name, sym, pos = ref
-        meta = self.segment_meta[(kind, name)]
-        emitted = 0
-        for sibling_sym in range(meta["s_count"]):
-            srow = int(meta["row_map"][sibling_sym, pos])
-            sparse_id = int(meta["sparse_map"][sibling_sym, pos])
-            if srow >= 0:
-                source = (B_BANK, srow)
-            elif sparse_id >= 0:
-                source = (B_SPARSE, program.add_sparse(sparse_id))
-            else:
-                continue
-            if emitted == 0:
-                program.load(dst, *source)
-            else:
-                program.alu_src(M_OR, dst, dst, *source)
-            emitted += 1
-        if not emitted:
-            program.load(dst, B_FULL)
-            return dst + 1
-        program.alu_src(M_XOR, dst, dst, B_FULL)  # NOT
-        return dst + 1
+    def lower(self, filter_expr):
+        """Compile a filter to ONE partition-uniform VM program; see
+        ops/lowering.py."""
+        from . import lowering
 
-    def lower(self, filter_expr) -> tuple[_Program, int]:
-        """Compile the expression per partition (uniform mode) and flatten
-        the synchronized IRs into one program. Serialized: uniform_compile is
-        shared database state and the HTTP server lowers concurrently."""
-        from ..query import ast
-        from ..query.ir import HostEvaluator
+        return lowering.lower(self, filter_expr)
 
-        db = self.db
-        with self._lower_lock:
-            db.uniform_compile = True
-            try:
-                irs = [
-                    filter_expr.compile(db, partition, ast.NONE)
-                    for partition in db.partitions
-                ]
-            finally:
-                db.uniform_compile = False
-
-        program = _Program()
-        evaluators = [HostEvaluator(n) for n in self.part_rows]
-        max_regs = self._emit(irs, program, evaluators, 0)
-        if len(program.opcodes) > _LEN_BUCKETS[-1]:
-            raise ProgramTooLarge(len(program.opcodes))
-        if len(program.dyn_rows) > _DYN_BUCKETS[-1]:
-            raise ProgramTooLarge(f"dyn rows {len(program.dyn_rows)}")
-        if len(program.sparse_leaves) > self.sparse_batch_cap:
-            raise ProgramTooLarge(f"sparse leaves {len(program.sparse_leaves)}")
-        if max_regs > MAX_REGS:
-            raise ProgramTooLarge(f"registers {max_regs}")
-        program.max_regs = max_regs
-        return program, max_regs
-
-    def _as_source(self, nodes: list, program: _Program, evaluators):
-        """If the node set lowers to ONE gatherable b-operand, return
-        (bsrc, operand) — the caller fuses it into its ALU op (one
-        instruction per filter leaf). Returns None for subtrees."""
-        node = nodes[0]
-        node_type = type(node)
-        if any(type(other) is not node_type for other in nodes[1:]):
-            raise StructureMismatch([type(n).__name__ for n in nodes])
-        if node_type is ir.Full:
-            return (B_FULL, 0)
-        if node_type is ir.Empty:
-            return (B_ZERO, 0)
-        if node_type is ir.Plane:
-            refs = {n.static_ref for n in nodes}
-            if len(refs) == 1 and node.static_ref is not None:
-                return self._static_ref_source(program, node.static_ref)
-            return (B_DYN, program.add_dyn([self._pad(n.words) for n in nodes]))
-        if node_type is ir.Selection and node.child is None:
-            if any(n.child is not None for n in nodes):
-                raise StructureMismatch("selection child")
-            rows = [
-                self._pad(evaluator.evaluate(ir.Selection(n.predicates)))
-                for evaluator, n in zip(evaluators, nodes)
-            ]
-            return (B_DYN, program.add_dyn(rows))
-        return None
-
-    def _emit(self, nodes: list, program: _Program, evaluators, dst: int) -> int:
-        """Emit instructions leaving the subtree's result in reg[dst];
-        returns the register high-water mark (registers are allocated like
-        a stack: a node may freely use dst and everything above it)."""
-        source = self._as_source(nodes, program, evaluators)
-        if source is not None:
-            program.load(dst, *source)
-            return dst + 1
-        node = nodes[0]
-        node_type = type(node)
-        if node_type is ir.Plane:
-            # static ref needing majority reconstruction
-            return self._emit_static_ref(program, node.static_ref, dst)
-        if node_type is ir.Not:
-            hw = self._emit([n.child for n in nodes], program, evaluators, dst)
-            program.alu_src(M_XOR, dst, dst, B_FULL)
-            return hw
-        if node_type in (ir.And, ir.Or):
-            arity = len(node.children)
-            if any(len(n.children) != arity for n in nodes):
-                raise StructureMismatch("boolean arity")
-            if arity == 0:
-                # uniform mode skips ir.simplify, so empty And/Or reach here:
-                # And identity = Full, Or identity = Empty
-                program.load(dst, B_FULL if node_type is ir.And else B_ZERO)
-                return dst + 1
-            mode = M_AND if node_type is ir.And else M_OR
-            hw = self._emit([n.children[0] for n in nodes], program, evaluators,
-                            dst)
-            for i in range(1, arity):
-                child = [n.children[i] for n in nodes]
-                src = self._as_source(child, program, evaluators)
-                if src is not None:
-                    program.alu_src(mode, dst, dst, *src)
-                else:
-                    hw = max(hw, self._emit(child, program, evaluators, dst + 1))
-                    program.alu(mode, dst, dst, dst + 1)
-            return hw
-        if node_type is ir.Selection:
-            # child is not None (childless Selections fuse as sources).
-            # Predicates are host-evaluated into a dynamic row per partition.
-            if any(n.child is None for n in nodes):
-                raise StructureMismatch("selection child")
-            rows = [
-                self._pad(evaluator.evaluate(ir.Selection(n.predicates)))
-                for evaluator, n in zip(evaluators, nodes)
-            ]
-            idx = program.add_dyn(rows)
-            hw = self._emit([n.child for n in nodes], program, evaluators, dst)
-            program.alu_src(M_AND, dst, dst, B_DYN, idx)
-            return hw
-        if node_type is ir.Threshold:
-            arity = len(node.children)
-            if any(
-                len(n.children) != arity
-                or n.k != node.k
-                or n.match_exactly != node.match_exactly
-                for n in nodes
-            ):
-                raise StructureMismatch("threshold")
-            return self._emit_threshold(nodes, program, evaluators, dst)
-        raise StructureMismatch(f"unknown node {node_type}")
-
-    def _emit_threshold(self, nodes: list, program: _Program, evaluators,
-                        dst: int) -> int:
-        """k-of-n as a bit-sliced counter circuit over word registers (the
-        TPU-native form of the reference's Threshold DP over bitmaps,
-        threshold.cpp:64-137): P = ceil(log2(max(n, k)+1)) counter planes
-        live in reg[dst..dst+P-1]; each child's result increments the
-        counter with a ripple-carry adder (2 ALU ops per plane); a
-        constant-comparator circuit (k is known at lowering) reduces the
-        planes to the >= / == mask, landing in reg[dst]."""
-        node = nodes[0]
-        n, k = len(node.children), node.k
-        planes_bits = max(1, max(n, k).bit_length())
-        planes = [dst + j for j in range(planes_bits)]
-        c0, c1, tmp = dst + planes_bits, dst + planes_bits + 1, dst + planes_bits + 2
-        if tmp + 1 > MAX_REGS:
-            raise ProgramTooLarge(f"threshold registers {tmp + 1}")
-        for p in planes:
-            program.load(p, B_ZERO)
-        hw = tmp + 1
-        for i in range(n):
-            # child value = the incoming carry
-            child = [m.children[i] for m in nodes]
-            src = self._as_source(child, program, evaluators)
-            if src is not None:
-                program.load(c0, *src)
-            else:
-                hw = max(hw, self._emit(child, program, evaluators, c0))
-            cur, nxt = c0, c1
-            for p in planes:
-                program.alu(M_AND, nxt, p, cur)   # carry out
-                program.alu(M_XOR, p, p, cur)     # sum bit
-                cur, nxt = nxt, cur
-        # comparator, MSB down: eq in c0, (for >=) strictly-greater in c1
-        program.load(c0, B_FULL)
-        if not node.match_exactly:
-            program.load(c1, B_ZERO)
-        for j in reversed(range(planes_bits)):
-            p = planes[j]
-            if (k >> j) & 1:
-                program.alu(M_AND, c0, c0, p)
-            else:
-                if not node.match_exactly:
-                    program.alu(M_AND, tmp, c0, p)
-                    program.alu(M_OR, c1, c1, tmp)
-                program.alu(M_ANDN, c0, c0, p)
-        if node.match_exactly:
-            program.alu(M_MOVB, dst, 0, c0)
-        else:
-            program.alu(M_OR, dst, c1, c0)
-        return hw
 
     def _pad(self, words: np.ndarray) -> np.ndarray:
         if len(words) == self.n_words:
@@ -1226,6 +860,7 @@ class DeviceEngine:
         dispatch per ≤1024 misses), and the VM — ONE executable per bucket,
         shared by sparse and dense traffic — reads the pool like a second
         bank. Repeated leaves never densify again."""
+        rounded = np.int32(_round_instr(n_instr))
         if self.pool_slots and k:
             assert sparse_leaf_ids is not None
             with self._pool_lock:
@@ -1235,9 +870,9 @@ class DeviceEngine:
                 run = _interpreter(bucket, self.n_rows, n_dyn,
                                    self.pool_slots + 1, self.n_flat_words,
                                    output, n_regs, mesh=None)
-                return run(jnp.asarray(code), self.bank, dyn_dev,
-                           self.leaf_pool, self.full_masks,
-                           jnp.int32(_round_instr(n_instr)))
+                blob = np.append(code.reshape(-1), rounded)
+                return run(jax.device_put(blob), self.bank, dyn_dev,
+                           self.leaf_pool, self.full_masks)
         if k:
             run = _interpreter(bucket, self.n_rows, n_dyn, k,
                                self.n_flat_words, output, n_regs, m,
@@ -1247,15 +882,16 @@ class DeviceEngine:
                 code.reshape(-1),
                 starts.reshape(-1),
                 lens.reshape(-1),
+                rounded.reshape(1),
             ])
             return run(jax.device_put(blob), self.bank, dyn_dev,
                        self.sparse_stream[0], self.sparse_stream[1],
-                       self.full_masks, jnp.int32(_round_instr(n_instr)))
+                       self.full_masks)
         run = _interpreter(bucket, self.n_rows, n_dyn, 0, self.n_flat_words,
                            output, n_regs, mesh=self.mesh)
-        return run(jnp.asarray(code), self.bank, dyn_dev,
-                   self._densified(0, 1, None), self.full_masks,
-                   jnp.int32(_round_instr(n_instr)))
+        blob = np.append(code.reshape(-1), rounded)
+        return run(jax.device_put(blob), self.bank, dyn_dev,
+                   self._densified(0, 1, None), self.full_masks)
 
     def count_async(self, filter_expr, program: _Program | None = None) -> jax.Array:
         """Fused filter + popcount in ONE device dispatch; returns the scalar
@@ -1840,29 +1476,6 @@ class DeviceFilter:
         return self._popcount
 
 
-@jax.jit
-def _popcount_words_jit(words):
-    return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnums=(2,))
-def _group_counts_jit(words, codes, num_segments):
-    """counts[p, g] = number of filter-set sequences in partition p with
-    combined group code g. words: FLAT [PW] u32 (reshaped to codes' [P,
-    W*32] layout inside the jit — free), codes [P, W*32] int32 (padding
-    rows carry an out-of-range code mapped to the last segment)."""
-    n_partitions = codes.shape[0]
-    words = words.reshape(n_partitions, -1)
-
-    def one(words_p, codes_p):
-        bits = ((words_p[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :])
-                & jnp.uint32(1)).astype(jnp.int32).reshape(-1)
-        return jax.ops.segment_sum(
-            bits, jnp.minimum(codes_p, num_segments - 1),
-            num_segments=num_segments,
-        )
-
-    return jax.vmap(one)(words, codes)  # [P, num_segments]
 
 
 class _MicroBatcher:
@@ -1949,373 +1562,3 @@ class _MicroBatcher:
                 item["done"].set()
             del engine
 
-
-@functools.lru_cache(maxsize=None)
-def _pool_update_jit(k_bucket: int, n_words: int):
-    """In-place hot-leaf-pool update: densify up to k_bucket leaves from
-    the resident CSR stream straight into their pool slots. The pool is
-    donated, so XLA aliases the buffer — the dispatch writes only the
-    touched rows."""
-    from . import pallas_kernels as pk
-
-    def run(pool, stream_idx, stream_words, starts, lens, slots):
-        return pk.densify_rows_into_pool(pool, stream_idx, stream_words,
-                                         starts, lens, slots, k_bucket,
-                                         n_words)
-
-    return jax.jit(run, donate_argnums=0)
-
-
-def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
-                 n_per_leaf: int, stream_idx, stream_words, starts, lens):
-    """[K, PW] densified sparse-tier rows (global word space), via a FLAT
-    ragged gather+scatter over an E-entry budget: per-element scatter cost
-    ~29 ns means work must scale with the ACTUAL entry count, not the
-    K x max-row-length rectangle (which paid up to ~670x padding on wide
-    batches — 80 qps at 10M x 32 partitions). Slot -> segment mapping comes
-    from a marker scatter + cummax (no searchsorted: its binary search
-    would gather log K times per slot). The stream is PARTITION-major, so
-    each leaf is n_per_leaf contiguous slices, seg = leaf * n_per_leaf +
-    partition.
-
-    This is the XLA FALLBACK (CPU, mesh-sharded engines): on TPU the
-    Mosaic kernel (pallas_kernels.densify_rows) builds each leaf row in
-    VMEM at ~18 ns/entry — this path is TRANSACTION-bound at ~100 ns/slot
-    (measured at the 10M shape: 2 stream gathers + 1 table gather + 1
-    scatter per slot; the per-segment tables fold in-jit so the slot ->
-    stream mapping costs ONE table gather)."""
-    n_seg = n_sparse_k * n_per_leaf
-    lens = lens.astype(jnp.int32)
-    cum = jnp.cumsum(lens)                                    # [K*P] inclusive
-    total = cum[-1]
-    row_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), cum[:-1]])                  # [K*P]
-    seed_pos = jnp.where(lens > 0, row_start, n_sparse_e)
-    delta = starts - row_start
-    slots = jnp.arange(n_sparse_e, dtype=jnp.int32)
-    s_idx = jnp.arange(n_seg, dtype=jnp.int32)
-    # seed each segment's first slot with its index+1 (empty segments have
-    # seed_pos = E -> dropped; non-empty starts are unique), cummax fills
-    seed = jnp.zeros(n_sparse_e, jnp.int32).at[seed_pos].max(
-        s_idx + 1, mode="drop")
-    seg = jax.lax.cummax(seed) - 1                            # [E]
-    seg_c = jnp.clip(seg, 0, n_seg - 1)
-    src = jnp.clip(slots + delta[seg_c], 0, stream_idx.shape[0] - 1)
-    valid = (slots < total) & (seg >= 0)
-    gi = stream_idx[src].astype(jnp.int32)
-    gw = stream_words[src]
-    leaf = seg_c // n_per_leaf
-    flat = jnp.where(valid, leaf * n_words + gi, n_sparse_k * n_words)
-    out = jnp.zeros(n_sparse_k * n_words, jnp.uint32).at[flat].set(
-        gw, mode="drop")
-    return out.reshape(n_sparse_k, n_words)
-
-
-@functools.lru_cache(maxsize=16)
-def _densify_jit(n_sparse_k: int, n_sparse_e: int, n_words: int,
-                 n_per_leaf: int):
-    """Standalone densify executable (used by paths that keep densify as
-    its own dispatch)."""
-    return jax.jit(functools.partial(_densify_one, n_sparse_k,
-                                     n_sparse_e, n_words, n_per_leaf))
-
-
-@functools.lru_cache(maxsize=64)
-def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
-                 n_words: int, output: str = "words",
-                 n_regs: int = MAX_REGS, n_sparse_e: int = 0,
-                 n_per_leaf: int = 1, mesh=None):
-    """Jitted register-machine interpreter for one shape bucket, over the
-    FLAT global word axis (n_words = partitions x per-partition words).
-    output='words' returns the [PW] bitset (reg[0]); output='count' fuses
-    the popcount reduction into the same executable (one dispatch);
-    'multi_count' returns per-query EMIT_COUNT outputs.
-
-    With n_sparse_e > 0 the sparse-leaf densification runs INSIDE the same
-    executable (stream + per-leaf bounds in, [K, PW] block scattered on
-    device) — sparse-touching queries stay a single dispatch. Otherwise
-    densified rows arrive as a [K, PW] input.
-
-    On TPU the VM body is the Mosaic kernel (pallas_kernels.vm_run):
-    registers live in VMEM for the whole program, so each instruction costs
-    ONE row DMA instead of the XLA while_loop's ~13 register-file passes
-    (37 us/instr measured at 327680 flat words)."""
-    from . import pallas_kernels as pk
-
-    n_dev = mesh.devices.size if mesh is not None else 1
-    maybe_kernel = (
-        pk.HAVE_PALLAS
-        and (jax.default_backend() != "cpu" or pk.interpret_default())
-        and n_words % (128 * n_dev) == 0
-        and pk._vm_block_hi(n_words // n_dev // 128, n_regs) is not None
-        and pk.VM_MAX_BATCH == MAX_BATCH_QUERIES
-    )
-
-    def run_one(code, bank, dyn, sparse_rows, full_masks, n_instr):
-        # The Mosaic kernel needs the bank at rest in its 3-D shape (a 2-D
-        # bank would force a full in-executable relayout copy). On a mesh
-        # the kernel runs per word shard under shard_map with EMIT counts
-        # psum-merged (vm_run_sharded) — a bare pallas_call over a sharded
-        # bank would make XLA gather it whole.
-        if maybe_kernel and bank.ndim == 3:
-            if mesh is not None:
-                return pk.vm_run_sharded(
-                    mesh, "seq", code[0], code[1], code[2],
-                    n_instr.reshape(1), bank, dyn, sparse_rows,
-                    full_masks, n_regs=n_regs)
-            return pk.vm_run(code[0], code[1], code[2],
-                             n_instr.reshape(1), bank, dyn, sparse_rows,
-                             full_masks, n_regs=n_regs)
-        if bank.ndim == 3:
-            # rare fallback (e.g. register file past the kernel's VMEM
-            # budget): flatten inside the jit — correct everywhere, the
-            # relayout cost only hits this path
-            bank = bank.reshape(bank.shape[0], -1)
-        base_run = build_run_one_with_emit(
-            program_len, n_rows, n_dyn, n_words, n_sparse_k=n_sparse_k,
-            n_regs=n_regs, with_emit=output == "multi_count")
-        return base_run(code, bank, dyn, sparse_rows, full_masks, n_instr)
-
-    def finish(words, outs):
-        if output == "count":
-            return jax.lax.population_count(words).astype(jnp.int32).sum(dtype=jnp.int32)
-        if output == "multi_count":
-            return outs  # [MAX_BATCH_QUERIES]
-        if output.startswith("compact"):
-            # row extraction fused into the SAME dispatch: selective
-            # filters transfer (n_nonzero_words, first-cap indices, their
-            # words) — KBs — instead of the full [PW] bitset; the caller
-            # falls back to a full pull when the result overflows the cap
-            cap = int(output.split(":")[1])
-            nz = words != 0
-            n_nz = nz.sum(dtype=jnp.int32)
-            idx = jnp.nonzero(nz, size=cap, fill_value=0)[0].astype(jnp.int32)
-            return n_nz, idx, words[idx], words
-        return words
-
-    if n_sparse_e and n_sparse_k:
-        densify = functools.partial(_densify_one, n_sparse_k, n_sparse_e,
-                                    n_words, n_per_leaf)
-        code_len = 3 * program_len
-        n_seg = n_sparse_k * n_per_leaf
-        # Mosaic densify (pallas_kernels.densify_rows): builds each leaf
-        # row in VMEM at ~18 ns/entry (6x the XLA gather+scatter path,
-        # measured at the 10M sub-dispatch shape) — cost scales with LIVE
-        # entries, not the E slot budget. Mesh-sharded engines keep the
-        # XLA path (the stream is not sharded).
-        use_densify_kernel = (
-            pk.HAVE_PALLAS
-            and (jax.default_backend() != "cpu" or pk.interpret_default())
-            and mesh is None
-            and n_words % 128 == 0
-        )
-
-        def run_fused(blob, bank, dyn, stream_idx, stream_words,
-                      full_masks, n_instr):
-            code = blob[:code_len].reshape(3, program_len)
-            starts = blob[code_len : code_len + n_seg]
-            lens = blob[code_len + n_seg :]
-            if use_densify_kernel:
-                sparse_rows = pk.densify_rows(
-                    stream_idx, stream_words, starts, lens, n_sparse_k,
-                    n_words)
-            else:
-                sparse_rows = densify(stream_idx, stream_words, starts, lens)
-            words, outs = run_one(code, bank, dyn, sparse_rows, full_masks,
-                                  n_instr)
-            return finish(words, outs)
-
-        return jax.jit(run_fused)
-
-    def run(code, bank, dyn, sparse_rows, full_masks, n_instr):
-        words, outs = run_one(code, bank, dyn, sparse_rows, full_masks,
-                              n_instr)
-        return finish(words, outs)
-
-    return jax.jit(run)
-
-
-def build_run_one(program_len: int, n_rows: int, n_dyn: int, n_words: int,
-                  n_regs: int = MAX_REGS):
-    """VM body returning only the result words (the form parallel/mesh.py
-    and __graft_entry__ jit over a mesh); executes the full padded program
-    (NOPs write only the trash register)."""
-    full = build_run_one_with_emit(program_len, n_rows, n_dyn, n_words,
-                                   n_regs=n_regs, with_emit=False)
-
-    def run_one(code, bank, dyn, full_mask):
-        sparse_rows = jnp.zeros((1, dyn.shape[-1]), jnp.uint32)
-        words, _outs = full(code, bank, dyn, sparse_rows, full_mask,
-                            code.shape[1])
-        return words
-
-    return run_one
-
-
-def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: int,
-                            n_sparse_k: int = 0, n_regs: int = MAX_REGS,
-                            with_emit: bool = True):
-    """The single-partition register-machine body (un-jitted). Returns
-    (reg[0] words, EMIT_COUNT output vector). `n_instr` is a traced scalar:
-    the while_loop executes only the real instructions, so one compiled
-    executable serves every program length up to `program_len`.
-
-    Every instruction is BRANCHLESS: it gathers the candidate rows, selects
-    one by opcode/mode, and performs a single unconditional register write
-    (no-write opcodes carry dst=NO_DST, which the clamped index maps onto a
-    trailing trash slot). A lax.switch formulation measured ~66 us/instr of
-    pure overhead at W=32768 — the branch joins copied every carried buffer
-    per instruction; this form is bounded by actual word traffic."""
-
-    def run_one(code, bank, dyn, sparse_rows, full_mask, n_instr):
-        if sparse_rows.ndim == 3:
-            # 3-D leaf pool (kernel-at-rest layout); this XLA fallback is
-            # rare (register file past the kernel budget, CPU tests) — the
-            # in-jit relayout cost only hits here
-            sparse_rows = sparse_rows.reshape(sparse_rows.shape[0], -1)
-        opcodes, operands, regspec = code[0], code[1], code[2]
-        zero_row = jnp.zeros((n_words,), jnp.uint32)
-
-        def step(state):
-            ip, regs, out = state
-            opcode = opcodes[ip]
-            operand = operands[ip]
-            spec = regspec[ip]
-            dst = spec & 0xFF
-            ra = (spec >> 8) & 0xFF
-            rb = (spec >> 16) & 0xFF
-            mode = (spec >> 24) & 0xF
-            bsrc = (spec >> 28) & 0xF
-
-            # dynamic row slices (no vmap in sight — the partition axis is
-            # folded into the word axis, so these lower to real
-            # dynamic-slice ops, not gathers over the whole array)
-            a = jax.lax.dynamic_index_in_dim(
-                regs, jnp.minimum(ra, n_regs - 1), 0, keepdims=False)
-            bank_row = jax.lax.dynamic_index_in_dim(
-                bank, jnp.clip(operand, 0, n_rows - 1), 0, keepdims=False)
-            dyn_row = jax.lax.dynamic_index_in_dim(
-                dyn, jnp.clip(operand, 0, n_dyn - 1), 0, keepdims=False)
-            sparse_row = jax.lax.dynamic_index_in_dim(
-                sparse_rows, jnp.clip(operand, 0, max(n_sparse_k, 1) - 1), 0,
-                keepdims=False)
-
-            b = jnp.where(
-                bsrc == B_REG, jax.lax.dynamic_index_in_dim(
-                    regs, jnp.minimum(rb, n_regs - 1), 0, keepdims=False),
-                jnp.where(
-                    bsrc == B_BANK, bank_row,
-                    jnp.where(
-                        bsrc == B_DYN, dyn_row,
-                        jnp.where(
-                            bsrc == B_SPARSE, sparse_row,
-                            jnp.where(bsrc == B_FULL, full_mask, zero_row),
-                        ),
-                    ),
-                ),
-            )
-            val = jnp.where(
-                mode == M_MOVB, b,
-                jnp.where(
-                    mode == M_AND, a & b,
-                    jnp.where(
-                        mode == M_OR, a | b,
-                        jnp.where(mode == M_XOR, a ^ b, a & (b ^ full_mask)),
-                    ),
-                ),
-            )
-            # single unconditional write; dst=NO_DST clamps onto the trash
-            # slot (index n_regs), so no-write opcodes stay branchless
-            regs = jax.lax.dynamic_update_index_in_dim(
-                regs, val, jnp.minimum(dst, n_regs), 0
-            )
-            if with_emit:
-                count = jax.lax.population_count(a).astype(jnp.int32).sum(
-                    dtype=jnp.int32)
-                oi = jnp.where(opcode == EMIT_COUNT, operand,
-                               MAX_BATCH_QUERIES)
-                out = out.at[oi].set(count, mode="drop")
-            return ip + 1, regs, out
-
-        def step_unrolled(state):
-            # execute _UNROLL instructions per loop iteration to amortize
-            # the while_loop's fixed per-iteration overhead (callers round
-            # n_instr up; NOPs only write the trash slot)
-            for _ in range(_UNROLL):
-                state = step(state)
-            return state
-
-        regs0 = jnp.zeros((n_regs + 1, n_words), jnp.uint32)
-        out0 = jnp.zeros((MAX_BATCH_QUERIES,), jnp.int32)
-        _, regs, out = jax.lax.while_loop(
-            lambda state: state[0] < n_instr,
-            step_unrolled,
-            (jnp.int32(0), regs0, out0),
-        )
-        return regs[0], out
-
-    return run_one
-
-
-def _boundary_sums(vals_u32, starts, lens):
-    """Segmented sums of a flat per-entry value stream whose segments are
-    contiguous (start, len) slices: inclusive cumsum + boundary gather — NO
-    scatter (TPU scatter-add serializes). uint32 wraparound keeps boundary
-    differences exact: every true per-segment sum <= sequence count < 2**32.
-    Trailing pad entries carry zero values, so they never perturb the cumsum
-    below any segment's upper boundary."""
-    c = jnp.cumsum(vals_u32)
-    last = c.shape[0] - 1
-    hi = c[jnp.clip(starts + lens - 1, 0, last)]
-    lo = jnp.where(starts > 0, c[jnp.clip(starts - 1, 0, last)],
-                   jnp.uint32(0))
-    return jnp.where(lens > 0, hi - lo, jnp.uint32(0))
-
-
-@functools.partial(jax.jit, static_argnums=(5,))
-def _sparse_mutation_counts_jit(sp_idx, sp_words, filters, starts, lens,
-                                n_per_leaf):
-    """Segmented popcount over the flat GLOBAL sparse-tier CSR stream:
-    counts[r] = sum over row r's stored words of popcount(word &
-    filter[global word idx]). The stream is PARTITION-major, so each leaf
-    is n_per_leaf (start, len) segments, seg = leaf * P + pi — boundary
-    sums per segment, then a per-leaf partition reduce (still on device:
-    the [n_sparse * P] intermediate would cost a relay transfer)."""
-    vals = jax.lax.population_count(
-        sp_words & filters[sp_idx]).astype(jnp.uint32)
-    per_seg = _boundary_sums(vals, starts, lens)
-    return per_seg.reshape(-1, n_per_leaf).sum(
-        axis=1, dtype=jnp.uint32)
-
-
-@functools.partial(jax.jit, static_argnums=(5,))
-def _sparse_mutation_counts_pallas_jit(sp_idx, sp_words,
-                                       filters, starts, lens, n_per_leaf):
-    """_sparse_mutation_counts_jit with the per-entry filter lookup done by
-    the Mosaic dynamic-gather kernel (pallas_kernels.sparse_filter_popcount)
-    instead of XLA's generic gather — XLA gather costs ~9 ns/element on TPU
-    (313 ms at 32M entries, measured); the kernel walks only the filter
-    hi-rows each [8,128] entry slab actually spans (in-kernel bounds —
-    narrow under the partition-major stream order)."""
-    from . import pallas_kernels as pk
-
-    vals = pk.sparse_filter_popcount(
-        filters, sp_idx, sp_words).astype(jnp.uint32)
-    per_seg = _boundary_sums(vals, starts, lens)
-    return per_seg.reshape(-1, n_per_leaf).sum(
-        axis=1, dtype=jnp.uint32)
-
-
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _mutation_counts_jit(bank, filters, start, n_seg_rows):
-    """bank [R, PW] & filter [PW]: per-row popcount over the global word
-    space (= the reference's per-partition and_cardinality sums,
-    mutations.cpp:36-137, already summed over partitions)."""
-    if bank.ndim == 3:  # bank3 engines (see DeviceEngine.__init__)
-        bank = bank.reshape(bank.shape[0], -1)
-    segment = jax.lax.dynamic_slice(
-        bank, (start, 0), (n_seg_rows, bank.shape[1])
-    )
-    masked = segment & filters[None, :]
-    counts = jax.lax.population_count(masked).astype(jnp.int32)
-    return counts.sum(axis=1, dtype=jnp.int32)

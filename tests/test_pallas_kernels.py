@@ -153,9 +153,10 @@ def test_vm_kernel_matches_xla_interpreter():
                               n_regs=n_regs)
     want_words_flat = de._interpreter(bucket, n_rows, n_dyn, 0, pw, "words",
                                       n_regs=n_regs)
-    args = (jnp.asarray(code), jnp.asarray(bank), jnp.asarray(dyn),
-            jnp.asarray(sparse), jnp.asarray(full),
-            jnp.int32(de._round_instr(n_instr)))
+    blob = np.append(code.reshape(-1),
+                     np.int32(de._round_instr(n_instr)))
+    args = (jnp.asarray(blob), jnp.asarray(bank), jnp.asarray(dyn),
+            jnp.asarray(sparse), jnp.asarray(full))
     want_counts = np.asarray(run_xla(*args))
     want_words = np.asarray(want_words_flat(*args))
 

@@ -227,8 +227,8 @@ def test_pool_update_k_cap_splits_miss_bursts(example_dataset_db,
     seen_k = []
     real_jit = de._pool_update_jit
 
-    def counting_jit(k_bucket, n_words):
-        run = real_jit(k_bucket, n_words)
+    def counting_jit(k_bucket, n_partitions, n_words):
+        run = real_jit(k_bucket, n_partitions, n_words)
 
         def wrapper(*args, **kwargs):
             seen_k.append(k_bucket)
