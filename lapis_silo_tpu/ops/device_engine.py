@@ -454,7 +454,21 @@ class DeviceEngine:
         # dense/sparse placement: hot rows live dense, cold rows stream.
         # Fused-densify dispatches (the poolless path) remain for meshes
         # and for engines without the Mosaic kernels.
-        pool_budget = float(os.environ.get("SILO_LEAF_POOL_GB", "3.0")) * 2**30
+        env_pool_gb = os.environ.get("SILO_LEAF_POOL_GB")
+        if env_pool_gb is not None:
+            pool_budget = float(env_pool_gb) * 2**30
+        else:
+            # Adaptive default: spend the HBM the bank + stream leave free
+            # (within the same 12 GB budget the tier gate uses, minus 2 GB
+            # working headroom for dispatch blocks/outputs). More slots =
+            # fewer VM sub-dispatch splits on wide cold batches — each
+            # split is a serialized relay round trip. Floor 1 GB keeps tiny
+            # shapes sane; ceiling 6 GB bounds the donate-copy worst case.
+            bank_bytes = 4 * self.n_rows * self.n_flat_words
+            stream_bytes = (sum(int(a.nbytes) for a in self.sparse_stream)
+                            if self.sparse_stream is not None else 0)
+            free = SPARSE_BANK_BUDGET_GB * 2**30 - bank_bytes - stream_bytes
+            pool_budget = max(1 * 2**30, min(6 * 2**30, free - 2 * 2**30))
         row_bytes = 4 * self.n_flat_words
         want_slots = int(pool_budget // row_bytes)
         self.pool_slots = 0

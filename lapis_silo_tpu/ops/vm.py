@@ -66,7 +66,7 @@ _DYN_BUCKETS = (1, 4, 16, 64, 256)
 # leaves gather straight from the device-resident CSR stream; the per-query
 # upload is just (start, len) pairs). The engine caps K so the densified
 # [K, W] block stays under ~256 MB HBM (see max_sparse_k).
-_SPARSE_K_BUCKETS = (0, 4, 16, 64, 256, 1024, 4096)
+_SPARSE_K_BUCKETS = (0, 4, 16, 64, 256, 1024, 2048, 4096)
 # densified-block HBM cap: sets max_sparse_k = the widest K bucket whose
 # [K, PW] block fits. Wide batches split at max_sparse_k; a bigger cap
 # saves split round trips but drags the ladder's E floor to the worst case
@@ -77,10 +77,12 @@ _SPARSE_K_BYTE_CAP = 384 << 20
 # SMEM cap on the densify/pool-update kernels' scalar-prefetch operands:
 # starts+lens are [K * n_partitions] i32 EACH, and TPU scalar memory holds
 # roughly 1 MB — a K=4096 x 32-partition update (2 x 512 KB) exhausted
-# scoped SMEM on v5e (RESOURCE_EXHAUSTED at compile). 128 KB per array
-# (K * P * 4 bytes) keeps the proven round-1 shapes (1024 x 16) and caps
-# new ones; misses beyond the cap split into more update dispatches.
-_SPARSE_K_SMEM_BYTE_CAP = 128 << 10
+# scoped SMEM on v5e (RESOURCE_EXHAUSTED at compile). 256 KB per array
+# (K * P * 4 bytes -> K=2048 at 32 partitions, hardware-validated) halves
+# the update-dispatch count on cold sweeps vs the earlier 128 KB cap —
+# each dispatch is a serialized relay round trip, and a 2048-query cold
+# batch at 10M x 32 missed ~7.6k leaves (10 chunks at K=1024).
+_SPARSE_K_SMEM_BYTE_CAP = 256 << 10
 
 
 def _smem_k_cap(n_partitions: int) -> int:

@@ -95,9 +95,26 @@ def main():
     from lapis_silo_tpu.testing import sample_count_queries, synthetic_database
 
     t0 = time.time()
-    db = synthetic_database(n_rows=n_rows, length=length,
-                            n_partitions=n_partitions)
-    log(f"corpus {time.time() - t0:.0f}s")
+    cache_dir = os.environ.get("SILO_BENCH_SNAPSHOT_CACHE")
+    db = None
+    if cache_dir:
+        from lapis_silo_tpu.storage.snapshot import (
+            find_newest_snapshot, load_database, save_database,
+        )
+
+        tag = os.path.join(cache_dir, f"{n_rows}_{length}_{n_partitions}")
+        newest = find_newest_snapshot(tag) if os.path.isdir(tag) else None
+        if newest:
+            db = load_database(newest)
+            log(f"corpus loaded from snapshot cache {time.time() - t0:.0f}s")
+    if db is None:
+        db = synthetic_database(n_rows=n_rows, length=length,
+                                n_partitions=n_partitions)
+        log(f"corpus {time.time() - t0:.0f}s")
+        if cache_dir:
+            t0 = time.time()
+            save_database(db, tag)
+            log(f"corpus cached {time.time() - t0:.0f}s")
     t0 = time.time()
     # smoke runs force the sparse tier (small corpora are dense by gate)
     sparse_min_words = (1 if os.environ.get("SILO_BENCH_FORCE_SPARSE") == "1"
@@ -207,6 +224,32 @@ def main():
     best = min(times)
     results["cold_qps"] = round(n_queries / best, 1)
     results["cold_ms_per_batch"] = round(best * 1e3, 1)
+
+    # --- cold, pipelined: the serving drainer's behavior under a cold
+    # sweep — consecutive batches' update+VM dispatches issue back to
+    # back, readbacks overlap (the sync form above exposes every
+    # readback RTT serially) ------------------------------------------
+    cold_batches = [lower_batch(sample_count_queries(
+        db, n_queries=n_queries, seed=200 + i)) for i in range(n_batches)]
+    m0, u0 = engine.pool_misses, engine.pool_update_dispatches
+    t0 = time.perf_counter()
+    in_flight = []
+    for progs in cold_batches:
+        in_flight.extend(engine.count_dispatches(
+            progs, de._BATCH_LEN_BUCKETS[-1]))
+    for arr, _n in in_flight:
+        try:
+            arr.copy_to_host_async()
+        except Exception:  # noqa: BLE001
+            pass
+    counts = [int(c) for arr, nq in in_flight for c in np.asarray(arr)[:nq]]
+    total = time.perf_counter() - t0
+    assert len(counts) == n_batches * n_queries
+    results["cold_pipelined_qps"] = round(n_batches * n_queries / total, 1)
+    log(f"cold pipelined: {n_batches} batches in {total * 1e3:.1f} ms "
+        f"({results['cold_pipelined_qps']} qps) "
+        f"misses={engine.pool_misses - m0} "
+        f"updates={engine.pool_update_dispatches - u0}")
     results["rows"] = n_rows
     results["partitions"] = n_partitions
     results["pool_slots"] = engine.pool_slots
