@@ -719,6 +719,10 @@ def mutation_counts_banked_sharded(mesh, axis: str, bank3, filters, start,
 DENSIFY_CHUNK = 1024       # entries consumed per DMA window
 DENSIFY_WINDOW = 2048      # aligned window (16 rows x 128) covering any
                            # 1024-aligned offset + CHUNK entries
+MXU_SPAN = 64              # hi rows per matmul-scatter output tile: a
+                           # 128-entry window row whose sorted indices span
+                           # <= 64*128 words scatters via two one-hot
+                           # matmuls instead of 128 serial RMWs
 
 
 def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
@@ -740,12 +744,29 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
     hi = n_words // 128
     idx2 = stream_idx.reshape(-1, 128)    # free: same row-major bytes
     wrd2 = stream_words.reshape(-1, 128)
+    # MXU scatter path (see per_row below): needs >= MXU_SPAN hi rows to
+    # slice a full [MXU_SPAN, 128] accumulation tile out of the output.
+    # EXPERIMENTAL, default off: bit-exact on hardware (and vs the numpy
+    # oracle in interpret mode), but the one relative hardware reading so
+    # far showed no win over the per-entry RMW at production density —
+    # per-row fixed costs (two [128,128] transposes + an unaligned
+    # [64,128] RMW) look comparable to 128 serial RMWs, and the relay was
+    # too degraded for a trustworthy micro-benchmark. Enable with
+    # SILO_DENSIFY_MXU=1 to A/B on stable hardware.
+    use_mxu = (hi >= MXU_SPAN
+               and os.environ.get("SILO_DENSIFY_MXU", "0") == "1")
 
     def kernel(starts_ref, lens_ref, idx_hbm, word_hbm, out_ref,
-               idx_s, wrd_s, sem1, sem2):
+               idx_s, wrd_s, idx_v, wrd_v, sem1, sem2, sem3, sem4):
         k = pl.program_id(0)
         out_ref[...] = jnp.zeros_like(out_ref)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        if use_mxu:
+            # constants for the matmul-scatter: lane iota over a [128,128]
+            # tile (entry-major) and a [MXU_SPAN,128] sublane iota
+            iota_l_sq = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            iota_s_span = jax.lax.broadcasted_iota(
+                jnp.int32, (MXU_SPAN, 128), 0)
 
         def per_partition(pi, _):
             seg = k * n_per_leaf + pi
@@ -765,20 +786,108 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
                     word_hbm.at[pl.ds(q8, DENSIFY_WINDOW // 128), :], wrd_s,
                     sem2)
                 cp2.start()
+                if use_mxu:
+                    # the vector path reads the same windows as VMEM tiles
+                    # (the scalar copies above drive span decisions only)
+                    cp3 = pltpu.make_async_copy(
+                        idx_hbm.at[pl.ds(q8, DENSIFY_WINDOW // 128), :],
+                        idx_v, sem3)
+                    cp3.start()
+                    cp4 = pltpu.make_async_copy(
+                        word_hbm.at[pl.ds(q8, DENSIFY_WINDOW // 128), :],
+                        wrd_v, sem4)
+                    cp4.start()
                 cp.wait()
                 cp2.wait()
+                if use_mxu:
+                    cp3.wait()
+                    cp4.wait()
 
-                def per_entry(e, _):
-                    p = off + e
-                    i = idx_s[p >> 7, p & 127]
-                    h = i >> 7
-                    vec = jnp.where(iota == (i & 127),
-                                    wrd_s[p >> 7, p & 127], jnp.uint32(0))
-                    out_ref[0, pl.ds(h, 1), :] = (
-                        out_ref[0, pl.ds(h, 1), :] | vec)
+                def entry_span(lo, hi_x):
+                    """Per-entry fallback over window positions [lo, hi_x)."""
+                    def per_entry(p, _):
+                        i = idx_s[p >> 7, p & 127]
+                        h = i >> 7
+                        vec = jnp.where(iota == (i & 127),
+                                        wrd_s[p >> 7, p & 127], jnp.uint32(0))
+                        out_ref[0, pl.ds(h, 1), :] = (
+                            out_ref[0, pl.ds(h, 1), :] | vec)
+                        return 0
+
+                    jax.lax.fori_loop(lo, hi_x, per_entry, 0)
+
+                if not use_mxu:
+                    entry_span(off, off + n)
                     return 0
 
-                jax.lax.fori_loop(0, n, per_entry, 0)
+                def per_row(r, _):
+                    """MXU scatter of one 128-entry window row: word
+                    indices are UNIQUE per segment, so scatter == SUM, and
+                    sum of one-hot outer products is a matmul —
+                    U[s, l] = sum_e A[s, e] * C[e, l] with A the hi-row
+                    one-hot and C the lane one-hot times the word's byte
+                    plane (4 byte planes: one-hot x u8 is exact in bf16
+                    MXU passes regardless of precision mode). ~3 ns/entry
+                    vs ~18 for the per-entry RMW. Rows whose index span
+                    exceeds the MXU_SPAN output tile (very sparse
+                    segments) take the per-entry path."""
+                    lo = jnp.maximum(off, r * 128)
+                    hi_x = jnp.minimum(off + n, (r + 1) * 128)
+
+                    @pl.when(lo < hi_x)
+                    def _():
+                        first = idx_s[r, lo & 127] >> 7
+                        last = idx_s[r, (hi_x - 1) & 127] >> 7
+
+                        @pl.when(last - first < MXU_SPAN)
+                        def _():
+                            h0 = jnp.minimum(first, hi - MXU_SPAN)
+                            idx_row = idx_v[pl.ds(r, 1), :]  # [1, 128]
+                            lane = jax.lax.broadcasted_iota(
+                                jnp.int32, (1, 128), 1)
+                            # lo..hi_x-1 live within ONE window row, so the
+                            # in-row lane bounds cannot wrap
+                            valid = ((lane >= (lo & 127))
+                                     & (lane <= ((hi_x - 1) & 127)))
+                            idx_m = jnp.where(valid, idx_row, -1)
+                            # A[s, e]: hi-row one-hot along lanes (e)
+                            hi_rel = jnp.broadcast_to(
+                                (idx_m >> 7) - h0, (MXU_SPAN, 128))
+                            a_mat = (iota_s_span == hi_rel).astype(
+                                jnp.float32)
+                            # C[e, l]: lane one-hot needs entry-major
+                            # sublanes -> transpose the row tiles once
+                            idx_sq = jnp.broadcast_to(idx_m, (128, 128))
+                            idx_t = idx_sq.T  # idx_t[e, l] = idx_m[e]
+                            wrd_row = wrd_v[pl.ds(r, 1), :]
+                            wrd_sq = jnp.broadcast_to(wrd_row, (128, 128))
+                            wrd_t = wrd_sq.T
+                            lane_oh = (iota_l_sq == (idx_t & 127))
+                            acc = jnp.zeros((MXU_SPAN, 128), jnp.uint32)
+                            for b in range(4):
+                                # Mosaic has no u32<->f32 casts; route
+                                # through i32 (values <= 255, exact)
+                                byte = ((wrd_t >> (8 * b)) &
+                                        jnp.uint32(255)).astype(
+                                    jnp.int32).astype(jnp.float32)
+                                c_mat = jnp.where(lane_oh, byte, 0.0)
+                                u_b = jax.lax.dot(
+                                    a_mat, c_mat,
+                                    preferred_element_type=jnp.float32)
+                                acc = acc | (u_b.astype(jnp.int32)
+                                             .astype(jnp.uint32)
+                                             << (8 * b))
+                            out_ref[0, pl.ds(h0, MXU_SPAN), :] = (
+                                out_ref[0, pl.ds(h0, MXU_SPAN), :] | acc)
+
+                        @pl.when(last - first >= MXU_SPAN)
+                        def _():
+                            entry_span(lo, hi_x)
+
+                    return 0
+
+                jax.lax.fori_loop(off >> 7, ((off + n - 1) >> 7) + 1,
+                                  per_row, 0)
                 return 0
 
             n_chunks = (length + DENSIFY_CHUNK - 1) // DENSIFY_CHUNK
@@ -796,6 +905,10 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
         scratch_shapes=[
             pltpu.SMEM((DENSIFY_WINDOW // 128, 128), jnp.int32),
             pltpu.SMEM((DENSIFY_WINDOW // 128, 128), jnp.uint32),
+            pltpu.VMEM((DENSIFY_WINDOW // 128, 128), jnp.int32),
+            pltpu.VMEM((DENSIFY_WINDOW // 128, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -368,3 +368,61 @@ def test_densify_rows_matches_xla():
     want = np.asarray(jax.jit(lambda *a: de._densify_one(
         K, e_bucket, n_words, P, *a))(di, dw, sd, ld))
     np.testing.assert_array_equal(got, want)
+
+
+def test_densify_mxu_scatter_matches_oracle(monkeypatch):
+    """The matmul-scatter densify path (one-hot A @ C per 128-entry window
+    row) must be bit-exact vs a numpy scatter oracle AND vs the per-entry
+    kernel, across dense clusters (matmul rows), wide spans (per-entry
+    fallback rows), partial rows, multi-chunk segments, and empty
+    segments. Needs n_words//128 >= MXU_SPAN to activate."""
+    import jax.numpy as jnp
+
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(23)
+    n_words = 128 * 128  # hi = 128 >= MXU_SPAN
+    n_k, n_per_leaf = 3, 2
+    segments = []
+    for seg in range(n_k * n_per_leaf):
+        kind = seg % 4
+        if kind == 0:      # dense cluster: one matmul row, tiny span
+            base = int(rng.integers(0, n_words - 700))
+            idx = np.sort(rng.choice(600, size=180, replace=False)) + base
+        elif kind == 1:    # wide span: every window row falls back
+            idx = np.sort(rng.choice(n_words, size=150, replace=False))
+        elif kind == 2:    # multi-chunk (len > 1024), mixed density
+            idx = np.sort(rng.choice(n_words, size=1400, replace=False))
+        else:              # empty segment
+            idx = np.array([], dtype=np.int64)
+        segments.append(idx.astype(np.int32))
+    lens = np.array([len(s) for s in segments], dtype=np.int32)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int32)
+    idx_flat = np.concatenate([s for s in segments]).astype(np.int32)
+    words_flat = rng.integers(0, 1 << 32, size=idx_flat.shape[0],
+                              dtype=np.uint32)
+    pad = ((-len(idx_flat)) % pk.DENSIFY_WINDOW) + pk.DENSIFY_WINDOW
+    idx_flat = np.concatenate([idx_flat, np.zeros(pad, np.int32)])
+    words_flat = np.concatenate([words_flat, np.zeros(pad, np.uint32)])
+
+    want = np.zeros((n_k, n_words), dtype=np.uint32)
+    for seg, idx in enumerate(segments):
+        leaf = seg // n_per_leaf
+        s = starts[seg]
+        want[leaf, idx] |= words_flat[s : s + len(idx)]
+
+    monkeypatch.setenv("SILO_DENSIFY_MXU", "1")
+    got = np.asarray(pk.densify_rows(
+        jnp.asarray(idx_flat), jnp.asarray(words_flat),
+        jnp.asarray(starts), jnp.asarray(lens), n_k, n_words,
+        interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+    monkeypatch.setenv("SILO_DENSIFY_MXU", "0")
+    got_scalar = np.asarray(pk.densify_rows(
+        jnp.asarray(idx_flat), jnp.asarray(words_flat),
+        jnp.asarray(starts), jnp.asarray(lens), n_k, n_words,
+        interpret=True))
+    np.testing.assert_array_equal(got_scalar, want)
