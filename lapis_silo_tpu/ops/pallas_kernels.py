@@ -719,10 +719,13 @@ def mutation_counts_banked_sharded(mesh, axis: str, bank3, filters, start,
 DENSIFY_CHUNK = 1024       # entries consumed per DMA window
 DENSIFY_WINDOW = 2048      # aligned window (16 rows x 128) covering any
                            # 1024-aligned offset + CHUNK entries
-MXU_SPAN = 64              # hi rows per matmul-scatter output tile: a
+MXU_SPAN = 128             # hi rows per matmul-scatter output tile: a
                            # 128-entry window row whose sorted indices span
-                           # <= 64*128 words scatters via two one-hot
-                           # matmuls instead of 128 serial RMWs
+                           # <= 128*128 words scatters via one-hot matmuls
+                           # instead of 128 serial RMWs. 128 covers a WHOLE
+                           # <=16,384-word partition window (10M x 32:
+                           # 10,240 words = 80 hi), so every in-partition
+                           # segment takes the MXU path
 
 
 def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
@@ -746,15 +749,13 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
     wrd2 = stream_words.reshape(-1, 128)
     # MXU scatter path (see per_row below): needs >= MXU_SPAN hi rows to
     # slice a full [MXU_SPAN, 128] accumulation tile out of the output.
-    # EXPERIMENTAL, default off: bit-exact on hardware (and vs the numpy
-    # oracle in interpret mode), but the one relative hardware reading so
-    # far showed no win over the per-entry RMW at production density —
-    # per-row fixed costs (two [128,128] transposes + an unaligned
-    # [64,128] RMW) look comparable to 128 serial RMWs, and the relay was
-    # too degraded for a trustworthy micro-benchmark. Enable with
-    # SILO_DENSIFY_MXU=1 to A/B on stable hardware.
+    # Bit-exact on hardware (and vs the numpy oracle in interpret mode);
+    # measured through the production pool-update path at 10M x 32 it
+    # cuts cold-sweep batches ~20% (609 vs 730 ms for a 2048-query batch
+    # missing ~7.4k leaves). SILO_DENSIFY_MXU=0 restores the per-entry
+    # RMW for A/B.
     use_mxu = (hi >= MXU_SPAN
-               and os.environ.get("SILO_DENSIFY_MXU", "0") == "1")
+               and os.environ.get("SILO_DENSIFY_MXU", "1") != "0")
 
     def kernel(starts_ref, lens_ref, idx_hbm, word_hbm, out_ref,
                idx_s, wrd_s, idx_v, wrd_v, sem1, sem2, sem3, sem4):
@@ -839,9 +840,14 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
                         first = idx_s[r, lo & 127] >> 7
                         last = idx_s[r, (hi_x - 1) & 127] >> 7
 
-                        @pl.when(last - first < MXU_SPAN)
+                        # h0 8-aligned: Mosaic handles aligned multi-row
+                        # dynamic slices far better than arbitrary offsets
+                        h0a = jnp.minimum((first >> 3) << 3,
+                                          hi - MXU_SPAN)
+
+                        @pl.when(last - h0a < MXU_SPAN)
                         def _():
-                            h0 = jnp.minimum(first, hi - MXU_SPAN)
+                            h0 = h0a
                             idx_row = idx_v[pl.ds(r, 1), :]  # [1, 128]
                             lane = jax.lax.broadcasted_iota(
                                 jnp.int32, (1, 128), 1)

@@ -383,7 +383,7 @@ def test_densify_mxu_scatter_matches_oracle(monkeypatch):
     if not pk.HAVE_PALLAS:
         pytest.skip("pallas unavailable")
     rng = np.random.default_rng(23)
-    n_words = 128 * 128  # hi = 128 >= MXU_SPAN
+    n_words = 128 * 256  # hi = 256 >= MXU_SPAN, wide spans fall back
     n_k, n_per_leaf = 3, 2
     segments = []
     for seg in range(n_k * n_per_leaf):
