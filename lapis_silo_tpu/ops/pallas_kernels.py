@@ -432,7 +432,7 @@ def pad_to_blocks(rows: np.ndarray) -> np.ndarray:
 #   decode re-runs per block (SMEM scalars — free next to the row DMA).
 # ---------------------------------------------------------------------------
 
-VM_MAX_BATCH = 2048  # must match device_engine.MAX_BATCH_QUERIES
+VM_MAX_BATCH = 4096  # must match device_engine.MAX_BATCH_QUERIES
 _ANY = getattr(pl, "ANY", None) or (pltpu.ANY if HAVE_PALLAS else None)
 
 

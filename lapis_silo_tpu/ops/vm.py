@@ -50,15 +50,16 @@ M_ANDN = 4  # a & (b ^ full_mask)
 NO_DST = 255
 
 _LEN_BUCKETS = (16, 64, 256, 512)
-# top bucket sized for ~2048-query batches (the bench mix lowers to ~13
+# top bucket sized for ~4096-query batches (the bench mix lowers to ~13
 # instructions/query); the instruction stream is scalar-prefetched to SMEM
-# (3 x bucket i32 = 384 KB at 32768 of the ~1 MB scoped budget), so the
-# bucket can't grow unboundedly. Wide dispatches are THE amortizer of the
-# relay's per-dispatch overhead (~15-35 ms serialized): 4x the queries per
-# dispatch quadruples ceiling throughput when the VM body is millisecond-
-# scale. Serving paths pin SERVE_LEN_BUCKET (hardware-validated); the two
-# top rungs serve explicitly wide batched callers.
-_BATCH_LEN_BUCKETS = (64, 256, 1024, 4096, 8192, 16384, 32768)
+# (3 x bucket i32 = 768 KB at 65536 of the ~1 MB scoped budget — compiles
+# and runs on v5e), so the bucket can't grow unboundedly. Wide dispatches
+# amortize the relay's serialized per-dispatch overhead; past ~2048-wide
+# the CODE UPLOAD itself (~156 B/query at ~10-25 MB/s relay transfer)
+# becomes the marginal cost, so widths beyond 4096 buy little. Serving
+# paths pin SERVE_LEN_BUCKET; the top rungs serve explicitly wide batched
+# callers.
+_BATCH_LEN_BUCKETS = (64, 256, 1024, 4096, 8192, 16384, 32768, 65536)
 # the bucket serving paths converge on (one executable for all traffic)
 SERVE_LEN_BUCKET = 8192
 _DYN_BUCKETS = (1, 4, 16, 64, 256)
@@ -111,10 +112,11 @@ def _smem_k_cap(n_partitions: int) -> int:
 _SPARSE_E_BUCKETS = (0, 4096, 32768, 262144, 1 << 19, 1 << 20, 1 << 21,
                      1 << 22, 1 << 23, 1 << 24)
 # Per-dispatch query cap. Every dispatch costs a full relay round trip
-# (~25-45 ms) and the relay serializes dispatches, so throughput is
-# RTT-capped at (1/RTT) * MAX_BATCH_QUERIES — the batch must be as wide
-# as the instruction stream (3 x bucket i32 in SMEM) allows.
-MAX_BATCH_QUERIES = 2048
+# (~25-85 ms observed, drifting with relay load) and the relay serializes
+# dispatches, so throughput is RTT-capped at (1/RTT) * MAX_BATCH_QUERIES —
+# the batch must be as wide as the instruction stream (3 x bucket i32 in
+# SMEM: 768 KB at the 65536 bucket, hardware-validated) allows.
+MAX_BATCH_QUERIES = 4096
 MAX_REGS = 32
 # register-file buckets: one executable per bucket; N-Of threshold circuits
 # use ceil(log2(max(n,k)+1)) + 3 registers above their operand slot
