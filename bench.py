@@ -6,7 +6,7 @@ Extra detail goes to stderr. Knobs (env):
   SILO_BENCH_LENGTH      genome length          (default 29903)
   SILO_BENCH_PARTITIONS  partitions             (default 1)
   SILO_BENCH_QUERIES     measured queries       (default 512)
-  SILO_BENCH_PASSES      max throughput passes  (default 6)
+  SILO_BENCH_PASSES      max throughput passes  (default 9)
 
 The relay in front of the chip serializes work from every client and can
 be arbitrarily contended (or freshly recovered from a wedge) when the
