@@ -150,3 +150,34 @@ def test_batch_split_fuzz(example_dataset_db, monkeypatch):
         got2 = engine.count_programs(
             [engine.lower(Query(q).filter)[0] for q in queries])
         assert got2 == want, trial
+
+
+def test_wide_batch_single_dispatch_counts_exact():
+    """A MAX_BATCH_QUERIES-wide batch (4096 queries, 65536-instruction
+    bucket) packs into the expected dispatch count and returns counts
+    identical to narrow batches — the relay-amortizing tier the bench and
+    batched callers ride."""
+    import jax
+
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.testing import sample_count_queries, synthetic_database
+
+    db = synthetic_database(n_rows=4096, length=512, n_partitions=2)
+    engine = de.DeviceEngine(db, devices=jax.devices()[:1])
+    base = [Query(q) for q in sample_count_queries(db, 512)]
+    want_counts = engine.count_batch([q.filter for q in base])
+    lowered = [engine.lower(q.filter)[0] for q in base]
+    wide = []
+    want = []
+    for rot in range(8):  # 8 rotations -> 4096 queries
+        wide.extend(lowered[rot:] + lowered[:rot])
+        want.extend(want_counts[rot:] + want_counts[:rot])
+    assert len(wide) == de.MAX_BATCH_QUERIES
+    total_len = sum(len(p.opcodes) + 1 for p in wide)
+    assert total_len <= de._BATCH_LEN_BUCKETS[-1], total_len
+    dispatches = engine.count_dispatches(wide, de._BATCH_LEN_BUCKETS[-1])
+    got = [int(c) for arr, nq in dispatches
+           for c in __import__("numpy").asarray(arr)[:nq]]
+    assert len(dispatches) == 1, "4096 queries must pack into ONE dispatch"
+    assert got == want
