@@ -459,15 +459,18 @@ class DeviceEngine:
             pool_budget = float(env_pool_gb) * 2**30
         else:
             # Adaptive default: spend the HBM the bank + stream leave free
-            # (within the same 12 GB budget the tier gate uses, minus 2 GB
-            # working headroom for dispatch blocks/outputs). More slots =
-            # fewer VM sub-dispatch splits on wide cold batches — each
-            # split is a serialized relay round trip. Floor 1 GB keeps tiny
-            # shapes sane; ceiling 6 GB bounds the donate-copy worst case.
+            # (within the SAME budget the tier gate resolved — including a
+            # SILO_DENSE_BANK_BUDGET_GB override — minus 2 GB working
+            # headroom for dispatch blocks/outputs). More slots = fewer VM
+            # sub-dispatch splits on wide cold batches — each split is a
+            # serialized relay round trip. Floor 1 GB keeps tiny shapes
+            # sane; ceiling 6 GB bounds the donate-copy worst case.
+            budget_bytes = int(float(os.environ.get(
+                "SILO_DENSE_BANK_BUDGET_GB", SPARSE_BANK_BUDGET_GB)) * 2**30)
             bank_bytes = 4 * self.n_rows * self.n_flat_words
             stream_bytes = (sum(int(a.nbytes) for a in self.sparse_stream)
                             if self.sparse_stream is not None else 0)
-            free = SPARSE_BANK_BUDGET_GB * 2**30 - bank_bytes - stream_bytes
+            free = budget_bytes - bank_bytes - stream_bytes
             pool_budget = max(1 * 2**30, min(6 * 2**30, free - 2 * 2**30))
         row_bytes = 4 * self.n_flat_words
         want_slots = int(pool_budget // row_bytes)
@@ -1007,7 +1010,8 @@ class DeviceEngine:
         return int(bitset.popcount(regs[0].reshape(-1)))
 
     def count_split(self, lowered: list[_Program], min_bucket: int = 0,
-                    min_sparse_k: int = 0, min_sparse_e: int = 0):
+                    min_sparse_k: int = 0, min_sparse_e: int = 0,
+                    max_bucket: int | None = None):
         """Phase 1 of a batched count (non-blocking): answer host-computable
         programs (stored cardinalities, metadata-only filters — they'd
         otherwise drag their sparse leaves into the batch's densify budget)
@@ -1029,7 +1033,8 @@ class DeviceEngine:
         dispatches = []
         if device_programs:
             dispatches = self.count_dispatches(device_programs, min_bucket,
-                                               min_sparse_k, min_sparse_e)
+                                               min_sparse_k, min_sparse_e,
+                                               max_bucket=max_bucket)
             # Overlap the device->host readbacks: a synchronous np.asarray
             # costs a full relay round trip PER dispatch (~27 ms); issuing
             # the copies async first collapses N reads into ~one round trip.
@@ -1051,34 +1056,45 @@ class DeviceEngine:
         return results
 
     def count_programs(self, lowered: list[_Program], min_bucket: int = 0,
-                       min_sparse_k: int = 0, min_sparse_e: int = 0) -> list[int]:
+                       min_sparse_k: int = 0, min_sparse_e: int = 0,
+                       max_bucket: int | None = None) -> list[int]:
         """count_batch over already-lowered programs (the micro-batcher
         lowers per query so one bad query can't poison a whole batch)."""
         return self.count_finish(*self.count_split(
-            lowered, min_bucket, min_sparse_k, min_sparse_e))
+            lowered, min_bucket, min_sparse_k, min_sparse_e,
+            max_bucket=max_bucket))
 
     def count_dispatches(self, lowered: list[_Program], min_bucket: int = 0,
                          min_sparse_k: int = 0, min_sparse_e: int = 0,
+                         max_bucket: int | None = None,
                          ) -> list[tuple[jax.Array, int]]:
         """Non-blocking form: returns (device counts array, n_queries) per
         dispatch — dispatches pipeline (jax is async), so a serving loop
         can keep the device busy while earlier batches' results are still
-        in flight. Callers slice each array [:n_queries]."""
+        in flight. Callers slice each array [:n_queries].
+
+        `max_bucket` caps the instruction bucket by SPLITTING wider
+        batches into multiple dispatches: serving paths pass
+        SERVE_LEN_BUCKET so a drained burst can never land on an
+        unwarmed 16384+ executable (a minutes-long remote compile stall
+        mid-serving); batched offline callers leave it None."""
         q = len(lowered)
         if q > MAX_BATCH_QUERIES:
             out = []
             for i in range(0, q, MAX_BATCH_QUERIES):
                 out.extend(self.count_dispatches(
                     lowered[i : i + MAX_BATCH_QUERIES],
-                    min_bucket, min_sparse_k, min_sparse_e))
+                    min_bucket, min_sparse_k, min_sparse_e,
+                    max_bucket=max_bucket))
             return out
         # Split greedily if the concatenated stream or dyn-row count would
-        # overflow the largest bucket (each program alone always fits:
-        # lower() enforces the single-program limits).
+        # overflow the bucket cap (each program alone always fits: lower()
+        # enforces the single-program limits).
+        len_cap = max_bucket or _BATCH_LEN_BUCKETS[-1]
         total = sum(len(p.opcodes) + 1 for p in lowered)
         total_dyn = sum(len(p.dyn_rows) for p in lowered)
         total_sparse = len({r for p in lowered for r in p.sparse_leaves})
-        if q > 1 and (total > _BATCH_LEN_BUCKETS[-1] or total_dyn > _DYN_BUCKETS[-1]
+        if q > 1 and (total > len_cap or total_dyn > _DYN_BUCKETS[-1]
                       or total_sparse > self.sparse_batch_cap):
             acc_len = acc_dyn = 0
             acc_sparse: set[int] = set()
@@ -1087,15 +1103,17 @@ class DeviceEngine:
                 acc_len += len(p.opcodes) + 1
                 acc_dyn += len(p.dyn_rows)
                 acc_sparse.update(p.sparse_leaves)
-                if i and (acc_len > _BATCH_LEN_BUCKETS[-1]
+                if i and (acc_len > len_cap
                           or acc_dyn > _DYN_BUCKETS[-1]
                           or len(acc_sparse) > self.sparse_batch_cap):
                     split = i
                     break
             return self.count_dispatches(lowered[:split], min_bucket,
-                                         min_sparse_k, min_sparse_e) + \
+                                         min_sparse_k, min_sparse_e,
+                                         max_bucket=max_bucket) + \
                 self.count_dispatches(lowered[split:], min_bucket,
-                                      min_sparse_k, min_sparse_e)
+                                      min_sparse_k, min_sparse_e,
+                                      max_bucket=max_bucket)
         programs = []
         all_dyn_rows: list[list[np.ndarray]] = []
         all_sparse_leaves: list[int] = []
@@ -1566,6 +1584,7 @@ class _MicroBatcher:
                     min_bucket=SERVE_LEN_BUCKET,
                     min_sparse_k=min_k,
                     min_sparse_e=min_e,
+                    max_bucket=SERVE_LEN_BUCKET,
                 )
                 for item, count in zip(ready, counts):
                     item["result"] = count

@@ -886,7 +886,12 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
                             out_ref[0, pl.ds(h0, MXU_SPAN), :] = (
                                 out_ref[0, pl.ds(h0, MXU_SPAN), :] | acc)
 
-                        @pl.when(last - first >= MXU_SPAN)
+                        # complement of the matmul gate ABOVE (both test
+                        # last - h0a): testing last - first here left a
+                        # gap — spans in [MXU_SPAN-7, MXU_SPAN-1] whose
+                        # 8-alignment pushed last - h0a past MXU_SPAN
+                        # matched NEITHER branch and dropped entries
+                        @pl.when(last - h0a >= MXU_SPAN)
                         def _():
                             entry_span(lo, hi_x)
 

@@ -128,14 +128,19 @@ class Preprocessor:
             parts.append("ndjson:" + file_fingerprint(self.pcfg.ndjson_path()))
         else:
             parts.append("tsv:" + file_fingerprint(self.pcfg.metadata_path()))
+            # FASTA inputs resolve as <prefix><name>.fasta[.zst|.xz]
+            # (readers.open_maybe_compressed) — fingerprint the REAL
+            # filenames, not the extension-less stems, or edited FASTA
+            # content would never invalidate committed stages
             for name in reference_genomes.raw_nucleotide_sequences:
                 parts.append(file_fingerprint(
-                    self.pcfg.nuc_filename_no_extension(name)))
+                    self.pcfg.nuc_filename_no_extension(name) + ".fasta"))
                 parts.append(file_fingerprint(
-                    self.pcfg.unaligned_nuc_filename_no_extension(name)))
+                    self.pcfg.unaligned_nuc_filename_no_extension(name)
+                    + ".fasta"))
             for name in reference_genomes.raw_aa_sequences:
                 parts.append(file_fingerprint(
-                    self.pcfg.gene_filename_no_extension(name)))
+                    self.pcfg.gene_filename_no_extension(name) + ".fasta"))
         signature = compute_signature(parts)
         parent = self.pcfg.intermediate_results_directory or "./temp/"
         workdir = os.path.join(parent, f"silo_resume_{signature}")
@@ -609,9 +614,11 @@ class Preprocessor:
                 else:
                     partition.aa_sequences[name] = segment
             if resume is None:
-                # resumable runs keep routed spools until the snapshot is
-                # written: a crash mid-build must be able to re-fill every
-                # segment without re-scanning the input
+                # resumable runs keep routed spools until preprocess()
+                # completes (a crash mid-BUILD re-fills every segment
+                # without re-scanning the input; a crash during the
+                # caller's later snapshot save still re-ingests — the
+                # workdir is cleared when preprocess returns)
                 spool.cleanup()
 
         def spool_fasta(path_no_ext: str, tag: str, dictionary: bytes,

@@ -94,21 +94,6 @@ class ResumeStore:
         os.replace(tmp, path)
         logger.info("preprocessing stage committed: %s", stage)
 
-    def invalidate_all(self) -> None:
-        """Drop every stage marker (signature mismatch recovery): stale
-        spool data from another corpus must never be readable as current."""
-        for name in os.listdir(self.workdir):
-            full = os.path.join(self.workdir, name)
-            try:
-                if name.endswith(_MANIFEST_SUFFIX) or name.endswith(".tmp"):
-                    os.unlink(full)
-                elif os.path.isfile(full):
-                    os.unlink(full)
-                elif os.path.isdir(full):
-                    shutil.rmtree(full)
-            except OSError:
-                pass
-
     def any_stage_committed(self) -> bool:
         return any(name.endswith(_MANIFEST_SUFFIX)
                    for name in os.listdir(self.workdir))

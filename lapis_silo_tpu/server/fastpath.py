@@ -34,7 +34,9 @@ import time
 
 logger = logging.getLogger(__name__)
 
-MAX_BATCH = 2048  # mirrors ops.device_engine.MAX_BATCH_QUERIES
+MAX_BATCH = 2048  # drain width cap: half of device_engine.MAX_BATCH_QUERIES
+                  # (4096) — serving favors latency; with max_bucket pinned to
+                  # SERVE_LEN_BUCKET a wider pop would split anyway
 _GEN_SHIFT = 20
 _IDX_MASK = (1 << _GEN_SHIFT) - 1
 _GEN_MASK = (1 << (32 - _GEN_SHIFT)) - 1
@@ -383,7 +385,8 @@ class CountFastPath:
                 min_k, min_e = engine.sparse_floors(programs)
                 split = engine.count_split(
                     programs, min_bucket=SERVE_LEN_BUCKET,
-                    min_sparse_k=min_k, min_sparse_e=min_e)
+                    min_sparse_k=min_k, min_sparse_e=min_e,
+                    max_bucket=SERVE_LEN_BUCKET)
                 batch.append((table, keys, task_slot, split))
             except Exception as ex:  # noqa: BLE001 — parity: JSON 500
                 logger.exception("fast-path batch dispatch failed")

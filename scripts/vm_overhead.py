@@ -133,8 +133,15 @@ def main():
                 n_instr.reshape(1), bank, dyn, sparse, full, n_regs=N_REGS)
             return counts
     else:
-        run = de._interpreter(BUCKET, N_ROWS, N_DYN, 0, pw, "multi_count",
-                              n_regs=N_REGS)
+        # _interpreter executables now take ONE packed blob (code 3xL +
+        # trailing n_instr) — adapt the probe's (code, n_instr) call form
+        inner = de._interpreter(BUCKET, N_ROWS, N_DYN, 0, pw, "multi_count",
+                                n_regs=N_REGS)
+
+        def run(code, bank, dyn, sparse, full, n_instr):
+            blob = jnp.concatenate([code.reshape(-1),
+                                    n_instr.reshape(1).astype(code.dtype)])
+            return inner(blob, bank, dyn, sparse, full)
     # the relay memoizes byte-identical executions AND block_until_ready
     # does not block through it: every timed call uses a distinct code
     # variant and materializes the result with np.asarray

@@ -181,3 +181,32 @@ def test_wide_batch_single_dispatch_counts_exact():
            for c in __import__("numpy").asarray(arr)[:nq]]
     assert len(dispatches) == 1, "4096 queries must pack into ONE dispatch"
     assert got == want
+
+
+def test_serving_max_bucket_splits_instead_of_compiling_wider():
+    """Serving paths cap the instruction bucket (max_bucket=
+    SERVE_LEN_BUCKET): a drained burst wider than the warmed executable
+    SPLITS into multiple dispatches instead of landing on an unwarmed
+    16384+ bucket (a minutes-long remote compile stall mid-serving)."""
+    import jax
+    import numpy as np
+
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.testing import sample_count_queries, synthetic_database
+
+    db = synthetic_database(n_rows=4096, length=512, n_partitions=2)
+    engine = de.DeviceEngine(db, devices=jax.devices()[:1])
+    base = [Query(q) for q in sample_count_queries(db, 512)]
+    lowered = [engine.lower(q.filter)[0] for q in base] * 3  # 1536 queries
+    total_len = sum(len(p.opcodes) + 1 for p in lowered)
+    assert total_len > de.SERVE_LEN_BUCKET  # would otherwise pick 16384+
+    results, device_idx, dispatches = engine.count_split(
+        lowered, min_bucket=de.SERVE_LEN_BUCKET,
+        max_bucket=de.SERVE_LEN_BUCKET)
+    assert len(dispatches) >= 2, "burst must split at the serve bucket"
+    for arr, _n in dispatches:
+        assert arr.shape[0] == de.MAX_BATCH_QUERIES  # output vec shape
+    counts = de.DeviceEngine.count_finish(results, device_idx, dispatches)
+    want = engine.count_batch([q.filter for q in base])
+    assert counts == want * 3

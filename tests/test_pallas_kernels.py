@@ -426,3 +426,33 @@ def test_densify_mxu_scatter_matches_oracle(monkeypatch):
         jnp.asarray(starts), jnp.asarray(lens), n_k, n_words,
         interpret=True))
     np.testing.assert_array_equal(got_scalar, want)
+
+
+def test_densify_mxu_alignment_gap_regression():
+    """Regression: a window row whose raw hi-span fits MXU_SPAN but whose
+    8-ALIGNED span does not (span in [MXU_SPAN-7, MXU_SPAN-1], misaligned
+    start) must take the per-entry fallback — the original condition pair
+    tested different bases (last-first vs last-h0a) and silently dropped
+    such rows' entries."""
+    import jax.numpy as jnp
+
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    n_words = 128 * 256
+    # two entries: hi rows 9 and 136 -> span 128 > raw span... raw span
+    # last-first = 127 < 128 = MXU_SPAN, but h0a = 8 -> last-h0a = 128
+    idx = np.array([9 * 128 + 3, 136 * 128 + 5], dtype=np.int32)
+    words = np.array([0xDEADBEEF, 0x12345678], dtype=np.uint32)
+    starts = np.array([0], dtype=np.int32)
+    lens = np.array([2], dtype=np.int32)
+    pad = ((-2) % pk.DENSIFY_WINDOW) + pk.DENSIFY_WINDOW
+    idx_p = np.concatenate([idx, np.zeros(pad, np.int32)])
+    wrd_p = np.concatenate([words, np.zeros(pad, np.uint32)])
+    got = np.asarray(pk.densify_rows(
+        jnp.asarray(idx_p), jnp.asarray(wrd_p), jnp.asarray(starts),
+        jnp.asarray(lens), 1, n_words, interpret=True))
+    want = np.zeros((1, n_words), dtype=np.uint32)
+    want[0, idx] = words
+    np.testing.assert_array_equal(got, want)

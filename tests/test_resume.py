@@ -174,3 +174,30 @@ def test_changed_input_invalidates_stages(tmp_path, monkeypatch):
     after = set(os.listdir(inter))
     assert len(after - first) == 1, "expected a fresh per-signature workdir"
     _check_corpus_sample(db)
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference data")
+def test_changed_fasta_invalidates_tsv_stages(tmp_path, monkeypatch):
+    """TSV+FASTA flavor: an edited FASTA must change the signature (the
+    fingerprints cover the real <stem>.fasta filenames) so committed
+    stages are never reused over stale genome content."""
+    import shutil
+
+    from lapis_silo_tpu.preprocessing.preprocessor import Preprocessor
+
+    base = os.path.join(REFERENCE_ROOT, "testBaseData/exampleDataset")
+    work = tmp_path / "dataset"
+    shutil.copytree(base, work)
+    pcfg, dbconf = _tsv_configs(tmp_path)
+    pcfg.input_directory = str(work)
+    monkeypatch.setenv("SILO_KEEP_INTERMEDIATES", "1")
+    Preprocessor(pcfg, dbconf).preprocess()
+    inter = pcfg.intermediate_results_directory
+    first = set(os.listdir(inter))
+    assert len(first) == 1
+
+    os.utime(work / "gene_E.fasta", (1, 1))
+    db = Preprocessor(pcfg, dbconf).preprocess()
+    after = set(os.listdir(inter))
+    assert len(after - first) == 1, "expected a fresh per-signature workdir"
+    _check_corpus_sample(db)
