@@ -471,7 +471,13 @@ class DeviceEngine:
             stream_bytes = (sum(int(a.nbytes) for a in self.sparse_stream)
                             if self.sparse_stream is not None else 0)
             free = budget_bytes - bank_bytes - stream_bytes
-            pool_budget = max(1 * 2**30, min(6 * 2**30, free - 2 * 2**30))
+            pool_budget = min(6 * 2**30, free - 2 * 2**30)
+            if pool_budget < 1 * 2**30:
+                # No real headroom (huge stream, or a user-lowered
+                # SILO_DENSE_BANK_BUDGET_GB): clamping UP to a 1 GB floor
+                # could push the engine past HBM at init. Disable the pool
+                # and run the poolless densify path instead.
+                pool_budget = 0
         row_bytes = 4 * self.n_flat_words
         want_slots = int(pool_budget // row_bytes)
         self.pool_slots = 0

@@ -78,31 +78,39 @@ class Preprocessor:
         # (preprocessing_database.cpp:39): a crashed run restarts from the
         # last committed stage. SILO_RESUME=0 restores per-run tempdirs.
         self._resume = self._make_resume_store(reference_genomes)
-        if self._resume is not None:
-            workdir_ctx = contextlib.nullcontext(self._resume.workdir)
-        else:
-            spool_parent = self.pcfg.intermediate_results_directory
-            workdir_ctx = tempfile.TemporaryDirectory(
-                prefix="silo_spool_",
-                dir=spool_parent if os.path.isdir(spool_parent) else None,
-            )
-        with workdir_ctx as tmpdir:
-            if self.pcfg.ndjson_input_filename:
-                table, sequences, unaligned = self._load_ndjson(
-                    reference_genomes, tmpdir)
+        try:
+            if self._resume is not None:
+                workdir_ctx = contextlib.nullcontext(self._resume.workdir)
             else:
-                table = self._load_metadata_tsv_resumable(tmpdir)
-                sequences, unaligned = None, None
+                spool_parent = self.pcfg.intermediate_results_directory
+                workdir_ctx = tempfile.TemporaryDirectory(
+                    prefix="silo_spool_",
+                    dir=spool_parent if os.path.isdir(spool_parent) else None,
+                )
+            with workdir_ctx as tmpdir:
+                if self.pcfg.ndjson_input_filename:
+                    table, sequences, unaligned = self._load_ndjson(
+                        reference_genomes, tmpdir)
+                else:
+                    table = self._load_metadata_tsv_resumable(tmpdir)
+                    sequences, unaligned = None, None
 
-            db = self._build_database(
-                table, alias_key, reference_genomes, sequences, unaligned, tmpdir
-            )
-        if self._resume is not None:
-            if os.environ.get("SILO_KEEP_INTERMEDIATES") == "1":
-                logger.info("keeping preprocessing intermediates at %s",
-                            self._resume.workdir)
-            else:
-                self._resume.clear()
+                db = self._build_database(
+                    table, alias_key, reference_genomes, sequences, unaligned,
+                    tmpdir
+                )
+            if self._resume is not None:
+                if os.environ.get("SILO_KEEP_INTERMEDIATES") == "1":
+                    logger.info("keeping preprocessing intermediates at %s",
+                                self._resume.workdir)
+                else:
+                    self._resume.clear()
+        finally:
+            # release the workdir flock even on a crash mid-build: a retry
+            # (same or another process) must be able to RESUME from the
+            # committed stages instead of falling back to a tempdir
+            if self._resume is not None:
+                self._resume.close()
         db.data_version = DataVersion.mine()
         logger.info("preprocessing took %.1f s", time.time() - t0)
         return db

@@ -60,9 +60,34 @@ class ResumeStore:
     exists AND its signature matches this run's inputs."""
 
     def __init__(self, workdir: str, signature: str):
-        self.workdir = workdir
         self.signature = signature
+        self._lock_fd: int | None = None
+        self.ephemeral = False
         os.makedirs(workdir, exist_ok=True)
+        # Exclusive per-workdir lock: two simultaneous preprocess runs over
+        # the same inputs compute the same signature and would interleave
+        # 'ab' spool appends with each other's stage commits — a committed
+        # 'scan' manifest could then describe spool files another live
+        # process is still appending to. flock (not an O_EXCL pid marker)
+        # so a crashed holder releases automatically.
+        import fcntl
+
+        fd = os.open(os.path.join(workdir, ".lock"),
+                     os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            self._lock_fd = fd
+            self.workdir = workdir
+        except OSError:
+            os.close(fd)
+            import tempfile
+
+            self.workdir = tempfile.mkdtemp(prefix="silo_resume_")
+            self.ephemeral = True
+            logger.warning(
+                "resume workdir %s is locked by another preprocessing run "
+                "— using throwaway %s (this run will not be resumable)",
+                workdir, self.workdir)
 
     def _manifest_path(self, stage: str) -> str:
         safe = stage.replace("/", "_")
@@ -98,7 +123,13 @@ class ResumeStore:
         return any(name.endswith(_MANIFEST_SUFFIX)
                    for name in os.listdir(self.workdir))
 
+    def close(self) -> None:
+        if self._lock_fd is not None:
+            os.close(self._lock_fd)  # flock releases with the fd
+            self._lock_fd = None
+
     def clear(self) -> None:
+        self.close()
         shutil.rmtree(self.workdir, ignore_errors=True)
 
 

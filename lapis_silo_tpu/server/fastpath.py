@@ -342,7 +342,7 @@ class CountFastPath:
                         try:
                             self._respond_error(
                                 entry[1], 500,
-                                {"error": "Internal server error",
+                                {"error": "Internal Server Error",
                                  "message": "fast-path drain failed"})
                         except Exception:  # noqa: BLE001 — best effort
                             pass
@@ -366,7 +366,7 @@ class CountFastPath:
             keys = [key for key, _ in group]
             if table is None:
                 self._respond_error(
-                    keys, 500, {"error": "Internal server error",
+                    keys, 500, {"error": "Internal Server Error",
                                 "message": "fast-path generation retired"})
                 continue
             try:
@@ -391,7 +391,7 @@ class CountFastPath:
             except Exception as ex:  # noqa: BLE001 — parity: JSON 500
                 logger.exception("fast-path batch dispatch failed")
                 self._respond_error(
-                    keys, 500, {"error": "Internal server error",
+                    keys, 500, {"error": "Internal Server Error",
                                 "message": str(ex)})
         return batch or None
 
@@ -414,7 +414,7 @@ class CountFastPath:
             except Exception as ex:  # noqa: BLE001 — parity: JSON 500
                 logger.exception("fast-path batch readback failed")
                 self._respond_error(
-                    keys, 500, {"error": "Internal server error",
+                    keys, 500, {"error": "Internal Server Error",
                                 "message": str(ex)})
                 batch.pop(0)
                 continue

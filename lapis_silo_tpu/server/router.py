@@ -133,7 +133,11 @@ def route_request(backend, method: str, target: str, body: bytes):
             return 400, {"error": "Bad request", "message": str(ex)}, None
         except Exception as ex:  # noqa: BLE001 — parity: 500, keep serving
             logger.exception("query failed")
-            return (500, {"error": "Internal server error",
+            # The reference's QueryHandler catches its own exceptions and
+            # titles the body "Internal Server Error" (query_handler.cpp:
+            # 51-70); only the outer ErrorRequestHandler — the /info path
+            # above — uses lowercase (error_request_handler.cpp:28).
+            return (500, {"error": "Internal Server Error",
                           "message": str(ex)}, None)
     # any other method on any path (reference rest_resource.cpp)
     return _method_not_allowed(method, path)

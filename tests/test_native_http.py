@@ -277,3 +277,32 @@ def test_reuse_port_two_servers(database):
     finally:
         a.shutdown()
         b.shutdown()
+
+
+def test_query_500_body_is_title_case():
+    """The reference's QueryHandler catches its own exceptions and titles
+    the body "Internal Server Error" (query_handler.cpp:51-70); the outer
+    ErrorRequestHandler — which wraps /info — uses lowercase
+    (error_request_handler.cpp:28). Pin both casings through the router."""
+    from lapis_silo_tpu.server.router import route_request
+
+    class _View:
+        data_version = "0000000000"
+
+        def execute_query(self, query):
+            raise RuntimeError("boom")
+
+        def info(self, detailed=False, tpu=False):
+            raise RuntimeError("boom")
+
+    class _Backend:
+        def resolve(self):
+            return _View()
+
+    status, body, _v = route_request(_Backend(), "POST", "/query", b"{}")
+    assert status == 500
+    assert body == {"error": "Internal Server Error", "message": "boom"}
+
+    status, body, _v = route_request(_Backend(), "GET", "/info", b"")
+    assert status == 500
+    assert body == {"error": "Internal server error", "message": "boom"}

@@ -201,3 +201,31 @@ def test_changed_fasta_invalidates_tsv_stages(tmp_path, monkeypatch):
     after = set(os.listdir(inter))
     assert len(after - first) == 1, "expected a fresh per-signature workdir"
     _check_corpus_sample(db)
+
+
+def test_concurrent_resume_store_falls_back_to_tempdir(tmp_path):
+    """Two live ResumeStores over the same workdir must not share spool
+    files: the second holder gets a throwaway tempdir (not resumable)
+    instead of interleaving appends with the first's stage commits."""
+    import shutil
+
+    from lapis_silo_tpu.preprocessing.resume import ResumeStore
+
+    workdir = str(tmp_path / "wd")
+    first = ResumeStore(workdir, "sig")
+    second = ResumeStore(workdir, "sig")
+    try:
+        assert not first.ephemeral
+        assert second.ephemeral
+        assert second.workdir != first.workdir
+        second.commit("scan", {"who": "second"})
+        assert first.payload("scan") is None  # no cross-pollution
+        assert second.payload("scan") == {"who": "second"}
+    finally:
+        shutil.rmtree(second.workdir, ignore_errors=True)
+
+    # releasing the first holder frees the workdir for a new run
+    first.close()
+    third = ResumeStore(workdir, "sig")
+    assert not third.ephemeral
+    assert third.workdir == workdir
