@@ -52,7 +52,9 @@ from .vm import (  # noqa: F401
     StructureMismatch, ProgramTooLarge, _Program,
     _smem_k_cap, _round_instr, _pool_update_jit, _densify_one,
     _densify_jit, _interpreter, build_run_one, build_run_one_with_emit,
+    pack_wire, pack_code_array, wire_opcode, wire_bsrc, WIRE_NOP,
 )
+from . import vm
 from .reductions import (  # noqa: F401
     _popcount_words_jit, _group_counts_jit, _boundary_sums,
     _sparse_mutation_counts_jit, _sparse_mutation_counts_pallas_jit,
@@ -640,13 +642,14 @@ class DeviceEngine:
                                  slot_map: dict[int, int]) -> np.ndarray:
         """B_SPARSE operands index the program's leaf list; the pooled VM
         reads pool slots instead."""
-        mask = (code[0] == ALU) & (((code[2] >> 28) & 0xF) == B_SPARSE)
+        mask = ((vm.wire_opcode(code[1]) == ALU)
+                & (vm.wire_bsrc(code[1]) == B_SPARSE))
         if not mask.any():
             return code
         table = np.asarray([slot_map[leaf] for leaf in leaf_ids],
                            dtype=code.dtype)
         code = code.copy()
-        code[1, mask] = table[code[1, mask]]
+        code[0, mask] = table[code[0, mask]]
         return code
 
     # -- lowering ---------------------------------------------------------
@@ -725,16 +728,13 @@ class DeviceEngine:
         return self._prepare_program(self.lower(filter_expr)[0])
 
     def _prepare_program(self, program: _Program):
-        """(bucket, n_dyn, code[3, bucket], dyn host array | None, n_instr,
-        sparse_k, sparse_m, sparse descriptor arrays, n_regs)."""
+        """(bucket, n_dyn, code[2, bucket] wire block, dyn host array |
+        None, n_instr, sparse_k, sparse_m, sparse descriptor arrays,
+        n_regs)."""
         n = len(program.opcodes)
         bucket = next(b for b in _LEN_BUCKETS if b >= n)
-        code = np.zeros((3, bucket), dtype=np.int32)
-        code[0, :] = NOP
-        code[2, :] = NO_DST
-        code[0, :n] = program.opcodes
-        code[1, :n] = program.operands
-        code[2, :n] = program.regspec
+        code = vm.pack_code_array(bucket, program.opcodes, program.operands,
+                                  program.regspec)
         n_dyn = next(b for b in _DYN_BUCKETS if b >= len(program.dyn_rows))
         if program.dyn_rows:
             dyn = np.zeros((n_dyn, self.n_partitions, self.n_words),
@@ -1150,19 +1150,16 @@ class DeviceEngine:
         if total_len > _BATCH_LEN_BUCKETS[-1]:
             raise ProgramTooLarge(total_len)
         bucket = next(b for b in _BATCH_LEN_BUCKETS if b >= max(total_len, min_bucket))
-        code = np.zeros((3, bucket), dtype=np.int32)
-        code[0, :] = NOP
-        code[2, :] = NO_DST
+        code = np.zeros((2, bucket), dtype=np.int32)
+        code[1, :] = WIRE_NOP
         cursor = 0
         for qi, (opcodes, operands, regspec) in enumerate(programs):
             n = len(opcodes)
-            code[0, cursor : cursor + n] = opcodes
-            code[1, cursor : cursor + n] = operands
-            code[2, cursor : cursor + n] = regspec
+            code[0, cursor : cursor + n] = operands
+            code[1, cursor : cursor + n] = pack_wire(opcodes, regspec)
             # every program leaves its result in reg[0] (lowered with dst=0)
-            code[0, cursor + n] = EMIT_COUNT
-            code[1, cursor + n] = qi
-            code[2, cursor + n] = NO_DST  # ra = 0 implied
+            code[0, cursor + n] = qi
+            code[1, cursor + n] = pack_wire(EMIT_COUNT, NO_DST)  # ra=0 implied
             cursor += n + 1
         n_dyn = next(b for b in _DYN_BUCKETS if b >= len(all_dyn_rows))
         if all_dyn_rows:

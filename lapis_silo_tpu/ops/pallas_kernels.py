@@ -450,17 +450,18 @@ def _vm_block_hi(n_hi: int, n_regs: int, vmem_cap_bytes: int = 64 << 20):
     return None
 
 
-def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
+def vm_run(opers, specs, n_instr, bank, dyn, sparse_rows, full,
            n_regs: int, interpret: bool | None = None,
            vmem_cap_bytes: int = 64 << 20):
     """Execute a register-machine program (see device_engine opcodes) over
     flat global words. Returns (words [PW] u32 = reg[0], counts
     [VM_MAX_BATCH] i32 from EMIT_COUNT instructions).
 
-    ops/opers/specs: int32[L] instruction stream (scalar-prefetched to
-    SMEM); n_instr: int32[1] actual instruction count (the padded NOP tail
-    is never executed — one executable serves every program length in the
-    bucket).
+    opers/specs: int32[L] instruction stream in the WIRE format (vm.py
+    pack_wire: operand + packed dst/ra/rb/mode/bsrc/opcode word),
+    scalar-prefetched to SMEM; n_instr: int32[1] actual instruction count
+    (the padded NOP tail is never executed — one executable serves every
+    program length in the bucket).
 
     The bank may arrive pre-shaped [R, PW/128, 128] (DeviceEngine stores it
     that way at rest): a 2-D [R, PW] bank is NOT bitcast-compatible with the
@@ -504,7 +505,7 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
     # serial schedule for A/B runs (same 2-slot layout, no early start).
     prefetch = os.environ.get("SILO_VM_PREFETCH", "1") != "0"
 
-    def kernel(ops_ref, oper_ref, spec_ref, ninstr_ref,
+    def kernel(oper_ref, spec_ref, ninstr_ref,
                bank_ref, dyn_ref, sparse_ref, full_ref,
                words_ref, counts_ref, regs_ref, slot_ref, sem):
         b = pl.program_id(0)
@@ -525,7 +526,7 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
             i's b-source row into `slot` — guarded per source kind, so
             starts and waits pair exactly (bsrc 0/4/5 issue no DMA)."""
             operand = oper_ref[i]
-            bsrc = (spec_ref[i] >> 28) & 0xF
+            bsrc = (spec_ref[i] >> 22) & 0xF  # WIRE_BSRC_SHIFT
 
             def mk(ref, hi):
                 return pltpu.make_async_copy(
@@ -561,11 +562,12 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
 
             operand = oper_ref[i]
             spec = spec_ref[i]
-            dst = spec & 0xFF
-            ra = (spec >> 8) & 0xFF
-            rb = (spec >> 16) & 0xFF
-            mode = (spec >> 24) & 0xF
-            bsrc = (spec >> 28) & 0xF
+            # wire decode (vm.py pack_wire layout)
+            dst = spec & 0x3F
+            ra = (spec >> 6) & 0x3F
+            rb = (spec >> 12) & 0x3F
+            mode = (spec >> 18) & 0xF
+            bsrc = (spec >> 22) & 0xF
 
             a = regs_ref[jnp.minimum(ra, n_regs - 1)]
             full_blk = full_ref[...]
@@ -590,7 +592,7 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
             )
             regs_ref[jnp.minimum(dst, n_regs)] = val
 
-            @pl.when(ops_ref[i] == 1)  # EMIT_COUNT
+            @pl.when(((spec >> 26) & 0x3) == 1)  # opcode EMIT_COUNT
             def _():
                 s = jnp.sum(_popc(a), dtype=jnp.int32)
                 oi = jnp.minimum(operand, VM_MAX_BATCH - 1)
@@ -608,7 +610,7 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
     except Exception:  # noqa: BLE001
         compiler_params = None
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=_ANY),
@@ -635,11 +637,11 @@ def vm_run(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full,
         ),
         compiler_params=compiler_params,
         interpret=interpret,
-    )(ops, opers, specs, n_instr, bank3, dyn3, sparse3, full2)
+    )(opers, specs, n_instr, bank3, dyn3, sparse3, full2)
     return words.reshape(pw), counts
 
 
-def vm_run_sharded(mesh, axis: str, ops, opers, specs, n_instr, bank, dyn,
+def vm_run_sharded(mesh, axis: str, opers, specs, n_instr, bank, dyn,
                    sparse_rows, full, n_regs: int,
                    interpret: bool | None = None):
     """vm_run over a word-sharded Mesh: each device runs the Mosaic kernel
@@ -664,18 +666,18 @@ def vm_run_sharded(mesh, axis: str, ops, opers, specs, n_instr, bank, dyn,
 
         shard_map = functools.partial(_sm, check_rep=False)
 
-    def local(ops_l, opers_l, specs_l, ninstr_l, bank_l, dyn_l, sp_l, full_l):
-        words, counts = vm_run(ops_l, opers_l, specs_l, ninstr_l, bank_l,
+    def local(opers_l, specs_l, ninstr_l, bank_l, dyn_l, sp_l, full_l):
+        words, counts = vm_run(opers_l, specs_l, ninstr_l, bank_l,
                                dyn_l, sp_l, full_l, n_regs=n_regs,
                                interpret=interpret)
         return words, jax.lax.psum(counts, axis)
 
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(None, axis, None), P(None, axis),
+        in_specs=(P(), P(), P(), P(None, axis, None), P(None, axis),
                   P(None, axis), P(axis)),
         out_specs=(P(axis), P()),
-    )(ops, opers, specs, n_instr, bank, dyn, sparse_rows, full)
+    )(opers, specs, n_instr, bank, dyn, sparse_rows, full)
 
 
 def mutation_counts_banked_sharded(mesh, axis: str, bank3, filters, start,

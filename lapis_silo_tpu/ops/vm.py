@@ -49,13 +49,65 @@ M_ANDN = 4  # a & (b ^ full_mask)
 # trash slot and dynamic_update_index clamps out-of-range indices onto it
 NO_DST = 255
 
+# ---------------------------------------------------------------------------
+# Wire format. _Program keeps the roomy host encoding above (operand i32 +
+# regspec dst|ra<<8|rb<<16|mode<<24|bsrc<<28); what travels to the device is
+# TWO i32 per instruction — operand, and a packed word that folds the opcode
+# into a narrowed regspec. The instruction stream is the marginal upload cost
+# of a wide dispatch (~156 B/query at 3 words/instr through a ~10-25 MB/s
+# relay), so dropping 3 words -> 2 cuts the per-query wire cost by a third.
+# Packed layout (28 bits used):
+#   dst bits 0-5 (NO_DST saturates to 63 -> still clamps onto the trash
+#   slot), ra 6-11, rb 12-17, mode 18-21, bsrc 22-25, opcode 26-27.
+# ---------------------------------------------------------------------------
+WIRE_DST_MASK = 0x3F
+WIRE_RA_SHIFT, WIRE_RB_SHIFT = 6, 12
+WIRE_MODE_SHIFT, WIRE_BSRC_SHIFT, WIRE_OP_SHIFT = 18, 22, 26
+
+
+def pack_wire(opcodes, regspec):
+    """Vectorized host regspec+opcode -> packed wire word (int32)."""
+    spec = np.asarray(regspec, dtype=np.int64)
+    dst = np.minimum(spec & 0xFF, WIRE_DST_MASK)
+    packed = (dst
+              | (((spec >> 8) & 0x3F) << WIRE_RA_SHIFT)
+              | (((spec >> 16) & 0x3F) << WIRE_RB_SHIFT)
+              | (((spec >> 24) & 0xF) << WIRE_MODE_SHIFT)
+              | (((spec >> 28) & 0xF) << WIRE_BSRC_SHIFT)
+              | (np.asarray(opcodes, dtype=np.int64) << WIRE_OP_SHIFT))
+    return packed.astype(np.int32)
+
+
+# a padded wire slot: opcode NOP, dst -> trash, b-source B_REG (no DMA)
+WIRE_NOP = int(pack_wire(np.int64(NOP), np.int64(NO_DST)))
+
+
+def wire_opcode(packed):
+    return (packed >> WIRE_OP_SHIFT) & 0x3
+
+
+def wire_bsrc(packed):
+    return (packed >> WIRE_BSRC_SHIFT) & 0xF
+
+
+def pack_code_array(bucket: int, opcodes, operands, regspec) -> np.ndarray:
+    """[2, bucket] wire code block: row 0 = operands, row 1 = packed words
+    (NOP-padded tail)."""
+    code = np.zeros((2, bucket), dtype=np.int32)
+    code[1, :] = WIRE_NOP
+    n = len(opcodes)
+    if n:
+        code[0, :n] = operands
+        code[1, :n] = pack_wire(opcodes, regspec)
+    return code
+
 _LEN_BUCKETS = (16, 64, 256, 512)
 # top bucket sized for ~4096-query batches (the bench mix lowers to ~13
 # instructions/query); the instruction stream is scalar-prefetched to SMEM
-# (3 x bucket i32 = 768 KB at 65536 of the ~1 MB scoped budget — compiles
-# and runs on v5e), so the bucket can't grow unboundedly. Wide dispatches
-# amortize the relay's serialized per-dispatch overhead; past ~2048-wide
-# the CODE UPLOAD itself (~156 B/query at ~10-25 MB/s relay transfer)
+# (2 x bucket i32 = 512 KB at 65536 of the ~1 MB scoped budget), so the
+# bucket can't grow unboundedly. Wide dispatches amortize the relay's
+# serialized per-dispatch overhead; past ~2048-wide the CODE UPLOAD itself
+# (~104 B/query in the 2-word wire format at ~10-25 MB/s relay transfer)
 # becomes the marginal cost, so widths beyond 4096 buy little. Serving
 # paths pin SERVE_LEN_BUCKET; the top rungs serve explicitly wide batched
 # callers.
@@ -114,8 +166,8 @@ _SPARSE_E_BUCKETS = (0, 4096, 32768, 262144, 1 << 19, 1 << 20, 1 << 21,
 # Per-dispatch query cap. Every dispatch costs a full relay round trip
 # (~25-85 ms observed, drifting with relay load) and the relay serializes
 # dispatches, so throughput is RTT-capped at (1/RTT) * MAX_BATCH_QUERIES —
-# the batch must be as wide as the instruction stream (3 x bucket i32 in
-# SMEM: 768 KB at the 65536 bucket, hardware-validated) allows.
+# the batch must be as wide as the instruction stream (2 x bucket i32 in
+# SMEM: 512 KB at the 65536 bucket) allows.
 MAX_BATCH_QUERIES = 4096
 MAX_REGS = 32
 # register-file buckets: one executable per bucket; N-Of threshold circuits
@@ -313,10 +365,10 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
         if maybe_kernel and bank.ndim == 3:
             if mesh is not None:
                 return pk.vm_run_sharded(
-                    mesh, "seq", code[0], code[1], code[2],
+                    mesh, "seq", code[0], code[1],
                     n_instr.reshape(1), bank, dyn, sparse_rows,
                     full_masks, n_regs=n_regs)
-            return pk.vm_run(code[0], code[1], code[2],
+            return pk.vm_run(code[0], code[1],
                              n_instr.reshape(1), bank, dyn, sparse_rows,
                              full_masks, n_regs=n_regs)
         if bank.ndim == 3:
@@ -346,7 +398,7 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
             return n_nz, idx, words[idx], words
         return words
 
-    code_len = 3 * program_len
+    code_len = 2 * program_len
     if n_sparse_e and n_sparse_k:
         densify = functools.partial(_densify_one, n_sparse_k, n_sparse_e,
                                     n_words, n_per_leaf)
@@ -367,7 +419,7 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                       full_masks):
             # ONE packed upload: code + per-leaf bounds + n_instr (each
             # separate host->device transfer costs a relay round trip)
-            code = blob[:code_len].reshape(3, program_len)
+            code = blob[:code_len].reshape(2, program_len)
             starts = blob[code_len : code_len + n_seg]
             lens = blob[code_len + n_seg : code_len + 2 * n_seg]
             n_instr = blob[-1]
@@ -385,7 +437,7 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
 
     def run(blob, bank, dyn, sparse_rows, full_masks):
         # packed upload: code (3 x L) + trailing n_instr in one array
-        code = blob[:code_len].reshape(3, program_len)
+        code = blob[:code_len].reshape(2, program_len)
         words, outs = run_one(code, bank, dyn, sparse_rows, full_masks,
                               blob[code_len])
         return finish(words, outs)
@@ -431,19 +483,19 @@ def build_run_one_with_emit(program_len: int, n_rows: int, n_dyn: int, n_words: 
             # rare (register file past the kernel budget, CPU tests) — the
             # in-jit relayout cost only hits here
             sparse_rows = sparse_rows.reshape(sparse_rows.shape[0], -1)
-        opcodes, operands, regspec = code[0], code[1], code[2]
+        operands, packed = code[0], code[1]
         zero_row = jnp.zeros((n_words,), jnp.uint32)
 
         def step(state):
             ip, regs, out = state
-            opcode = opcodes[ip]
             operand = operands[ip]
-            spec = regspec[ip]
-            dst = spec & 0xFF
-            ra = (spec >> 8) & 0xFF
-            rb = (spec >> 16) & 0xFF
-            mode = (spec >> 24) & 0xF
-            bsrc = (spec >> 28) & 0xF
+            spec = packed[ip]
+            opcode = (spec >> WIRE_OP_SHIFT) & 0x3
+            dst = spec & WIRE_DST_MASK
+            ra = (spec >> WIRE_RA_SHIFT) & 0x3F
+            rb = (spec >> WIRE_RB_SHIFT) & 0x3F
+            mode = (spec >> WIRE_MODE_SHIFT) & 0xF
+            bsrc = (spec >> WIRE_BSRC_SHIFT) & 0xF
 
             # dynamic row slices (no vmap in sight — the partition axis is
             # folded into the word axis, so these lower to real

@@ -75,7 +75,7 @@ class ShardedQueryStep:
         # this path has no sparse-tier stream: a B_SPARSE-source program
         # would silently read zeros — fail loudly instead
         host_code = np.asarray(code)
-        bsrc = (host_code[2] >> 28) & 0xF
-        assert not ((host_code[0] == de.ALU) & (bsrc == de.B_SPARSE)).any(), \
+        assert not ((de.wire_opcode(host_code[1]) == de.ALU)
+                    & (de.wire_bsrc(host_code[1]) == de.B_SPARSE)).any(), \
             "ShardedQueryStep cannot execute sparse-tier programs"
         return self.jitted(code, bank, dyn, full_masks, seg_slice)

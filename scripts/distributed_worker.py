@@ -44,16 +44,11 @@ rng = np.random.default_rng(0)
 bank = rng.integers(0, 1 << 32, size=(R, PW), dtype=np.uint32)
 dyn = np.zeros((1, PW), dtype=np.uint32)
 full = np.full(PW, 0xFFFFFFFF, dtype=np.uint32)
-code = np.zeros((3, LEN), dtype=np.int32)
-code[0, :] = de.NOP
-code[2, :] = de.NO_DST
 # reg0 = bank[3]; reg0 &= bank[7]
-code[0, :2] = [de.ALU, de.ALU]
-code[1, :2] = [3, 7]
-code[2, :2] = [
-    0 | (de.M_MOVB << 24) | (de.B_BANK << 28),
-    0 | (0 << 8) | (de.M_AND << 24) | (de.B_BANK << 28),
-]
+code = de.pack_code_array(
+    LEN, [de.ALU, de.ALU], [3, 7],
+    [0 | (de.M_MOVB << 24) | (de.B_BANK << 28),
+     0 | (0 << 8) | (de.M_AND << 24) | (de.B_BANK << 28)])
 
 mesh = make_mesh(jax.devices())
 step = ShardedQueryStep(mesh, n_partitions=P_, n_rows=R, n_dyn=1, n_words=PW,

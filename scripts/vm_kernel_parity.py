@@ -109,7 +109,7 @@ def main():
 
     t0 = time.time()
     got_words, got_counts = pk.vm_run(
-        jnp.asarray(code[0]), jnp.asarray(code[1]), jnp.asarray(code[2]),
+        jnp.asarray(code[1]), jnp.asarray(de.pack_wire(code[0], code[2])),
         jnp.asarray([n_exec], dtype=np.int32),
         jnp.asarray(bank), jnp.asarray(dyn), jnp.asarray(sparse),
         jnp.asarray(full), n_regs=n_regs)

@@ -98,14 +98,8 @@ def build_code(mix: str, seed: int = 0) -> np.ndarray:
             emit()
         else:
             raise SystemExit(f"unknown mix {mix}")
-    code = np.zeros((3, BUCKET), dtype=np.int32)
-    code[0, :] = de.NOP
-    code[2, :] = de.NO_DST
-    for i, (op, operand, rs) in enumerate(ops):
-        code[0, i] = op
-        code[1, i] = operand
-        code[2, i] = rs
-    return code
+    return de.pack_code_array(BUCKET, [o[0] for o in ops],
+                              [o[1] for o in ops], [o[2] for o in ops])
 
 
 def main():
@@ -129,7 +123,7 @@ def main():
         @jax.jit
         def run(code, bank, dyn, sparse, full, n_instr):
             _words, counts = pk.vm_run(
-                code[0], code[1], code[2],
+                code[0], code[1],
                 n_instr.reshape(1), bank, dyn, sparse, full, n_regs=N_REGS)
             return counts
     else:

@@ -125,17 +125,13 @@ def test_vm_kernel_matches_xla_interpreter():
     full = np.full(pw, 0xFFFFFFFF, dtype=np.uint32)
     full[-40:] = 0x7  # ragged tail like a real partition mask
 
-    code = np.zeros((3, bucket), dtype=np.int32)
-    code[0, :] = de.NOP
-    code[2, :] = de.NO_DST
-    n = 0
+    ops, opers, specs = [], [], []
 
     def emit(op, operand, dst, ra=0, rb=0, mode=0, bsrc=de.B_REG):
-        nonlocal n
-        code[0, n] = op
-        code[1, n] = operand
-        code[2, n] = dst | (ra << 8) | (rb << 16) | (mode << 24) | (bsrc << 28)
-        n += 1
+        ops.append(op)
+        opers.append(operand)
+        specs.append(dst | (ra << 8) | (rb << 16) | (mode << 24)
+                     | (bsrc << 28))
 
     qi = 0
     for _ in range(12):
@@ -147,7 +143,8 @@ def test_vm_kernel_matches_xla_interpreter():
         if rng.random() < 0.4:
             emit(de.EMIT_COUNT, qi, de.NO_DST)
             qi += 1
-    n_instr = n
+    n_instr = len(ops)
+    code = de.pack_code_array(bucket, ops, opers, specs)
 
     run_xla = de._interpreter(bucket, n_rows, n_dyn, 0, pw, "multi_count",
                               n_regs=n_regs)
@@ -161,7 +158,7 @@ def test_vm_kernel_matches_xla_interpreter():
     want_words = np.asarray(want_words_flat(*args))
 
     got_words, got_counts = pk.vm_run(
-        jnp.asarray(code[0]), jnp.asarray(code[1]), jnp.asarray(code[2]),
+        jnp.asarray(code[0]), jnp.asarray(code[1]),
         jnp.asarray([de._round_instr(n_instr)], dtype=np.int32),
         jnp.asarray(bank), jnp.asarray(dyn), jnp.asarray(sparse),
         jnp.asarray(full), n_regs=n_regs, interpret=True)
@@ -174,7 +171,7 @@ def test_vm_kernel_matches_xla_interpreter():
     cap = (n_regs + 3) * 128 * 4 * 4  # 4 hi-rows per block
     assert pk._vm_block_hi(pw // 128, n_regs, cap) < pw // 128
     got_words_mb, got_counts_mb = pk.vm_run(
-        jnp.asarray(code[0]), jnp.asarray(code[1]), jnp.asarray(code[2]),
+        jnp.asarray(code[0]), jnp.asarray(code[1]),
         jnp.asarray([de._round_instr(n_instr)], dtype=np.int32),
         jnp.asarray(bank), jnp.asarray(dyn), jnp.asarray(sparse),
         jnp.asarray(full), n_regs=n_regs, interpret=True,
@@ -203,25 +200,24 @@ def test_vm_kernel_accepts_bank3():
     sparse = np.zeros((1, pw), dtype=np.uint32)
     full = np.full(pw, 0xFFFFFFFF, dtype=np.uint32)
 
-    code = np.zeros((3, bucket), dtype=np.int32)
-    code[0, :] = de.NOP
-    code[2, :] = de.NO_DST
     # r1 = bank[3]; r1 &= dyn[1]; r0 = NOT r1 (vs full); emit
-    code[:, 0] = (de.ALU, 3, 1 | (de.M_MOVB << 24) | (de.B_BANK << 28))
-    code[:, 1] = (de.ALU, 1,
-                  1 | (1 << 8) | (de.M_AND << 24) | (de.B_DYN << 28))
-    code[:, 2] = (de.ALU, 0,
-                  0 | (1 << 8) | (de.M_ANDN << 24) | (de.B_FULL << 28))
-    code[:, 3] = (de.EMIT_COUNT, 0, de.NO_DST)
+    code = de.pack_code_array(
+        bucket,
+        [de.ALU, de.ALU, de.ALU, de.EMIT_COUNT],
+        [3, 1, 0, 0],
+        [1 | (de.M_MOVB << 24) | (de.B_BANK << 28),
+         1 | (1 << 8) | (de.M_AND << 24) | (de.B_DYN << 28),
+         0 | (1 << 8) | (de.M_ANDN << 24) | (de.B_FULL << 28),
+         de.NO_DST])
     n_instr = de._round_instr(4)
 
     args_tail = (jnp.asarray(dyn), jnp.asarray(sparse), jnp.asarray(full))
     got2_w, got2_c = pk.vm_run(
-        jnp.asarray(code[0]), jnp.asarray(code[1]), jnp.asarray(code[2]),
+        jnp.asarray(code[0]), jnp.asarray(code[1]),
         jnp.asarray([n_instr], dtype=np.int32), jnp.asarray(bank),
         *args_tail, n_regs=n_regs, interpret=True)
     got3_w, got3_c = pk.vm_run(
-        jnp.asarray(code[0]), jnp.asarray(code[1]), jnp.asarray(code[2]),
+        jnp.asarray(code[0]), jnp.asarray(code[1]),
         jnp.asarray([n_instr], dtype=np.int32),
         jnp.asarray(bank.reshape(n_rows, pw // 128, 128)),
         *args_tail, n_regs=n_regs, interpret=True)
@@ -280,17 +276,13 @@ def test_vm_run_sharded_matches_single_device():
     full = np.full(pw, 0xFFFFFFFF, dtype=np.uint32)
     full[-40:] = 0x7
 
-    code = np.zeros((3, bucket), dtype=np.int32)
-    code[0, :] = de.NOP
-    code[2, :] = de.NO_DST
-    n = 0
+    ops, opers, specs = [], [], []
 
     def emit(op, operand, dst, ra=0, rb=0, mode=0, bsrc=de.B_REG):
-        nonlocal n
-        code[0, n] = op
-        code[1, n] = operand
-        code[2, n] = dst | (ra << 8) | (rb << 16) | (mode << 24) | (bsrc << 28)
-        n += 1
+        ops.append(op)
+        opers.append(operand)
+        specs.append(dst | (ra << 8) | (rb << 16) | (mode << 24)
+                     | (bsrc << 28))
 
     qi = 0
     for _ in range(10):
@@ -302,17 +294,18 @@ def test_vm_run_sharded_matches_single_device():
         if rng.random() < 0.5:
             emit(de.EMIT_COUNT, qi, de.NO_DST)
             qi += 1
-    ni = jnp.asarray([de._round_instr(n)], dtype=np.int32)
+    code = de.pack_code_array(bucket, ops, opers, specs)
+    ni = jnp.asarray([de._round_instr(len(ops))], dtype=np.int32)
 
     want_words, want_counts = pk.vm_run(
-        jnp.asarray(code[0]), jnp.asarray(code[1]), jnp.asarray(code[2]),
+        jnp.asarray(code[0]), jnp.asarray(code[1]),
         ni, jnp.asarray(bank), jnp.asarray(dyn), jnp.asarray(sparse),
         jnp.asarray(full), n_regs=n_regs, interpret=True)
 
     bank3 = jnp.asarray(bank.reshape(n_rows, pw // 128, 128))
     got_words, got_counts = pk.vm_run_sharded(
         mesh, "seq", jnp.asarray(code[0]), jnp.asarray(code[1]),
-        jnp.asarray(code[2]), ni, bank3, jnp.asarray(dyn),
+        ni, bank3, jnp.asarray(dyn),
         jnp.asarray(sparse), jnp.asarray(full), n_regs=n_regs,
         interpret=True)
     np.testing.assert_array_equal(np.asarray(got_words),
