@@ -1150,17 +1150,22 @@ class DeviceEngine:
         if total_len > _BATCH_LEN_BUCKETS[-1]:
             raise ProgramTooLarge(total_len)
         bucket = next(b for b in _BATCH_LEN_BUCKETS if b >= max(total_len, min_bucket))
-        code = np.zeros((2, bucket), dtype=np.int32)
-        code[1, :] = WIRE_NOP
-        cursor = 0
+        # Flat-concatenate the whole batch and pack ONCE: a pack_wire call
+        # per program costs ~13 us of numpy small-array overhead, which at
+        # 4096 programs/dispatch was ~53 ms of HOST time per dispatch —
+        # more than the dispatch's device execution.
+        flat_ops: list[int] = []
+        flat_opers: list[int] = []
+        flat_spec: list[int] = []
         for qi, (opcodes, operands, regspec) in enumerate(programs):
-            n = len(opcodes)
-            code[0, cursor : cursor + n] = operands
-            code[1, cursor : cursor + n] = pack_wire(opcodes, regspec)
+            flat_ops.extend(opcodes)
+            flat_opers.extend(operands)
+            flat_spec.extend(regspec)
             # every program leaves its result in reg[0] (lowered with dst=0)
-            code[0, cursor + n] = qi
-            code[1, cursor + n] = pack_wire(EMIT_COUNT, NO_DST)  # ra=0 implied
-            cursor += n + 1
+            flat_ops.append(EMIT_COUNT)
+            flat_opers.append(qi)
+            flat_spec.append(NO_DST)  # ra = 0 implied
+        code = vm.pack_code_array(bucket, flat_ops, flat_opers, flat_spec)
         n_dyn = next(b for b in _DYN_BUCKETS if b >= len(all_dyn_rows))
         if all_dyn_rows:
             dyn = np.zeros((n_dyn, self.n_partitions, self.n_words),
@@ -1196,12 +1201,12 @@ class DeviceEngine:
         if os.environ.get("SILO_DEBUG_DISPATCH") == "1":
             import sys
 
-            print(f"[dispatch] q={q} instr={cursor} bucket={bucket} "
+            print(f"[dispatch] q={q} instr={len(flat_ops)} bucket={bucket} "
                   f"dyn={len(all_dyn_rows)}/{n_dyn} "
                   f"sparse_k={len(all_sparse_leaves)}/{k} e={m} "
                   f"regs={n_regs}", file=sys.stderr, flush=True)
         counts = self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp,
-                                n_regs, "multi_count", cursor,
+                                n_regs, "multi_count", len(flat_ops),
                                 sparse_leaf_ids=all_sparse_leaves)
         return [(counts, q)]
 
