@@ -70,4 +70,32 @@ referenceGenomeFilename: "reference_genomes.json"
 EOF
 run_flavor ndjson "$WORK/ndjson_in" "$WORK/ppc_ndjson.yaml"
 
+# Literal reference JS harness (endToEndTests: supertest + chai + node:test)
+# against the shipped image — the Python replay above re-implements every
+# assertion (tests/test_js_harness_parity.py maps them 1:1), but only the
+# real harness rules out a shared blind spot (supertest header/chunking
+# behavior, chai deep-equal edge semantics). Gated on npm: the dev image
+# has no node; CI installs it (reference ci.yml endToEndTests job).
+if command -v npm >/dev/null 2>&1; then
+  echo "=== reference JS e2e harness (npm test) ==="
+  docker run -d --name silo-e2e -p "$PORT:8081" \
+    -v "$WORK/tsv_out:/data:ro" \
+    -e SILO_JAX_PLATFORM=cpu \
+    "$IMG" --api --dataDirectory /data
+  for _ in $(seq 60); do
+    curl -sf "http://localhost:$PORT/info" >/dev/null && break
+    sleep 1
+  done
+  cp -r "$REF/endToEndTests" "$WORK/endToEndTests"
+  (cd "$WORK/endToEndTests" && npm ci --no-audit --no-fund \
+    && SILO_URL="http://localhost:$PORT" npm test) || {
+      echo "--- container logs ---"; docker logs silo-e2e | tail -50; exit 1; }
+  docker rm -f silo-e2e >/dev/null
+  echo "container e2e: reference JS harness green"
+else
+  echo "npm not available - skipping the literal JS harness" \
+       "(every assertion is replayed by scripts/http_conformance.py above" \
+       "and tests/test_js_harness_parity.py)"
+fi
+
 echo "container e2e: BOTH ingest flavors corpus-exact over HTTP"

@@ -109,8 +109,59 @@ def _mutations_partial(database, action, bitmaps) -> dict:
                 part = segments[name].mutation_counts(words)
                 matrix = part if matrix is None else matrix + part
         if matrix is not None:
-            counts[name] = matrix.tolist()
+            counts[name] = np.asarray(matrix, dtype=np.int64)
     return {"kind": "mutation_counts", "alphabet": kind, "counts": counts}
+
+
+# ---------------------------------------------------------------------------
+# Partial wire encoding. Counts/groups/rows are small JSON; a Mutations
+# partial is a [symbols, positions] count matrix per segment (~16 x 30k
+# int64 for SARS-CoV-2 nuc — tens of MB as JSON text per worker per
+# query), and round-3 measurements put the coordinator's JSON parse+merge
+# of those tables at core-scale work (BENCHMARKS.md multi-host curve:
+# Mutations 48% at 2 workers). Matrices now travel as a raw binary frame —
+# a small JSON header plus concatenated little-endian array bytes — so the
+# coordinator merge is frombuffer + array sum, not JSON.
+# ---------------------------------------------------------------------------
+
+_PARTIAL_MAGIC = b"SILOPART1\n"
+
+
+def encode_partial(partial: dict):
+    """dict -> wire payload: binary frame for array-carrying partials,
+    the dict itself (JSON-serialized by the server layer) otherwise."""
+    if partial.get("kind") != "mutation_counts":
+        return partial
+    header = {k: v for k, v in partial.items() if k != "counts"}
+    arrays = []
+    blobs = []
+    for name, matrix in partial["counts"].items():
+        matrix = np.ascontiguousarray(matrix, dtype=np.int64)
+        arrays.append({"name": name, "shape": list(matrix.shape)})
+        blobs.append(matrix.tobytes())
+    header["arrays"] = arrays
+    head = json.dumps(header).encode("utf-8")
+    return b"".join([_PARTIAL_MAGIC, len(head).to_bytes(4, "little"), head]
+                    + blobs)
+
+
+def decode_partial(raw: bytes) -> dict:
+    """Wire payload -> dict (array partials come back as np.int64)."""
+    if not raw.startswith(_PARTIAL_MAGIC):
+        return json.loads(raw)
+    off = len(_PARTIAL_MAGIC)
+    head_len = int.from_bytes(raw[off : off + 4], "little")
+    off += 4
+    partial = json.loads(raw[off : off + head_len])
+    off += head_len
+    counts = {}
+    for desc in partial.pop("arrays"):
+        n = int(np.prod(desc["shape"]))
+        counts[desc["name"]] = np.frombuffer(
+            raw, dtype=np.int64, count=n, offset=off).reshape(desc["shape"])
+        off += n * 8
+    partial["counts"] = counts
+    return partial
 
 
 # ---------------------------------------------------------------------------
@@ -350,10 +401,13 @@ class WorkerHandler(BaseHTTPRequestHandler):
     def log_message(self, *args):
         pass
 
-    def _send_json(self, status: int, payload: dict):
-        body = json.dumps(payload).encode()
+    def _send_json(self, status: int, payload):
+        if isinstance(payload, (bytes, bytearray)):
+            body, ctype = bytes(payload), "application/octet-stream"
+        else:
+            body, ctype = json.dumps(payload).encode(), "application/json"
         self.send_response(status)
-        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
@@ -388,7 +442,8 @@ class WorkerHandler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         query = self.rfile.read(length).decode("utf-8")
         try:
-            body_payload = execute_partial(self.mutex.get_database(), query)
+            body_payload = encode_partial(
+                execute_partial(self.mutex.get_database(), query))
             status = 200
         except QueryParseError as ex:
             body_payload = {"error": "Bad request", "message": str(ex)}
@@ -443,9 +498,9 @@ def _worker_router(mutex, watcher):
                         {"committed": committed}, None)
             if path == "/internal/partial":
                 try:
-                    return (200, execute_partial(
-                        mutex.get_database(), body.decode("utf-8", "replace")),
-                        None)
+                    return (200, encode_partial(execute_partial(
+                        mutex.get_database(),
+                        body.decode("utf-8", "replace"))), None)
                 except QueryParseError as ex:
                     return 400, {"error": "Bad request",
                                  "message": str(ex)}, None
@@ -719,7 +774,7 @@ class Coordinator:
                 status, raw = _client_for(url).request(
                     "POST", "/internal/partial", body=body)
                 if status == 200:
-                    partials[i] = json.loads(raw)
+                    partials[i] = decode_partial(raw)
                     return
                 try:
                     payload = json.loads(raw)

@@ -108,7 +108,14 @@ class NativeHTTPServer:
                 target_s = target.decode("utf-8", "replace")
                 status, payload, data_version = router(
                     method_s, target_s, body)
-                encoded = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+                # bytes payloads pass through untouched (binary partial
+                # frames on the multi-host control plane); dicts serialize
+                # as JSON
+                if isinstance(payload, (bytes, bytearray)):
+                    encoded = bytes(payload)
+                else:
+                    encoded = json.dumps(
+                        payload, ensure_ascii=False).encode("utf-8")
                 lib.silo_http_respond(
                     req, status, encoded, len(encoded),
                     data_version.encode("ascii") if data_version is not None

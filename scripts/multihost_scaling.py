@@ -191,18 +191,39 @@ def curve_mode():
                 for _ in range(reps):
                     coordinator.execute_query(query)
                 row[name] = reps / (time.perf_counter() - t0)
+            # Concurrent closed loop for the count family: a serving
+            # coordinator carries MANY public queries at once, so the
+            # per-worker fan-out cost overlaps across in-flight queries
+            # instead of serializing — the sequential count row above
+            # measures pure coordination latency by construction (a
+            # stored-cardinality count has ~zero per-shard compute). 16
+            # in-flight callers x 12 reps each.
+            from concurrent.futures import ThreadPoolExecutor
+
+            conc, reps_c = 16, 12
+            query = queries["count"][0]
+            with ThreadPoolExecutor(max_workers=conc) as pool:
+                t0 = time.perf_counter()
+                futures = [pool.submit(
+                    lambda: [coordinator.execute_query(query)
+                             for _ in range(reps_c)])
+                    for _ in range(conc)]
+                for f in futures:
+                    f.result()
+                row["count_c16"] = conc * reps_c / (time.perf_counter() - t0)
             results[n_workers] = row
             print(f"{n_workers} workers: " + "  ".join(
                 f"{k}={v:.1f} q/s" for k, v in row.items()), flush=True)
         finally:
             for proc in workers:
                 proc.kill()
-    print("\n| workers | " + " | ".join(queries) + " | ideal |")
-    print("|---|" + "---|" * (len(queries) + 1))
+    families = list(queries) + ["count_c16"]
+    print("\n| workers | " + " | ".join(families) + " | ideal |")
+    print("|---|" + "---|" * (len(families) + 1))
     for n_workers, row in results.items():
         ideal = min(n_workers, n_cores)
         cells = []
-        for name in queries:
+        for name in families:
             speed = row[name] / results[1][name]
             cells.append(f"{row[name]:.1f} q/s ({speed / ideal:.0%})")
         print(f"| {n_workers} | " + " | ".join(cells) + f" | {ideal}x |")

@@ -77,3 +77,37 @@ def test_multihost_invalid_queries(multihost):
         with pytest.raises(QueryParseError) as excinfo:
             multihost.execute_query(json.dumps(case["query"]))
         assert str(excinfo.value) == case["expectedError"]["message"], case_file
+
+
+def test_partial_binary_frame_roundtrip():
+    """Mutations partials travel as a binary frame (header JSON + raw
+    int64 matrices), not JSON — the coordinator merge must see identical
+    arrays after the wire roundtrip, and non-array partials pass through
+    as JSON untouched."""
+    import numpy as np
+
+    from lapis_silo_tpu.parallel.multihost import (
+        _PARTIAL_MAGIC, decode_partial, encode_partial)
+
+    rng = np.random.default_rng(3)
+    partial = {
+        "kind": "mutation_counts", "alphabet": "nuc",
+        "dataVersion": "1234567890",
+        "counts": {
+            "main": rng.integers(0, 1 << 40, size=(16, 300)).astype(np.int64),
+            "seg2": rng.integers(0, 1 << 40, size=(16, 4)).astype(np.int64),
+        },
+    }
+    wire = encode_partial(partial)
+    assert isinstance(wire, bytes) and wire.startswith(_PARTIAL_MAGIC)
+    back = decode_partial(wire)
+    assert back["kind"] == "mutation_counts"
+    assert back["dataVersion"] == "1234567890"
+    assert set(back["counts"]) == {"main", "seg2"}
+    for name in partial["counts"]:
+        np.testing.assert_array_equal(back["counts"][name],
+                                      partial["counts"][name])
+
+    plain = {"kind": "count", "count": 7, "dataVersion": "1234567890"}
+    assert encode_partial(plain) is plain
+    assert decode_partial(json.dumps(plain).encode()) == plain
