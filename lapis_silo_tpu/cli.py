@@ -50,7 +50,17 @@ def handle_preprocessing(args) -> int:
         pcfg.input_directory, "database_config.yaml"
     )
     dbconf = get_validated_config(database_config_path)
-    database = Preprocessor(pcfg, dbconf).preprocess()
+    n_shards = args.ingestShards or int(os.environ.get("SILO_INGEST_SHARDS",
+                                                       "1"))
+    if n_shards > 1:
+        # multi-process sharded ingest: the metadata pass runs once here,
+        # N worker processes split the sequence compression + index build
+        # by partition (preprocessing/sharded.py)
+        from .preprocessing.sharded import sharded_preprocess
+
+        database = sharded_preprocess(pcfg, dbconf, n_shards)
+    else:
+        database = Preprocessor(pcfg, dbconf).preprocess()
     path = save_database(database, pcfg.output_directory)
     logging.getLogger(__name__).info("snapshot written to %s", path)
     return 0
@@ -335,6 +345,10 @@ def main(argv=None) -> int:
     parser.add_argument("--workerUrls", default=None,
                         help="comma-separated worker base URLs (coordinator mode)")
     parser.add_argument("--preprocessingConfig", default=None)
+    parser.add_argument("--ingestShards", type=int, default=None,
+                        help="split --preprocessing sequence work over N "
+                             "worker processes (NDJSON input only; also "
+                             "SILO_INGEST_SHARDS)")
     parser.add_argument("--databaseConfig", default=None)
     parser.add_argument("--runtimeConfig", default=None)
     parser.add_argument("--dataDirectory", default=None)

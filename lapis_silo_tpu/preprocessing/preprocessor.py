@@ -208,7 +208,8 @@ class Preprocessor:
                 )
         return table
 
-    def _load_ndjson(self, reference_genomes: ReferenceGenomes, tmpdir: str):
+    def _load_ndjson(self, reference_genomes: ReferenceGenomes, tmpdir: str,
+                     sequences_enabled: bool = True):
         """NDJSON line format (reference preprocessor.cpp:87-131):
         {metadata: {...}, alignedNucleotideSequences: {name: seq|null}, ...}
 
@@ -223,13 +224,14 @@ class Preprocessor:
         gene_names = list(reference_genomes.raw_aa_sequences)
         sequences: dict[tuple[str, str], SequenceSpool] = {}
         unaligned: dict[str, SequenceSpool] = {}
-        for name in nuc_names:
-            ref = reference_genomes.raw_nucleotide_sequences[name].encode("ascii")
-            sequences[("nuc", name)] = SequenceSpool(tmpdir, f"g_nuc_{name}", 1, ref)
-            unaligned[name] = SequenceSpool(tmpdir, f"g_unc_{name}", 1, ref)
-        for name in gene_names:
-            ref = reference_genomes.raw_aa_sequences[name].encode("ascii")
-            sequences[("aa", name)] = SequenceSpool(tmpdir, f"g_aa_{name}", 1, ref)
+        if sequences_enabled:
+            for name in nuc_names:
+                ref = reference_genomes.raw_nucleotide_sequences[name].encode("ascii")
+                sequences[("nuc", name)] = SequenceSpool(tmpdir, f"g_nuc_{name}", 1, ref)
+                unaligned[name] = SequenceSpool(tmpdir, f"g_unc_{name}", 1, ref)
+            for name in gene_names:
+                ref = reference_genomes.raw_aa_sequences[name].encode("ascii")
+                sequences[("aa", name)] = SequenceSpool(tmpdir, f"g_aa_{name}", 1, ref)
 
         resume = getattr(self, "_resume", None)
         if resume is not None and resume.done("scan"):
@@ -293,7 +295,7 @@ class Preprocessor:
 
         def handle_record(record):
             """The reference-semantics per-record path (json.loads form)."""
-            if not table.n_rows:
+            if not table.n_rows and sequences_enabled:
                 validate_first_record_keys({
                     field: set(record.get(field, {}))
                     for field in ("alignedNucleotideSequences",
@@ -305,6 +307,8 @@ class Preprocessor:
                                record.get("aminoAcidInsertions", {}))
             row_id = table.n_rows
             table.append_row_dict(metadata)
+            if not sequences_enabled:
+                return
             aligned = record.get("alignedNucleotideSequences", {})
             for name in nuc_names:
                 sequences[("nuc", name)].add(0, row_id, aligned.get(name))
@@ -315,13 +319,14 @@ class Preprocessor:
             for name in nuc_names:
                 unaligned[name].add(0, row_id, unaligned_seqs.get(name))
 
-        scanner = self._make_ndjson_scanner(reference_genomes)
+        scanner = self._make_ndjson_scanner(
+            reference_genomes, include_segments=sequences_enabled)
         if scanner is not None:
             self._scan_ndjson_native(
                 path, scanner, table, sequences, unaligned,
                 nuc_names, gene_names, handle_record,
-                validate_first_record_keys, flatten_insertions,
-                has_ins_fields)
+                validate_first_record_keys if sequences_enabled else None,
+                flatten_insertions, has_ins_fields)
         else:
             f = None
             for candidate in (path, path + ".zst", path + ".xz"):
@@ -347,9 +352,13 @@ class Preprocessor:
             resume.commit("scan", {"n_rows": table.n_rows})
         return table, sequences, unaligned
 
-    def _make_ndjson_scanner(self, reference_genomes: ReferenceGenomes):
+    def _make_ndjson_scanner(self, reference_genomes: ReferenceGenomes,
+                             include_segments: bool = True):
         """Native NDJSON scanner (C++ tokenize + dict-compress), or None to
-        use the pure-Python loop (SILO_NDJSON_NATIVE=0 or lib unavailable)."""
+        use the pure-Python loop (SILO_NDJSON_NATIVE=0 or lib unavailable).
+        include_segments=False tokenizes metadata/insertion spans only (no
+        sequence extraction or compression — the sharded-ingest
+        coordinator's metadata pass)."""
         import os
 
         if os.environ.get("SILO_NDJSON_NATIVE", "1") == "0":
@@ -359,12 +368,13 @@ class Preprocessor:
         except Exception:  # noqa: BLE001
             return None
         segments = []
-        for name, ref in reference_genomes.raw_nucleotide_sequences.items():
-            segments.append((name, 0, ref.encode("ascii")))
-        for name, ref in reference_genomes.raw_aa_sequences.items():
-            segments.append((name, 1, ref.encode("ascii")))
-        for name, ref in reference_genomes.raw_nucleotide_sequences.items():
-            segments.append((name, 2, ref.encode("ascii")))
+        if include_segments:
+            for name, ref in reference_genomes.raw_nucleotide_sequences.items():
+                segments.append((name, 0, ref.encode("ascii")))
+            for name, ref in reference_genomes.raw_aa_sequences.items():
+                segments.append((name, 1, ref.encode("ascii")))
+            for name, ref in reference_genomes.raw_nucleotide_sequences.items():
+                segments.append((name, 2, ref.encode("ascii")))
         try:
             return NativeNdjsonScanner(segments)
         except OSError:
@@ -386,7 +396,7 @@ class Preprocessor:
             [sequences[("nuc", name)] for name in nuc_names]
             + [sequences[("aa", name)] for name in gene_names]
             + [unaligned[name] for name in nuc_names]
-        )
+        ) if sequences else []  # metadata-only scan: scanner has 0 segments
         n_nuc, n_aa = len(nuc_names), len(gene_names)
 
         f = None
@@ -406,7 +416,7 @@ class Preprocessor:
                     if rec.status < 0:
                         handle_record(json.loads(line))
                         continue
-                    if not table.n_rows:
+                    if not table.n_rows and validate_first_record_keys is not None:
                         got_nuc = {
                             nuc_names[s]
                             for s in range(n_nuc)
@@ -470,6 +480,7 @@ class Preprocessor:
         ndjson_sequences=None,
         ndjson_unaligned=None,
         tmpdir: str | None = None,
+        skip_sequences: bool = False,
     ) -> Database:
         import numpy as np
 
@@ -593,6 +604,13 @@ class Preprocessor:
         for pid, row_ids in enumerate(row_ids_per_partition):
             for local_row, i in enumerate(row_ids):
                 assignment[i] = (pid, local_row)
+        if skip_sequences:
+            # sharded ingest (preprocessing/sharded.py): the coordinator
+            # builds the metadata side only; worker processes fill the
+            # sequence stores from the stashed global-row -> (partition,
+            # local row) assignment
+            db._ingest_assignment = assignment
+            return db
         # (built once — every FASTA file routes through it)
         key_to_slot = (
             {key_by_row[i]: assignment[i] for i in range(n_rows)}

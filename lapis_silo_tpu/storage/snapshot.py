@@ -111,6 +111,37 @@ def _load_words(path: str) -> np.ndarray:
     return out.reshape(header["shape"])
 
 
+def _save_unaligned(path_base: str, store) -> None:
+    """P<pid>_unaligned_<name> pair: .bin (concatenated zstd blobs) +
+    .idx.npz (offsets, present)."""
+    blob = b"".join(b or b"" for b in store.blobs)
+    offsets = np.zeros(len(store.blobs) + 1, dtype=np.int64)
+    present = np.zeros(len(store.blobs), dtype=bool)
+    acc = 0
+    for i, b in enumerate(store.blobs):
+        present[i] = b is not None
+        acc += len(b) if b else 0
+        offsets[i + 1] = acc
+    with open(path_base + ".bin", "wb") as f:
+        f.write(blob)
+    np.savez(path_base + ".idx.npz", offsets=offsets, present=present)
+
+
+def _load_unaligned(path_base: str, reference: str):
+    from .unaligned import UnalignedPartitionStore
+
+    with open(path_base + ".bin", "rb") as f:
+        blob = f.read()
+    idx = np.load(path_base + ".idx.npz")
+    store = UnalignedPartitionStore(reference)
+    offsets, present = idx["offsets"], idx["present"]
+    store.blobs = [
+        blob[offsets[i] : offsets[i + 1]] if present[i] else None
+        for i in range(len(present))
+    ]
+    return store
+
+
 def _save_segment(path_no_ext: str, segment: SegmentIndex):
     store = segment.store
     meta = {"sym_ids": segment.sym_ids, "pos_ids": segment.pos_ids,
@@ -225,19 +256,8 @@ def _save_database_body(db, version, final_dir, tmp_dir, stats_future):
                     os.path.join(tmp_dir, f"P{pid}_{kind}_{name}"), segment
                 )
         for name, stores in db.unaligned_nuc_sequences.items():
-            store = stores[local_idx]
-            blob = b"".join(b or b"" for b in store.blobs)
-            offsets = np.zeros(len(store.blobs) + 1, dtype=np.int64)
-            present = np.zeros(len(store.blobs), dtype=bool)
-            acc = 0
-            for i, b in enumerate(store.blobs):
-                present[i] = b is not None
-                acc += len(b) if b else 0
-                offsets[i + 1] = acc
-            with open(os.path.join(tmp_dir, f"P{pid}_unaligned_{name}.bin"), "wb") as f:
-                f.write(blob)
-            np.savez(os.path.join(tmp_dir, f"P{pid}_unaligned_{name}.idx.npz"),
-                     offsets=offsets, present=present)
+            _save_unaligned(os.path.join(tmp_dir, f"P{pid}_unaligned_{name}"),
+                            stores[local_idx])
 
     if stats_future is not None:
         from . import roaring_stats
@@ -384,21 +404,13 @@ def load_database(snapshot_dir: str) -> Database:
         db.partitions.append(partition)
 
     for name in manifest["unalignedSegments"]:
-        stores = []
         reference = genomes.raw_nucleotide_sequences[name]
-        for meta in manifest["partitions"]:
-            pid = meta["id"]
-            with open(os.path.join(snapshot_dir, f"P{pid}_unaligned_{name}.bin"), "rb") as f:
-                blob = f.read()
-            idx = np.load(os.path.join(snapshot_dir, f"P{pid}_unaligned_{name}.idx.npz"))
-            store = UnalignedPartitionStore(reference)
-            offsets, present = idx["offsets"], idx["present"]
-            store.blobs = [
-                blob[offsets[i] : offsets[i + 1]] if present[i] else None
-                for i in range(len(present))
-            ]
-            stores.append(store)
-        db.unaligned_nuc_sequences[name] = stores
+        db.unaligned_nuc_sequences[name] = [
+            _load_unaligned(
+                os.path.join(snapshot_dir, f"P{meta['id']}_unaligned_{name}"),
+                reference)
+            for meta in manifest["partitions"]
+        ]
 
     db.data_version = DataVersion(version)
     _load_roaring_stats(snapshot_dir, db)

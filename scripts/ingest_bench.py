@@ -109,11 +109,17 @@ def main():
         output_directory=os.path.join(work, "output"),
     )
 
+    n_shards = int(os.environ.get("SILO_INGEST_SHARDS", "1"))
     t0 = time.time()
     prof = cProfile.Profile() if profile else None
     if prof:
         prof.enable()
-    db = Preprocessor(pcfg, config).preprocess()
+    if n_shards > 1:
+        from lapis_silo_tpu.preprocessing.sharded import sharded_preprocess
+
+        db = sharded_preprocess(pcfg, config, n_shards)
+    else:
+        db = Preprocessor(pcfg, config).preprocess()
     if prof:
         prof.disable()
     build_s = time.time() - t0
@@ -130,7 +136,7 @@ def main():
         "rows": n_rows, "length": length,
         "build_s": round(build_s, 1), "snapshot_s": round(save_s, 1),
         "rows_per_s": round(n_rows / build_s, 1),
-        "partitions": len(db.partitions),
+        "partitions": len(db.partitions), "shards": n_shards,
     }))
 
 
