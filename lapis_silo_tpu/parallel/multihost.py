@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import logging
-import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -164,6 +163,60 @@ def decode_partial(raw: bytes) -> dict:
     return partial
 
 
+# Batched fan-out frame (/internal/partial_batch): the coordinator
+# coalesces concurrent public queries into ONE request per worker, so the
+# per-query control-plane cost (HTTP routing + dispatch on both sides —
+# ~350 us/worker/query measured in --overhead) divides by the batch width.
+# Body: JSON array of query strings. Response: SILOBATCH1 frame of
+# per-query items, each `u16 status + u32 len + payload` where payload is
+# a JSON body (errors included) or a SILOPART binary partial.
+_BATCH_MAGIC = b"SILOBATCH1\n"
+
+
+def encode_partial_batch(items: list[tuple[int, object]]) -> bytes:
+    """items: (status, payload dict|bytes) per query, in request order."""
+    chunks = [_BATCH_MAGIC, len(items).to_bytes(4, "little")]
+    for status, payload in items:
+        if not isinstance(payload, (bytes, bytearray)):
+            payload = json.dumps(payload).encode("utf-8")
+        chunks.append(status.to_bytes(2, "little"))
+        chunks.append(len(payload).to_bytes(4, "little"))
+        chunks.append(bytes(payload))
+    return b"".join(chunks)
+
+
+def decode_partial_batch(raw: bytes) -> list[tuple[int, bytes]]:
+    assert raw.startswith(_BATCH_MAGIC), raw[:16]
+    off = len(_BATCH_MAGIC)
+    n = int.from_bytes(raw[off : off + 4], "little")
+    off += 4
+    items = []
+    for _ in range(n):
+        status = int.from_bytes(raw[off : off + 2], "little")
+        length = int.from_bytes(raw[off + 2 : off + 6], "little")
+        off += 6
+        items.append((status, raw[off : off + length]))
+        off += length
+    return items
+
+
+def execute_partial_batch(database, queries: list[str]) -> bytes:
+    """Worker side of the batched fan-out: each query executes
+    independently; per-query errors travel as per-item statuses so one
+    bad query cannot poison its batch-mates."""
+    items: list[tuple[int, object]] = []
+    for query in queries:
+        try:
+            items.append((200, encode_partial(
+                execute_partial(database, query))))
+        except QueryParseError as ex:
+            items.append((400, {"error": "Bad request", "message": str(ex)}))
+        except Exception as ex:  # noqa: BLE001 — keep serving
+            items.append((500, {"error": "Internal server error",
+                                "message": str(ex)}))
+    return encode_partial_batch(items)
+
+
 # ---------------------------------------------------------------------------
 # Coordinator side: merge partials, apply ordering/slicing once.
 # ---------------------------------------------------------------------------
@@ -239,26 +292,33 @@ def _merge_mutations(database, action, partials) -> list[dict]:
             total_matrix = matrix if total_matrix is None else total_matrix + matrix
         if total_matrix is None:
             continue
-        reference_ids = stores[name]
-        valid_ids = alphabet.valid_mutation_ids
-        totals = total_matrix[valid_ids].sum(axis=0)
-        for pos in np.nonzero(totals > 0)[0]:
-            total = int(totals[pos])
-            threshold = 0 if action.min_proportion == 0 else int(
-                math.ceil(total * action.min_proportion) - 1)
-            ref_id = int(reference_ids[pos])
-            for sym_id in valid_ids:
-                if sym_id == ref_id:
-                    continue
-                count = int(total_matrix[sym_id, pos])
-                if count > threshold:
-                    out.append({
-                        "mutation": alphabet.to_char(ref_id) + str(int(pos) + 1)
-                        + alphabet.to_char(sym_id),
-                        "sequenceName": name,
-                        "proportion": count / total,
-                        "count": count,
-                    })
+        reference_ids = np.asarray(stores[name])
+        valid_ids = np.asarray(alphabet.valid_mutation_ids)
+        sub = total_matrix[valid_ids]                      # [S, L]
+        totals = sub.sum(axis=0)                           # [L]
+        # threshold per position: ceil(total * minProportion) - 1 in
+        # float64, exactly the reference's double math
+        # (mutations.cpp:185-233); minProportion 0 -> plain count > 0
+        if action.min_proportion == 0:
+            thresholds = np.zeros_like(totals)
+        else:
+            thresholds = (np.ceil(totals.astype(np.float64)
+                                  * action.min_proportion) - 1).astype(
+                totals.dtype)
+        mask = (sub > thresholds[None, :]) & (totals[None, :] > 0)
+        mask &= valid_ids[:, None] != reference_ids[None, :]
+        # row order parity: position-major, then valid-symbol order —
+        # transpose before nonzero (row-major walk)
+        pos_idx, sym_idx = np.nonzero(mask.T)
+        for pos, si in zip(pos_idx.tolist(), sym_idx.tolist()):
+            count = int(sub[si, pos])
+            out.append({
+                "mutation": alphabet.to_char(int(reference_ids[pos]))
+                + str(pos + 1) + alphabet.to_char(int(valid_ids[si])),
+                "sequenceName": name,
+                "proportion": count / int(totals[pos]),
+                "count": count,
+            })
     return out
 
 
@@ -436,6 +496,12 @@ class WorkerHandler(BaseHTTPRequestHandler):
                 committed = self.mutex.get_database().data_version.value == version
             self._send_json(200 if committed else 409, {"committed": committed})
             return
+        if self.path == "/internal/partial_batch":
+            length = int(self.headers.get("Content-Length", 0))
+            queries = json.loads(self.rfile.read(length))
+            self._send_json(200, execute_partial_batch(
+                self.mutex.get_database(), queries))
+            return
         if self.path != "/internal/partial":
             self.send_error(404)
             return
@@ -452,6 +518,63 @@ class WorkerHandler(BaseHTTPRequestHandler):
             body_payload = {"error": "Internal server error", "message": str(ex)}
             status = 500
         self._send_json(status, body_payload)
+
+
+class _FanoutBatcher:
+    """Doorbell batching of the Coordinator's worker fan-out — the
+    control-plane analog of the device micro-batcher. A caller enqueues
+    its query and the first thread to arrive becomes the leader: it
+    drains the pending list in groups, issues ONE partial_batch request
+    per worker per group, and distributes results; later arrivals park on
+    their entry's event and are batched into the NEXT group. A lone query
+    degenerates to one request per worker (the pre-batching behavior, on
+    the batch endpoint)."""
+
+    MAX_BATCH = 64
+
+    def __init__(self, coordinator):
+        self._coord = coordinator
+        self._lock = threading.Lock()
+        self._pending: list[dict] = []
+        self._leader_running = False
+
+    def gather(self, db, query_string: str) -> list[dict]:
+        entry = {"q": query_string, "db": db, "result": None, "error": None,
+                 "done": threading.Event()}
+        with self._lock:
+            self._pending.append(entry)
+            leader = not self._leader_running
+            if leader:
+                self._leader_running = True
+        if leader:
+            try:
+                while True:
+                    with self._lock:
+                        batch = self._pending[: self.MAX_BATCH]
+                        del self._pending[: len(batch)]
+                        if not batch:
+                            self._leader_running = False
+                            break
+                    try:
+                        # one db snapshot per group: entries racing a flip
+                        # get version-checked (and retried) by their own
+                        # execute_query loop
+                        self._coord._batch_fanout(batch[0]["db"], batch)
+                    except Exception as ex:  # noqa: BLE001
+                        for e in batch:
+                            if e["error"] is None and e["result"] is None:
+                                e["error"] = ex
+                    finally:
+                        for e in batch:
+                            e["done"].set()
+            except BaseException:
+                with self._lock:
+                    self._leader_running = False
+                raise
+        entry["done"].wait()
+        if entry["error"] is not None:
+            raise entry["error"]
+        return entry["result"]
 
 
 class _FixedMutex:
@@ -496,6 +619,9 @@ def _worker_router(mutex, watcher):
                                  == version)
                 return (200 if committed else 409,
                         {"committed": committed}, None)
+            if path == "/internal/partial_batch":
+                return (200, execute_partial_batch(
+                    mutex.get_database(), json.loads(body)), None)
             if path == "/internal/partial":
                 try:
                     return (200, encode_partial(execute_partial(
@@ -762,45 +888,85 @@ class Coordinator:
         return ex
 
     def _gather_partials(self, db, query_string: str) -> list[dict]:
-        # Coordinator's local partitions are host 0 (first in global
-        # partition order); workers follow in worker_urls order.
+        batcher = getattr(self, "_fanout_batcher", None)
+        if batcher is None:
+            batcher = self._fanout_batcher = _FanoutBatcher(self)
+        return batcher.gather(db, query_string)
+
+    def _batch_fanout(self, db, entries: list[dict]) -> None:
+        """One batched fan-out for a group of concurrent public queries:
+        ONE /internal/partial_batch request per worker carrying the
+        group's DISTINCT query strings (serving traffic repeats filters),
+        local partials computed once per distinct query. Fills each
+        entry's `result` (host-ordered partial list) or `error`."""
+        uniq: dict[str, int] = {}
+        order: list[str] = []
+        for entry in entries:
+            if entry["q"] not in uniq:
+                uniq[entry["q"]] = len(order)
+                order.append(entry["q"])
+        body = json.dumps(order).encode()
         offset = 1 if (self._include_local_requested and db.partitions) else 0
-        partials: list[dict | None] = [None] * (len(self.worker_urls) + offset)
-        errors: list[Exception] = []
-        body = query_string.encode()
+        # per worker: list over unique queries of (status, raw payload)
+        worker_items: list[list | None] = [None] * len(self.worker_urls)
+        worker_errors: list[Exception | None] = [None] * len(self.worker_urls)
 
         def fetch(i, url):
             try:
                 status, raw = _client_for(url).request(
-                    "POST", "/internal/partial", body=body)
-                if status == 200:
-                    partials[i] = decode_partial(raw)
-                    return
-                try:
-                    payload = json.loads(raw)
-                except Exception:  # non-JSON error body (proxy, send_error)
-                    payload = {"message": raw.decode(errors="replace")[:500]}
-                if status == 400:
-                    errors.append(QueryParseError(payload["message"]))
-                else:
-                    errors.append(RuntimeError(
-                        payload.get("message", f"HTTP {status}")))
+                    "POST", "/internal/partial_batch", body=body)
+                if status != 200:
+                    raise RuntimeError(
+                        f"worker partial_batch failed: HTTP {status}")
+                items = decode_partial_batch(raw)
+                if len(items) != len(order):
+                    raise RuntimeError(
+                        f"worker returned {len(items)} partials "
+                        f"for {len(order)} queries")
+                worker_items[i] = items
             except Exception as ex:  # noqa: BLE001
-                errors.append(ex)
+                worker_errors[i] = ex
 
-        futures = [self._executor().submit(fetch, offset + i, url)
+        futures = [self._executor().submit(fetch, i, url)
                    for i, url in enumerate(self.worker_urls)]
+        local_results: list = [None] * len(order)  # dict | Exception
         if offset:
-            partials[0] = execute_partial(db, query_string)
+            for qi, query in enumerate(order):
+                try:
+                    local_results[qi] = execute_partial(db, query)
+                except Exception as ex:  # noqa: BLE001
+                    local_results[qi] = ex
         for f in futures:
             f.result()
-        for ex in errors:
-            raise ex
-        if any(p is None for p in partials):
-            # never silently undercount: a missing partial with no recorded
-            # error is still a failed host
-            raise RuntimeError("worker returned no partial result")
-        return partials
+
+        def item_error(status: int, raw: bytes) -> Exception:
+            try:
+                payload = json.loads(raw)
+            except Exception:  # noqa: BLE001 — non-JSON error body
+                payload = {"message": raw.decode(errors="replace")[:500]}
+            if status == 400:
+                return QueryParseError(payload["message"])
+            return RuntimeError(payload.get("message", f"HTTP {status}"))
+
+        for entry in entries:
+            qi = uniq[entry["q"]]
+            try:
+                partials: list[dict] = []
+                if offset:
+                    local = local_results[qi]
+                    if isinstance(local, Exception):
+                        raise local
+                    partials.append(local)
+                for wi in range(len(self.worker_urls)):
+                    if worker_errors[wi] is not None:
+                        raise worker_errors[wi]
+                    status, raw = worker_items[wi][qi]
+                    if status != 200:
+                        raise item_error(status, raw)
+                    partials.append(decode_partial(raw))
+                entry["result"] = partials
+            except Exception as ex:  # noqa: BLE001
+                entry["error"] = ex
 
     def _worker_get(self, url: str, path: str) -> dict:
         status, data = _client_for(url).request("GET", path)

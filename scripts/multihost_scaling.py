@@ -200,24 +200,27 @@ def curve_mode():
             # in-flight callers x 12 reps each.
             from concurrent.futures import ThreadPoolExecutor
 
-            conc, reps_c = 16, 12
-            query = queries["count"][0]
-            with ThreadPoolExecutor(max_workers=conc) as pool:
-                t0 = time.perf_counter()
-                futures = [pool.submit(
-                    lambda: [coordinator.execute_query(query)
-                             for _ in range(reps_c)])
-                    for _ in range(conc)]
-                for f in futures:
-                    f.result()
-                row["count_c16"] = conc * reps_c / (time.perf_counter() - t0)
+            def concurrent(name, conc, reps_c):
+                query = queries[name][0]
+                with ThreadPoolExecutor(max_workers=conc) as pool:
+                    t0 = time.perf_counter()
+                    futures = [pool.submit(
+                        lambda: [coordinator.execute_query(query)
+                                 for _ in range(reps_c)])
+                        for _ in range(conc)]
+                    for f in futures:
+                        f.result()
+                    return conc * reps_c / (time.perf_counter() - t0)
+
+            row["count_c16"] = concurrent("count", 16, 12)
+            row["mutations_c8"] = concurrent("mutations", 8, 4)
             results[n_workers] = row
             print(f"{n_workers} workers: " + "  ".join(
                 f"{k}={v:.1f} q/s" for k, v in row.items()), flush=True)
         finally:
             for proc in workers:
                 proc.kill()
-    families = list(queries) + ["count_c16"]
+    families = list(queries) + ["count_c16", "mutations_c8"]
     print("\n| workers | " + " | ".join(families) + " | ideal |")
     print("|---|" + "---|" * (len(families) + 1))
     for n_workers, row in results.items():

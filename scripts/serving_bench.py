@@ -22,6 +22,8 @@ import threading
 import time
 import urllib.request
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOADGEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -98,28 +100,84 @@ def main():
         assert got == expected_counts[q], (q, got, expected_counts[q])
 
     if use_native_client:
+        # De-confound load from capacity on this 2-vCPU box: the server
+        # process (and its C++ workers) pins to core 0, the loadgen to
+        # core 1 — without this the 1,536 client connections time-share
+        # the server's cores and the reading swings with scheduler luck
+        # (round 3 recorded 11.9k-25k req/s for identical code).
+        # SILO_BENCH_PIN=0 restores shared cores.
+        pin = os.environ.get("SILO_BENCH_PIN", "1") != "0"
+        n_cores = len(os.sched_getaffinity(0))
+        loadgen_pre = None
+        if pin and n_cores >= 2:
+            os.sched_setaffinity(0, {0})
+
+            def loadgen_pre():
+                os.sched_setaffinity(0, set(range(1, n_cores)))
+
+        # Relay RTT context: the drainer's cycle includes a dispatch and a
+        # readback through the relay, so client-visible p50 carries ~2x
+        # the relay round trip. Measured here so the recorded number can
+        # be read against relay weather.
+        rtt_ms = None
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            fn = jax.jit(lambda x: x * 2 + 1)
+            float(np.asarray(fn(jnp.float32(1.0))))  # compile untimed
+            rtts = []
+            for i in range(4):
+                t0 = time.perf_counter()
+                float(np.asarray(fn(jnp.float32(2.0 + i))))
+                rtts.append(time.perf_counter() - t0)
+            rtt_ms = round(sorted(rtts)[len(rtts) // 2] * 1e3, 1)
+            log(f"relay RTT probe: {rtt_ms} ms")
+        except Exception as ex:  # noqa: BLE001
+            log(f"relay probe unavailable: {ex}")
+
+        reps = int(os.environ.get("SILO_BENCH_REPS", "3"))
         with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
             f.write("\n".join(queries) + "\n")
             bodies_path = f.name
+        runs = []
         try:
-            out = subprocess.run(
-                [LOADGEN, "127.0.0.1", str(port), "/query", bodies_path,
-                 str(n_clients), str(seconds)],
-                capture_output=True, text=True, check=True, timeout=seconds + 60,
-            ).stdout.strip()
+            for rep in range(reps):
+                out = subprocess.run(
+                    [LOADGEN, "127.0.0.1", str(port), "/query", bodies_path,
+                     str(n_clients), str(seconds)],
+                    capture_output=True, text=True, check=True,
+                    timeout=seconds + 60, preexec_fn=loadgen_pre,
+                ).stdout.strip()
+                stats = json.loads(out)
+                assert stats["errors"] == 0, stats
+                runs.append(stats)
+                log(f"rep {rep + 1}/{reps}: {stats['req_per_s']:.0f} req/s "
+                    f"p50={stats['p50_ms']} p99={stats['p99_ms']} "
+                    f"({stats['requests']} reqs)")
         finally:
             os.unlink(bodies_path)
         server.shutdown()
-        stats = json.loads(out)
-        assert stats["errors"] == 0, stats
-        log(f"requests={stats['requests']} conns={n_clients} "
-            f"elapsed={stats['elapsed_s']:.1f}s")
+        runs.sort(key=lambda r: r["req_per_s"])
+        median = runs[len(runs) // 2]
+        band = (runs[0]["req_per_s"], runs[-1]["req_per_s"])
+        spread_pct = round((band[1] - band[0]) / max(band[1], 1) * 100, 1)
+        log(f"band: {band[0]:.0f}-{band[1]:.0f} req/s "
+            f"(spread {spread_pct}% of max)")
+        p50_adj = (round(median["p50_ms"] - 2 * rtt_ms, 1)
+                   if rtt_ms is not None else None)
         print(json.dumps({
             "metric": "http_count_queries_per_sec",
-            "value": round(stats["req_per_s"], 2),
-            "unit": f"req/s ({n_rows} seqs, {n_clients} conns, 1 chip)",
-            "p50_ms": stats["p50_ms"],
-            "p99_ms": stats["p99_ms"],
+            "value": round(median["req_per_s"], 2),
+            "unit": f"req/s ({n_rows} seqs, {n_clients} conns, 1 chip, "
+                    f"median of {reps}, cores split "
+                    f"{'1+' + str(n_cores - 1) if pin and n_cores >= 2 else 'shared'})",
+            "p50_ms": median["p50_ms"],
+            "p99_ms": median["p99_ms"],
+            "band_req_per_s": [round(band[0], 1), round(band[1], 1)],
+            "spread_pct": spread_pct,
+            "relay_rtt_ms": rtt_ms,
+            "p50_minus_2rtt_ms": p50_adj,
         }))
         return
 

@@ -111,3 +111,44 @@ def test_partial_binary_frame_roundtrip():
     plain = {"kind": "count", "count": 7, "dataVersion": "1234567890"}
     assert encode_partial(plain) is plain
     assert decode_partial(json.dumps(plain).encode()) == plain
+
+
+def test_concurrent_queries_batch_fanout(multihost):
+    """32 concurrent public queries through the coordinator: the doorbell
+    batcher coalesces them into partial_batch worker requests; every
+    response must match its sequential result (including an invalid query
+    failing alone without poisoning its batch-mates)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lapis_silo_tpu.query.errors import QueryParseError
+
+    queries = [
+        json.dumps({"action": {"type": "Aggregated"},
+                    "filterExpression": {"type": "NucleotideEquals",
+                                         "position": p, "symbol": s}})
+        for p in (21, 22, 23, 24) for s in ("A", "C", "G", "T")
+    ] + [
+        json.dumps({"action": {"type": "Mutations", "minProportion": 0.5},
+                    "filterExpression": {"type": "True"}}),
+        json.dumps({"action": {"type": "Aggregated",
+                               "groupByFields": ["country"]},
+                    "filterExpression": {"type": "True"}}),
+    ]
+    sequential = [multihost.execute_query(q) for q in queries]
+    bad = json.dumps({"action": {"type": "Aggregated"},
+                      "filterExpression": {"type": "NoSuchFilter"}})
+
+    def run(q):
+        try:
+            return multihost.execute_query(q)
+        except QueryParseError as ex:
+            return ("parse_error", str(ex))
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        mixed = list(queries) * 2 + [bad] * 4
+        results = list(pool.map(run, mixed))
+    want = sequential * 2
+    for got, expect in zip(results[: len(want)], want):
+        assert got == expect
+    for got in results[len(want):]:
+        assert got[0] == "parse_error" and "NoSuchFilter" in got[1]
