@@ -490,6 +490,12 @@ class DeviceEngine:
             # upside so small corpora don't allocate pointlessly
             self.pool_slots = min(want_slots, n_sparse, 8192)
         self.leaf_pool = None  # allocated on first use (_ensure_resident)
+        # per-leaf (start, len) bounds are static per snapshot: resident
+        # on device so a pool update ships only leaf ids + slots (the
+        # in-jit gather feeds the kernel's scalar-prefetch operands).
+        # Trailing all-zero sentinel row serves padded ids. Built lazily
+        # with the pool.
+        self._leaf_bounds_table = None
         self._leaf_slot: "OrderedDict[int, int]" = OrderedDict()  # LRU
         # Segmented LRU: leaves hit on a SECOND distinct call promote into
         # _protected (recency-ordered, capped at 80% of slots); eviction
@@ -506,6 +512,7 @@ class DeviceEngine:
         self.pool_hits = 0
         self.pool_misses = 0
         self.pool_update_dispatches = 0
+        self.pool_fused_chunks = 0
         # pool updates chunk misses at the widest K bucket whose
         # starts/lens scalar-prefetch operands fit SMEM (a 4096 x 32
         # update's 2 x 512 KB exhausted v5e scoped memory)
@@ -517,12 +524,17 @@ class DeviceEngine:
 
     # -- hot-leaf pool -----------------------------------------------------
 
-    def _ensure_resident(self, leaf_ids: list[int]) -> dict[int, int]:
-        """Make every leaf row resident in the pool (LRU; misses densify in
-        place via the pool-update kernel). Returns leaf id -> slot. Caller
-        holds _pool_lock; stream ordering makes it safe to overwrite an
-        evicted slot while earlier-enqueued VMs still reference it — they
-        execute first on the single device queue."""
+    def _plan_residency(self, leaf_ids: list[int]):
+        """Slot-assign every leaf (LRU bookkeeping) and return
+        (leaf id -> slot, update chunks): each chunk is an (ids, slots)
+        pair of <= _pool_update_k_cap misses to densify. The caller fuses
+        the chunks into the VM dispatch (one XLA program may hold several
+        densify pallas_calls — the scalar-prefetch SMEM cap is
+        per-kernel) so a cold sub-batch costs ONE serialized dispatch;
+        overflow chunks beyond the fused bucket run eagerly. Caller holds
+        _pool_lock; stream ordering makes it safe to overwrite an evicted
+        slot while earlier-enqueued VMs still reference it — they execute
+        first on the single device queue."""
         C = self.pool_slots
         if self.leaf_pool is None:
             hi = self.n_flat_words // 128
@@ -545,7 +557,7 @@ class DeviceEngine:
         self.pool_hits += len(slot_map)
         self.pool_misses += len(misses)
         if not misses:
-            return slot_map
+            return slot_map, []
         needed = set(leaf_ids)
         n_evict = len(misses) - len(self._free_slots)
         victims: list[int] = []
@@ -577,40 +589,54 @@ class DeviceEngine:
                 self._protected.pop(old, None)
             self._leaf_slot[leaf] = slot
             slot_map[leaf] = slot
-        n_p = self.n_partitions
         step = self._pool_update_k_cap
+        chunks = [(misses[i : i + step],
+                   [slot_map[leaf] for leaf in misses[i : i + step]])
+                  for i in range(0, len(misses), step)]
+        return slot_map, chunks
+
+    def _drop_pool(self):
+        """A failed update must not leave the cache claiming leaves are
+        resident (their slots were never written — every later hit would
+        silently read wrong rows), and a donated-then-failed execution
+        may have invalidated the pool handle itself. The pool is a cache:
+        drop it wholesale and let the next dispatch reallocate."""
+        self.leaf_pool = None
+        self._leaf_slot.clear()
+        self._protected.clear()
+        self._free_slots = []
+
+    def _eager_update_chunks(self, chunks) -> None:
+        """Dispatch update chunks as standalone executions (overflow past
+        the fused bucket, and warm-up). Caller holds _pool_lock."""
+        C = self.pool_slots
+        n_p = self.n_partitions
+        bounds = self._ensure_bounds_dev()
         try:
-            for i in range(0, len(misses), step):
-                chunk = misses[i : i + step]
+            for chunk, slots in chunks:
                 k_bucket = next(b for b in _SPARSE_K_BUCKETS[1:]
                                 if b >= len(chunk))
-                ids = np.asarray(chunk, dtype=np.int64)
-                kp = k_bucket * n_p
-                blob = np.zeros(2 * kp + k_bucket, dtype=np.int32)
-                blob[: len(ids) * n_p] = self.sparse_starts_pp[ids].reshape(-1)
-                blob[kp : kp + len(ids) * n_p] = (
-                    self.sparse_lengths_pp[ids].reshape(-1))
-                blob[2 * kp :] = C  # pad slots -> scratch row
-                blob[2 * kp : 2 * kp + len(chunk)] = [
-                    slot_map[leaf] for leaf in chunk]
+                blob = np.full(2 * k_bucket, self.n_sparse, dtype=np.int32)
+                blob[: len(chunk)] = chunk
+                blob[k_bucket:] = C  # pad slots -> scratch row
+                blob[k_bucket : k_bucket + len(slots)] = slots
                 run = _pool_update_jit(k_bucket, n_p, self.n_flat_words)
                 self.leaf_pool = run(
                     self.leaf_pool, self.sparse_stream[0],
-                    self.sparse_stream[1], jax.device_put(blob))
+                    self.sparse_stream[1], bounds, jax.device_put(blob))
                 self.pool_update_dispatches += 1
         except Exception:
-            # a failed update must not leave the cache claiming leaves are
-            # resident (their slots were never written — every later hit
-            # would silently read wrong rows), and a donated-then-failed
-            # execution may have invalidated the pool handle itself. The
-            # pool is a cache: drop it wholesale and let the next dispatch
-            # reallocate and re-densify.
-            self.leaf_pool = None
-            self._leaf_slot.clear()
-            self._protected.clear()
-            self._free_slots = []
+            self._drop_pool()
             raise
-        return slot_map
+
+    def _ensure_bounds_dev(self):
+        if self._leaf_bounds_table is None:
+            table = np.zeros((self.n_sparse + 1, 2, self.n_partitions),
+                             dtype=np.int32)
+            table[: self.n_sparse, 0, :] = self.sparse_starts_pp
+            table[: self.n_sparse, 1, :] = self.sparse_lengths_pp
+            self._leaf_bounds_table = jax.device_put(table)
+        return self._leaf_bounds_table
 
     def warm_pool_updates(self):
         """Pre-compile every pool-update K bucket (the watcher calls this
@@ -626,16 +652,16 @@ class DeviceEngine:
                                            jnp.uint32)
                 self._free_slots = list(range(self.pool_slots))
             n_p = self.n_partitions
+            bounds = self._ensure_bounds_dev()
             for k_bucket in _SPARSE_K_BUCKETS[1:]:
                 if k_bucket > min(self.pool_slots, self._pool_update_k_cap):
                     break
-                kp = k_bucket * n_p
-                blob = np.zeros(2 * kp + k_bucket, dtype=np.int32)
-                blob[2 * kp :] = self.pool_slots  # scratch row
+                blob = np.full(2 * k_bucket, self.n_sparse, dtype=np.int32)
+                blob[k_bucket:] = self.pool_slots  # scratch row
                 run = _pool_update_jit(k_bucket, n_p, self.n_flat_words)
                 self.leaf_pool = run(
                     self.leaf_pool, self.sparse_stream[0],
-                    self.sparse_stream[1], jax.device_put(blob))
+                    self.sparse_stream[1], bounds, jax.device_put(blob))
 
     def _rewrite_sparse_operands(self, code: np.ndarray,
                                  leaf_ids: list[int],
@@ -806,8 +832,11 @@ class DeviceEngine:
             # stream offsets travel as int32 (program blob); a >2^31-entry
             # stream (8.6 GB of indices alone) is beyond one chip anyway
             raise ProgramTooLarge("sparse stream offsets exceed int32")
+        ids_padded = np.full(k_bucket, self.n_sparse, dtype=np.int32)
+        ids_padded[: len(ids)] = ids
         return k_bucket, max(e_bucket, 1), (starts.astype(np.int32),
-                                            lens.astype(np.int32))
+                                            lens.astype(np.int32),
+                                            ids_padded)
 
     def _densified(self, k: int, e: int, sp) -> jax.Array:
         """[K, PW] densified sparse-leaf rows (a separate small
@@ -821,7 +850,7 @@ class DeviceEngine:
                     (1, self.n_flat_words), dtype=np.uint32))
                 self._filter_cache[key] = cached
             return cached
-        starts, lens = sp
+        starts, lens, _ids = sp
         run = _densify_jit(k, e, self.n_flat_words, self.n_partitions)
         return run(self.sparse_stream[0], self.sparse_stream[1],
                    jax.device_put(starts), jax.device_put(lens))
@@ -870,7 +899,7 @@ class DeviceEngine:
                               sparse_leaf_ids=program.sparse_leaves)
 
     def _dispatch(self, bucket, n_dyn, code, dyn_dev, k, m, sp, n_regs,
-                  output, n_instr, sparse_leaf_ids=None):
+                  output, n_instr, sparse_leaf_ids=None, use_pool=True):
         """ONE device dispatch for the whole query (or batch): when the
         program touches the sparse tier, the leaf densification fuses into
         the same executable (a second dispatch costs a full relay RTT).
@@ -884,23 +913,77 @@ class DeviceEngine:
         shared by sparse and dense traffic — reads the pool like a second
         bank. Repeated leaves never densify again."""
         rounded = np.int32(_round_instr(n_instr))
-        if self.pool_slots and k:
+        if self.pool_slots and k and use_pool:
             assert sparse_leaf_ids is not None
             with self._pool_lock:
-                slot_map = self._ensure_resident(sparse_leaf_ids)
+                slot_map, chunks = self._plan_residency(sparse_leaf_ids)
                 code = self._rewrite_sparse_operands(code, sparse_leaf_ids,
                                                      slot_map)
-                run = _interpreter(bucket, self.n_rows, n_dyn,
-                                   self.pool_slots + 1, self.n_flat_words,
-                                   output, n_regs, mesh=None)
-                blob = np.append(code.reshape(-1), rounded)
-                return run(jax.device_put(blob), self.bank, dyn_dev,
-                           self.leaf_pool, self.full_masks)
+                if len(chunks) > vm._POOL_CHUNK_BUCKETS[-1]:
+                    # overflow past the fused bucket: eager updates first
+                    cut = len(chunks) - vm._POOL_CHUNK_BUCKETS[-1]
+                    self._eager_update_chunks(chunks[:cut])
+                    chunks = chunks[cut:]
+                if not chunks:
+                    run = _interpreter(bucket, self.n_rows, n_dyn,
+                                       self.pool_slots + 1,
+                                       self.n_flat_words, output, n_regs,
+                                       mesh=None)
+                    blob = np.append(code.reshape(-1), rounded)
+                    return run(jax.device_put(blob), self.bank, dyn_dev,
+                               self.leaf_pool, self.full_masks)
+                # fuse the update chunks into the VM dispatch: ONE
+                # serialized execution refreshes the pool slots and runs
+                # the batch (each extra dispatch costs a relay round-trip
+                # charge)
+                nb = next(b for b in vm._POOL_CHUNK_BUCKETS
+                          if b >= len(chunks))
+                k_cap = self._pool_update_k_cap
+                blob = np.full(2 * bucket + 1 + 2 * nb * k_cap,
+                               self.n_sparse, dtype=np.int32)
+                blob[: 2 * bucket] = code.reshape(-1)
+                blob[2 * bucket] = rounded
+                off = 2 * bucket + 1
+                for c in range(nb):
+                    base = off + 2 * c * k_cap
+                    blob[base + k_cap : base + 2 * k_cap] = self.pool_slots
+                    if c < len(chunks):
+                        ids, slots = chunks[c]
+                        blob[base : base + len(ids)] = ids
+                        blob[base + k_cap : base + k_cap + len(slots)] = slots
+                run = vm._pooled_update_vm_jit(
+                    bucket, self.n_rows, n_dyn, self.pool_slots,
+                    self.n_flat_words, output, n_regs, nb, k_cap,
+                    self.n_partitions)
+                try:
+                    counts, self.leaf_pool = run(
+                        self.leaf_pool, self.bank, dyn_dev,
+                        self.sparse_stream[0], self.sparse_stream[1],
+                        self._ensure_bounds_dev(), jax.device_put(blob),
+                        self.full_masks)
+                except Exception:
+                    self._drop_pool()
+                    raise
+                self.pool_update_dispatches += 0  # fused — no extra dispatch
+                self.pool_fused_chunks += len(chunks)
+                return counts
         if k:
+            starts, lens, ids = sp
+            if self.mesh is None:
+                # single-device: bounds gather from the resident table —
+                # the blob ships leaf ids (K i32), not 2 x K x P bounds
+                run = _interpreter(bucket, self.n_rows, n_dyn, k,
+                                   self.n_flat_words, output, n_regs, m,
+                                   self.n_partitions, None,
+                                   resident_bounds=True)
+                blob = np.concatenate([
+                    code.reshape(-1), ids, rounded.reshape(1)])
+                return run(jax.device_put(blob), self.bank, dyn_dev,
+                           self.sparse_stream[0], self.sparse_stream[1],
+                           self.full_masks, self._ensure_bounds_dev())
             run = _interpreter(bucket, self.n_rows, n_dyn, k,
                                self.n_flat_words, output, n_regs, m,
                                self.n_partitions, self.mesh)
-            starts, lens = sp
             blob = np.concatenate([
                 code.reshape(-1),
                 starts.reshape(-1),
@@ -1073,6 +1156,7 @@ class DeviceEngine:
     def count_dispatches(self, lowered: list[_Program], min_bucket: int = 0,
                          min_sparse_k: int = 0, min_sparse_e: int = 0,
                          max_bucket: int | None = None,
+                         force_poolless: bool = False,
                          ) -> list[tuple[jax.Array, int]]:
         """Non-blocking form: returns (device counts array, n_queries) per
         dispatch — dispatches pipeline (jax is async), so a serving loop
@@ -1093,15 +1177,40 @@ class DeviceEngine:
                     min_bucket, min_sparse_k, min_sparse_e,
                     max_bucket=max_bucket))
             return out
+        # Cold-sweep pool bypass: when a batch's leaf set is mostly
+        # MISSES and the fused-densify path would take FEWER serialized
+        # dispatches than pool updates + VM (each dispatch carries a
+        # relay round-trip charge), ride it — no separate updates, no
+        # zero+scatter pool traffic, and the resident hot working set
+        # survives the sweep. Mostly-hit batches — the serving norm —
+        # keep riding the pool. (At 10M x 32 the densify-block HBM cap
+        # makes max_sparse_k small, so the pooled path usually wins on
+        # dispatch count there; the bypass triggers on shapes with few
+        # partitions/words where one fused dispatch covers the sweep.)
+        if self.pool_slots and not force_poolless:
+            distinct = {r for p in lowered for r in p.sparse_leaves}
+            if len(distinct) > self.max_sparse_k:
+                with self._pool_lock:
+                    misses = sum(1 for leaf in distinct
+                                 if leaf not in self._leaf_slot)
+                pooled_n = -(-misses // max(self._pool_update_k_cap, 1)) + 1
+                poolless_n = -(-len(distinct) // max(self.max_sparse_k, 1))
+                if (2 * misses > len(distinct) and misses > 0
+                        and poolless_n < pooled_n):
+                    return self.count_dispatches(
+                        lowered, min_bucket, min_sparse_k, min_sparse_e,
+                        max_bucket=max_bucket, force_poolless=True)
         # Split greedily if the concatenated stream or dyn-row count would
         # overflow the bucket cap (each program alone always fits: lower()
         # enforces the single-program limits).
         len_cap = max_bucket or _BATCH_LEN_BUCKETS[-1]
+        sparse_cap = (self.max_sparse_k if force_poolless
+                      else self.sparse_batch_cap)
         total = sum(len(p.opcodes) + 1 for p in lowered)
         total_dyn = sum(len(p.dyn_rows) for p in lowered)
         total_sparse = len({r for p in lowered for r in p.sparse_leaves})
         if q > 1 and (total > len_cap or total_dyn > _DYN_BUCKETS[-1]
-                      or total_sparse > self.sparse_batch_cap):
+                      or total_sparse > sparse_cap):
             acc_len = acc_dyn = 0
             acc_sparse: set[int] = set()
             split = q
@@ -1111,15 +1220,17 @@ class DeviceEngine:
                 acc_sparse.update(p.sparse_leaves)
                 if i and (acc_len > len_cap
                           or acc_dyn > _DYN_BUCKETS[-1]
-                          or len(acc_sparse) > self.sparse_batch_cap):
+                          or len(acc_sparse) > sparse_cap):
                     split = i
                     break
             return self.count_dispatches(lowered[:split], min_bucket,
                                          min_sparse_k, min_sparse_e,
-                                         max_bucket=max_bucket) + \
+                                         max_bucket=max_bucket,
+                                         force_poolless=force_poolless) + \
                 self.count_dispatches(lowered[split:], min_bucket,
                                       min_sparse_k, min_sparse_e,
-                                      max_bucket=max_bucket)
+                                      max_bucket=max_bucket,
+                                      force_poolless=force_poolless)
         programs = []
         all_dyn_rows: list[list[np.ndarray]] = []
         all_sparse_leaves: list[int] = []
@@ -1181,7 +1292,7 @@ class DeviceEngine:
         # covers it, so live traffic converges onto the ladder's compiled
         # executables instead of arbitrary natural (K, E) shapes (each new
         # shape is a minutes-long remote compile).
-        if self.pool_slots:
+        if self.pool_slots and not force_poolless:
             # pooled leaves need no densify shapes: k only routes the
             # dispatch into the pool branch (slots replace descriptors)
             k, m, sp = len(all_sparse_leaves), 0, None
@@ -1207,7 +1318,8 @@ class DeviceEngine:
                   f"regs={n_regs}", file=sys.stderr, flush=True)
         counts = self._dispatch(bucket, n_dyn, code, dyn_dev, k, m, sp,
                                 n_regs, "multi_count", len(flat_ops),
-                                sparse_leaf_ids=all_sparse_leaves)
+                                sparse_leaf_ids=all_sparse_leaves,
+                                use_pool=not force_poolless)
         return [(counts, q)]
 
     def count(self, filter_expr) -> int:

@@ -570,27 +570,51 @@ def vm_run(opers, specs, n_instr, bank, dyn, sparse_rows, full,
             bsrc = (spec >> 22) & 0xF
 
             a = regs_ref[jnp.minimum(ra, n_regs - 1)]
-            full_blk = full_ref[...]
-            bsel = jnp.where(
-                bsrc == 0, regs_ref[jnp.minimum(rb, n_regs - 1)],
-                jnp.where(
-                    bsrc == 4, full_blk,
-                    jnp.where(bsrc == 5, jnp.zeros_like(full_blk),
-                              slot_ref[cur]),
-                ),
-            )
-            val = jnp.where(
-                mode == 0, bsel,
-                jnp.where(
-                    mode == 1, a & bsel,
-                    jnp.where(
-                        mode == 2, a | bsel,
-                        jnp.where(mode == 3, a ^ bsel,
-                                  a & (bsel ^ full_blk)),
-                    ),
-                ),
-            )
-            regs_ref[jnp.minimum(dst, n_regs)] = val
+            dstc = jnp.minimum(dst, n_regs)
+
+            # mode/bsrc are SCALARS: branch (pl.when) instead of select
+            # cascades. The branchless form paid ~11 VPU passes per
+            # instruction (4 bsel selects + 4 mode selects + reads/write)
+            # and was COMPUTE-bound at large word counts — 5.7 us/instr
+            # measured at the 10M flat shape where the row DMA alone is
+            # 1.8 us. Exactly one (bsrc, mode) block executes: ~3 passes.
+            def write_mode(get_b):
+                @pl.when(mode == 0)
+                def _():
+                    regs_ref[dstc] = get_b()
+
+                @pl.when(mode == 1)
+                def _():
+                    regs_ref[dstc] = a & get_b()
+
+                @pl.when(mode == 2)
+                def _():
+                    regs_ref[dstc] = a | get_b()
+
+                @pl.when(mode == 3)
+                def _():
+                    regs_ref[dstc] = a ^ get_b()
+
+                @pl.when(mode == 4)
+                def _():
+                    regs_ref[dstc] = a & (get_b() ^ full_ref[...])
+
+            @pl.when((bsrc == 1) | (bsrc == 2) | (bsrc == 3))
+            def _():  # DMA-backed sources land in the prefetch slot
+                write_mode(lambda: slot_ref[cur])
+
+            @pl.when(bsrc == 0)
+            def _():
+                write_mode(
+                    lambda: regs_ref[jnp.minimum(rb, n_regs - 1)])
+
+            @pl.when(bsrc == 4)
+            def _():
+                write_mode(lambda: full_ref[...])
+
+            @pl.when(bsrc == 5)
+            def _():
+                write_mode(lambda: jnp.zeros_like(a))
 
             @pl.when(((spec >> 26) & 0x3) == 1)  # opcode EMIT_COUNT
             def _():
@@ -771,142 +795,182 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
             iota_s_span = jax.lax.broadcasted_iota(
                 jnp.int32, (MXU_SPAN, 128), 0)
 
+        def window_copies(p0, slot):
+            """The 4 async copies moving the aligned window covering
+            stream position p0 into buffer `slot`."""
+            q8 = (p0 >> 10) * 8  # provably 8-row-aligned window start
+            rows = pl.ds(q8, DENSIFY_WINDOW // 128)
+            copies = [
+                pltpu.make_async_copy(idx_hbm.at[rows, :], idx_s.at[slot],
+                                      sem1.at[slot]),
+                pltpu.make_async_copy(word_hbm.at[rows, :], wrd_s.at[slot],
+                                      sem2.at[slot]),
+            ]
+            if use_mxu:
+                # the vector path reads the same windows as VMEM tiles
+                # (the scalar copies above drive span decisions only)
+                copies += [
+                    pltpu.make_async_copy(idx_hbm.at[rows, :],
+                                          idx_v.at[slot], sem3.at[slot]),
+                    pltpu.make_async_copy(word_hbm.at[rows, :],
+                                          wrd_v.at[slot], sem4.at[slot]),
+                ]
+            return copies
+
+        def start_segment(pi, slot):
+            # unconditional: zero-length (and sentinel-padded) segments
+            # carry start 0 — a valid window (the stream is padded by
+            # DENSIFY_WINDOW), the chunk loop then does no work
+            for cp in window_copies(starts_ref[k * n_per_leaf + pi], slot):
+                cp.start()
+
+        def process_chunk(slot, off, n):
+            """Consume `n` entries at window offset `off` from `slot`
+            (the window DMA must have completed)."""
+
+            def entry_span(lo, hi_x):
+                """Per-entry fallback over window positions [lo, hi_x)."""
+                def per_entry(p, _):
+                    i = idx_s[slot, p >> 7, p & 127]
+                    h = i >> 7
+                    vec = jnp.where(iota == (i & 127),
+                                    wrd_s[slot, p >> 7, p & 127],
+                                    jnp.uint32(0))
+                    out_ref[0, pl.ds(h, 1), :] = (
+                        out_ref[0, pl.ds(h, 1), :] | vec)
+                    return 0
+
+                jax.lax.fori_loop(lo, hi_x, per_entry, 0)
+
+            if not use_mxu:
+                entry_span(off, off + n)
+                return
+
+            def per_row(r, _):
+                """MXU scatter of one 128-entry window row: word
+                indices are UNIQUE per segment, so scatter == SUM, and
+                sum of one-hot outer products is a matmul —
+                U[s, l] = sum_e A[s, e] * C[e, l] with A the hi-row
+                one-hot and C the lane one-hot times the word's byte
+                plane (4 byte planes: one-hot x u8 is exact in bf16
+                MXU passes regardless of precision mode). ~3 ns/entry
+                vs ~18 for the per-entry RMW. Rows whose index span
+                exceeds the MXU_SPAN output tile (very sparse
+                segments) take the per-entry path."""
+                lo = jnp.maximum(off, r * 128)
+                hi_x = jnp.minimum(off + n, (r + 1) * 128)
+
+                @pl.when(lo < hi_x)
+                def _():
+                    first = idx_s[slot, r, lo & 127] >> 7
+                    last = idx_s[slot, r, (hi_x - 1) & 127] >> 7
+
+                    # h0 8-aligned: Mosaic handles aligned multi-row
+                    # dynamic slices far better than arbitrary offsets
+                    h0a = jnp.minimum((first >> 3) << 3,
+                                      hi - MXU_SPAN)
+
+                    @pl.when(last - h0a < MXU_SPAN)
+                    def _():
+                        h0 = h0a
+                        idx_row = idx_v[slot, pl.ds(r, 1), :]  # [1, 128]
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 128), 1)
+                        # lo..hi_x-1 live within ONE window row, so the
+                        # in-row lane bounds cannot wrap
+                        valid = ((lane >= (lo & 127))
+                                 & (lane <= ((hi_x - 1) & 127)))
+                        idx_m = jnp.where(valid, idx_row, -1)
+                        # A[s, e]: hi-row one-hot along lanes (e)
+                        hi_rel = jnp.broadcast_to(
+                            (idx_m >> 7) - h0, (MXU_SPAN, 128))
+                        a_mat = (iota_s_span == hi_rel).astype(
+                            jnp.float32)
+                        # C[e, l]: lane one-hot needs entry-major
+                        # sublanes -> transpose the row tiles once
+                        idx_sq = jnp.broadcast_to(idx_m, (128, 128))
+                        idx_t = idx_sq.T  # idx_t[e, l] = idx_m[e]
+                        wrd_row = wrd_v[slot, pl.ds(r, 1), :]
+                        wrd_sq = jnp.broadcast_to(wrd_row, (128, 128))
+                        wrd_t = wrd_sq.T
+                        lane_oh = (iota_l_sq == (idx_t & 127))
+                        acc = jnp.zeros((MXU_SPAN, 128), jnp.uint32)
+                        for b in range(4):
+                            # Mosaic has no u32<->f32 casts; route
+                            # through i32 (values <= 255, exact)
+                            byte = ((wrd_t >> (8 * b)) &
+                                    jnp.uint32(255)).astype(
+                                jnp.int32).astype(jnp.float32)
+                            c_mat = jnp.where(lane_oh, byte, 0.0)
+                            u_b = jax.lax.dot(
+                                a_mat, c_mat,
+                                preferred_element_type=jnp.float32)
+                            acc = acc | (u_b.astype(jnp.int32)
+                                         .astype(jnp.uint32)
+                                         << (8 * b))
+                        out_ref[0, pl.ds(h0, MXU_SPAN), :] = (
+                            out_ref[0, pl.ds(h0, MXU_SPAN), :] | acc)
+
+                    # complement of the matmul gate ABOVE (both test
+                    # last - h0a): testing last - first here left a
+                    # gap — spans in [MXU_SPAN-7, MXU_SPAN-1] whose
+                    # 8-alignment pushed last - h0a past MXU_SPAN
+                    # matched NEITHER branch and dropped entries
+                    @pl.when(last - h0a >= MXU_SPAN)
+                    def _():
+                        entry_span(lo, hi_x)
+
+                return 0
+
+            jax.lax.fori_loop(off >> 7, ((off + n - 1) >> 7) + 1,
+                              per_row, 0)
+
+        # Cross-segment double-buffering: segments here are TINY (cold
+        # sweeps at 10M x 32 average ~100 entries over 32 partitions per
+        # leaf), so the serial start->wait->process form paid the full
+        # window-DMA latency per SEGMENT (~2 us x P per leaf — more than
+        # the scatter work itself). Segment pi+1's window starts into the
+        # other buffer while pi processes; only a segment's 2nd+ chunks
+        # (rare: length > DENSIFY_CHUNK) fall back to serial DMA in its
+        # own slot. (The round-1 revert of double-buffering predates the
+        # MXU path: per-entry SMEM reads then dominated, and the dynamic
+        # leading slot index taxed every one; the MXU path reads ~2
+        # scalars per 128-entry row.)
         def per_partition(pi, _):
+            slot = pi & 1
+
+            @pl.when(pi + 1 < n_per_leaf)
+            def _():
+                start_segment(pi + 1, 1 - slot)
+
+            for cp in window_copies(starts_ref[k * n_per_leaf + pi], slot):
+                cp.wait()
             seg = k * n_per_leaf + pi
             s = starts_ref[seg]
             length = lens_ref[seg]
 
-            def per_chunk(ci, _):
+            @pl.when(length > 0)
+            def _():
+                process_chunk(slot, s & 1023,
+                              jnp.minimum(length, DENSIFY_CHUNK))
+
+            def later_chunk(ci, _):
+                # 2nd+ chunks of a long segment: serial DMA in this slot
                 p0 = s + ci * DENSIFY_CHUNK
-                q8 = (p0 >> 10) * 8  # provably 8-row-aligned window start
-                off = p0 & 1023
-                n = jnp.minimum(length - ci * DENSIFY_CHUNK, DENSIFY_CHUNK)
-                cp = pltpu.make_async_copy(
-                    idx_hbm.at[pl.ds(q8, DENSIFY_WINDOW // 128), :], idx_s,
-                    sem1)
-                cp.start()
-                cp2 = pltpu.make_async_copy(
-                    word_hbm.at[pl.ds(q8, DENSIFY_WINDOW // 128), :], wrd_s,
-                    sem2)
-                cp2.start()
-                if use_mxu:
-                    # the vector path reads the same windows as VMEM tiles
-                    # (the scalar copies above drive span decisions only)
-                    cp3 = pltpu.make_async_copy(
-                        idx_hbm.at[pl.ds(q8, DENSIFY_WINDOW // 128), :],
-                        idx_v, sem3)
-                    cp3.start()
-                    cp4 = pltpu.make_async_copy(
-                        word_hbm.at[pl.ds(q8, DENSIFY_WINDOW // 128), :],
-                        wrd_v, sem4)
-                    cp4.start()
-                cp.wait()
-                cp2.wait()
-                if use_mxu:
-                    cp3.wait()
-                    cp4.wait()
-
-                def entry_span(lo, hi_x):
-                    """Per-entry fallback over window positions [lo, hi_x)."""
-                    def per_entry(p, _):
-                        i = idx_s[p >> 7, p & 127]
-                        h = i >> 7
-                        vec = jnp.where(iota == (i & 127),
-                                        wrd_s[p >> 7, p & 127], jnp.uint32(0))
-                        out_ref[0, pl.ds(h, 1), :] = (
-                            out_ref[0, pl.ds(h, 1), :] | vec)
-                        return 0
-
-                    jax.lax.fori_loop(lo, hi_x, per_entry, 0)
-
-                if not use_mxu:
-                    entry_span(off, off + n)
-                    return 0
-
-                def per_row(r, _):
-                    """MXU scatter of one 128-entry window row: word
-                    indices are UNIQUE per segment, so scatter == SUM, and
-                    sum of one-hot outer products is a matmul —
-                    U[s, l] = sum_e A[s, e] * C[e, l] with A the hi-row
-                    one-hot and C the lane one-hot times the word's byte
-                    plane (4 byte planes: one-hot x u8 is exact in bf16
-                    MXU passes regardless of precision mode). ~3 ns/entry
-                    vs ~18 for the per-entry RMW. Rows whose index span
-                    exceeds the MXU_SPAN output tile (very sparse
-                    segments) take the per-entry path."""
-                    lo = jnp.maximum(off, r * 128)
-                    hi_x = jnp.minimum(off + n, (r + 1) * 128)
-
-                    @pl.when(lo < hi_x)
-                    def _():
-                        first = idx_s[r, lo & 127] >> 7
-                        last = idx_s[r, (hi_x - 1) & 127] >> 7
-
-                        # h0 8-aligned: Mosaic handles aligned multi-row
-                        # dynamic slices far better than arbitrary offsets
-                        h0a = jnp.minimum((first >> 3) << 3,
-                                          hi - MXU_SPAN)
-
-                        @pl.when(last - h0a < MXU_SPAN)
-                        def _():
-                            h0 = h0a
-                            idx_row = idx_v[pl.ds(r, 1), :]  # [1, 128]
-                            lane = jax.lax.broadcasted_iota(
-                                jnp.int32, (1, 128), 1)
-                            # lo..hi_x-1 live within ONE window row, so the
-                            # in-row lane bounds cannot wrap
-                            valid = ((lane >= (lo & 127))
-                                     & (lane <= ((hi_x - 1) & 127)))
-                            idx_m = jnp.where(valid, idx_row, -1)
-                            # A[s, e]: hi-row one-hot along lanes (e)
-                            hi_rel = jnp.broadcast_to(
-                                (idx_m >> 7) - h0, (MXU_SPAN, 128))
-                            a_mat = (iota_s_span == hi_rel).astype(
-                                jnp.float32)
-                            # C[e, l]: lane one-hot needs entry-major
-                            # sublanes -> transpose the row tiles once
-                            idx_sq = jnp.broadcast_to(idx_m, (128, 128))
-                            idx_t = idx_sq.T  # idx_t[e, l] = idx_m[e]
-                            wrd_row = wrd_v[pl.ds(r, 1), :]
-                            wrd_sq = jnp.broadcast_to(wrd_row, (128, 128))
-                            wrd_t = wrd_sq.T
-                            lane_oh = (iota_l_sq == (idx_t & 127))
-                            acc = jnp.zeros((MXU_SPAN, 128), jnp.uint32)
-                            for b in range(4):
-                                # Mosaic has no u32<->f32 casts; route
-                                # through i32 (values <= 255, exact)
-                                byte = ((wrd_t >> (8 * b)) &
-                                        jnp.uint32(255)).astype(
-                                    jnp.int32).astype(jnp.float32)
-                                c_mat = jnp.where(lane_oh, byte, 0.0)
-                                u_b = jax.lax.dot(
-                                    a_mat, c_mat,
-                                    preferred_element_type=jnp.float32)
-                                acc = acc | (u_b.astype(jnp.int32)
-                                             .astype(jnp.uint32)
-                                             << (8 * b))
-                            out_ref[0, pl.ds(h0, MXU_SPAN), :] = (
-                                out_ref[0, pl.ds(h0, MXU_SPAN), :] | acc)
-
-                        # complement of the matmul gate ABOVE (both test
-                        # last - h0a): testing last - first here left a
-                        # gap — spans in [MXU_SPAN-7, MXU_SPAN-1] whose
-                        # 8-alignment pushed last - h0a past MXU_SPAN
-                        # matched NEITHER branch and dropped entries
-                        @pl.when(last - h0a >= MXU_SPAN)
-                        def _():
-                            entry_span(lo, hi_x)
-
-                    return 0
-
-                jax.lax.fori_loop(off >> 7, ((off + n - 1) >> 7) + 1,
-                                  per_row, 0)
+                for cp in window_copies(p0, slot):
+                    cp.start()
+                for cp in window_copies(p0, slot):
+                    cp.wait()
+                process_chunk(slot, p0 & 1023,
+                              jnp.minimum(length - ci * DENSIFY_CHUNK,
+                                          DENSIFY_CHUNK))
                 return 0
 
             n_chunks = (length + DENSIFY_CHUNK - 1) // DENSIFY_CHUNK
-            jax.lax.fori_loop(0, n_chunks, per_chunk, 0)
+            jax.lax.fori_loop(1, n_chunks, later_chunk, 0)
             return 0
 
+        start_segment(0, 0)
         jax.lax.fori_loop(0, n_per_leaf, per_partition, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -916,14 +980,14 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
                   pl.BlockSpec(memory_space=_ANY)],
         out_specs=pl.BlockSpec((1, hi, 128), lambda k, *s: (k, 0, 0)),
         scratch_shapes=[
-            pltpu.SMEM((DENSIFY_WINDOW // 128, 128), jnp.int32),
-            pltpu.SMEM((DENSIFY_WINDOW // 128, 128), jnp.uint32),
-            pltpu.VMEM((DENSIFY_WINDOW // 128, 128), jnp.int32),
-            pltpu.VMEM((DENSIFY_WINDOW // 128, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2, DENSIFY_WINDOW // 128, 128), jnp.int32),
+            pltpu.SMEM((2, DENSIFY_WINDOW // 128, 128), jnp.uint32),
+            pltpu.VMEM((2, DENSIFY_WINDOW // 128, 128), jnp.int32),
+            pltpu.VMEM((2, DENSIFY_WINDOW // 128, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     try:

@@ -252,21 +252,75 @@ def _pool_update_jit(k_bucket: int, n_partitions: int, n_words: int):
     """In-place hot-leaf-pool update: densify up to k_bucket leaves from
     the resident CSR stream straight into their pool slots. The pool is
     donated, so XLA aliases the buffer — the dispatch writes only the
-    touched rows. starts/lens/slots travel as ONE packed i32 blob
-    (sliced apart on device): every separate host->device transfer costs
-    a relay round trip of its own, and three per cold update dispatch
-    dominated the cold-sweep cliff."""
+    touched rows.
+
+    The per-leaf (start, len) bounds are STATIC per snapshot, so they
+    live device-resident (`bounds` [n_sparse + 1, 2, P] i32; the engine
+    uploads the table once) and the dispatch ships ONLY leaf ids + slots
+    — 2 x k_bucket i32 in one packed blob. The previous form uploaded
+    starts/lens per dispatch (~530 KB at K=2048 x 32 through a
+    10-25 MB/s relay path), which was a large slice of the cold-sweep
+    cliff. The gather to scalar-prefetch operands runs in-jit; padded
+    ids point at the table's trailing all-zero sentinel row (no work)."""
     from . import pallas_kernels as pk
 
-    kp = k_bucket * n_partitions
-
-    def run(pool, stream_idx, stream_words, blob):
-        starts = blob[:kp]
-        lens = blob[kp : 2 * kp]
-        slots = blob[2 * kp :]
+    def run(pool, stream_idx, stream_words, bounds, blob):
+        ids = blob[:k_bucket]
+        slots = blob[k_bucket:]
+        b = bounds[ids]                      # [K, 2, P]
+        starts = b[:, 0, :].reshape(-1)
+        lens = b[:, 1, :].reshape(-1)
         return pk.densify_rows_into_pool(pool, stream_idx, stream_words,
                                          starts, lens, slots, k_bucket,
                                          n_words)
+
+    return jax.jit(run, donate_argnums=0)
+
+
+# fused pool-update chunk counts: one executable per rung; misses beyond
+# the top rung dispatch eagerly (rare — >4 x k_cap misses in one batch)
+_POOL_CHUNK_BUCKETS = (0, 1, 2, 4)
+
+
+@functools.lru_cache(maxsize=None)
+def _pooled_update_vm_jit(program_len: int, n_rows: int, n_dyn: int,
+                          pool_slots: int, n_words: int, output: str,
+                          n_regs: int, n_chunks: int, k_bucket: int,
+                          n_partitions: int):
+    """ONE dispatch for a pooled sparse batch: densify up to n_chunks
+    update chunks into their (donated) pool slots, then run the VM over
+    the refreshed pool — all inside a single XLA program. The separate
+    update dispatches each carried a serialized relay round-trip charge
+    (~50 ms measured at 10M x 32: 5 updates + 2 VMs made a 2048-query
+    cold batch ~510 ms of which ~2/3 was dispatch overhead). The
+    scalar-prefetch SMEM cap is per pallas_call, so several K-capped
+    densify kernels coexist in one program.
+
+    Blob layout: [code 2 x L, n_instr, then n_chunks x (k_bucket ids +
+    k_bucket slots)]; padded ids point at the bounds table's sentinel
+    row (len 0) with slots -> the scratch row."""
+    from . import pallas_kernels as pk
+
+    vm = _interpreter(program_len, n_rows, n_dyn, pool_slots + 1, n_words,
+                      output, n_regs, mesh=None)
+    code_len = 2 * program_len
+
+    def run(pool, bank, dyn, stream_idx, stream_words, bounds, blob,
+            full_masks):
+        off = code_len + 1
+        for c in range(n_chunks):
+            ids = blob[off + 2 * c * k_bucket
+                       : off + (2 * c + 1) * k_bucket]
+            slots = blob[off + (2 * c + 1) * k_bucket
+                         : off + (2 * c + 2) * k_bucket]
+            b = bounds[ids]                      # [K, 2, P]
+            starts = b[:, 0, :].reshape(-1)
+            lens = b[:, 1, :].reshape(-1)
+            pool = pk.densify_rows_into_pool(
+                pool, stream_idx, stream_words, starts, lens, slots,
+                k_bucket, n_words)
+        counts = vm(blob[: code_len + 1], bank, dyn, pool, full_masks)
+        return counts, pool
 
     return jax.jit(run, donate_argnums=0)
 
@@ -329,7 +383,8 @@ def _densify_jit(n_sparse_k: int, n_sparse_e: int, n_words: int,
 def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                  n_words: int, output: str = "words",
                  n_regs: int = MAX_REGS, n_sparse_e: int = 0,
-                 n_per_leaf: int = 1, mesh=None):
+                 n_per_leaf: int = 1, mesh=None,
+                 resident_bounds: bool = False):
     """Jitted register-machine interpreter for one shape bucket, over the
     FLAT global word axis (n_words = partitions x per-partition words).
     output='words' returns the [PW] bitset (reg[0]); output='count' fuses
@@ -415,14 +470,8 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
             and n_words % 128 == 0
         )
 
-        def run_fused(blob, bank, dyn, stream_idx, stream_words,
-                      full_masks):
-            # ONE packed upload: code + per-leaf bounds + n_instr (each
-            # separate host->device transfer costs a relay round trip)
-            code = blob[:code_len].reshape(2, program_len)
-            starts = blob[code_len : code_len + n_seg]
-            lens = blob[code_len + n_seg : code_len + 2 * n_seg]
-            n_instr = blob[-1]
+        def densify_and_run(code, starts, lens, n_instr, bank, dyn,
+                            stream_idx, stream_words, full_masks):
             if use_densify_kernel:
                 sparse_rows = pk.densify_rows(
                     stream_idx, stream_words, starts, lens, n_sparse_k,
@@ -432,6 +481,38 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
             words, outs = run_one(code, bank, dyn, sparse_rows, full_masks,
                                   n_instr)
             return finish(words, outs)
+
+        if resident_bounds:
+            def run_fused_resident(blob, bank, dyn, stream_idx,
+                                   stream_words, full_masks, bounds):
+                # per-leaf (start, len) bounds are static per snapshot and
+                # live device-resident — the upload carries LEAF IDS only
+                # (2 x K x P i32 of bounds was ~524 KB per sub-dispatch at
+                # the 10M x 32 shape, a large slice of the cold-sweep cost
+                # through a 10-25 MB/s relay path). Padded ids point at the
+                # table's trailing all-zero sentinel row.
+                code = blob[:code_len].reshape(2, program_len)
+                ids = blob[code_len : code_len + n_sparse_k]
+                n_instr = blob[-1]
+                b = bounds[ids]                      # [K, 2, P]
+                starts = b[:, 0, :].reshape(-1)
+                lens = b[:, 1, :].reshape(-1)
+                return densify_and_run(code, starts, lens, n_instr, bank,
+                                       dyn, stream_idx, stream_words,
+                                       full_masks)
+
+            return jax.jit(run_fused_resident)
+
+        def run_fused(blob, bank, dyn, stream_idx, stream_words,
+                      full_masks):
+            # ONE packed upload: code + per-leaf bounds + n_instr (each
+            # separate host->device transfer costs a relay round trip)
+            code = blob[:code_len].reshape(2, program_len)
+            starts = blob[code_len : code_len + n_seg]
+            lens = blob[code_len + n_seg : code_len + 2 * n_seg]
+            n_instr = blob[-1]
+            return densify_and_run(code, starts, lens, n_instr, bank, dyn,
+                                   stream_idx, stream_words, full_masks)
 
         return jax.jit(run_fused)
 

@@ -185,6 +185,7 @@ def test_leaf_pool_caches_across_batches(example_dataset_db, dense_engine,
         pytest.skip("pallas unavailable")
     engine = _interpret_pool_engine(example_dataset_db, monkeypatch)
     de._pool_update_jit.cache_clear()  # cached jits close over the real fn
+    de.vm._pooled_update_vm_jit.cache_clear()
     calls = {"densify": 0}
     real = pk.densify_rows_into_pool
 
@@ -206,14 +207,17 @@ def test_leaf_pool_caches_across_batches(example_dataset_db, dense_engine,
     assert calls["densify"] == after_first, "warm batch re-densified"
     de._interpreter.cache_clear()
     de._pool_update_jit.cache_clear()  # drop jits closed over the spy
+    de.vm._pooled_update_vm_jit.cache_clear()
 
 
 def test_pool_update_k_cap_splits_miss_bursts(example_dataset_db,
                                               dense_engine, monkeypatch):
     """A miss burst wider than the SMEM-derived K cap must split into
-    several pool-update dispatches, none padded past the cap's bucket —
-    a 4096 x 32-partition update's starts/lens scalar-prefetch operands
-    (2 x 512 KB) exhausted v5e scoped SMEM (RESOURCE_EXHAUSTED)."""
+    K-capped update chunks, none padded past the cap's bucket — a
+    4096 x 32-partition update's starts/lens scalar-prefetch operands
+    (2 x 512 KB) exhausted v5e scoped SMEM (RESOURCE_EXHAUSTED). Up to
+    _POOL_CHUNK_BUCKETS[-1] chunks fuse into the VM dispatch; the
+    overflow runs as eager _pool_update_jit dispatches."""
     from lapis_silo_tpu.ops import device_engine as de
     from lapis_silo_tpu.ops import pallas_kernels as pk
     from lapis_silo_tpu.query.engine import Query
@@ -224,6 +228,9 @@ def test_pool_update_k_cap_splits_miss_bursts(example_dataset_db,
     assert engine._pool_update_k_cap * engine.n_partitions * 4 <= (
         de._SPARSE_K_SMEM_BYTE_CAP)
     engine._pool_update_k_cap = 4  # force splitting with a tiny cap
+    engine.max_sparse_k = 1        # poolless route can never win -> pooled
+    monkeypatch.setattr(de.vm, "_POOL_CHUNK_BUCKETS", (0, 1))
+    de.vm._pooled_update_vm_jit.cache_clear()
     seen_k = []
     real_jit = de._pool_update_jit
 
@@ -247,8 +254,9 @@ def test_pool_update_k_cap_splits_miss_bursts(example_dataset_db,
     got = engine.count_batch(batch)
     want = dense_engine.count_batch(batch)
     assert got == want
-    assert len(seen_k) > 1, "burst did not split at the K cap"
+    assert seen_k, "overflow chunks never dispatched eagerly"
     assert all(k <= 4 for k in seen_k), seen_k
+    assert engine.pool_fused_chunks > 0, "no chunk fused into the VM"
     de._interpreter.cache_clear()
     real_jit.cache_clear()
 
@@ -334,4 +342,56 @@ def test_leaf_pool_eviction_stays_correct(example_dataset_db, dense_engine,
         want = dense_engine.count_batch(batch)
         assert got == want, filters
     assert len(engine._leaf_slot) <= engine.pool_slots
+    de._interpreter.cache_clear()
+
+
+def test_cold_sweep_bypasses_pool(example_dataset_db, dense_engine,
+                                  monkeypatch):
+    """A batch whose leaf set is mostly misses AND larger than
+    max_sparse_k rides the fused-densify path: counts stay exact, NO pool
+    updates run, and previously resident hot leaves stay resident (a
+    full-corpus sweep must not churn the serving working set)."""
+    import json
+
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.query.engine import Query
+
+    engine = _interpret_pool_engine(example_dataset_db, monkeypatch)
+    engine.max_sparse_k = 4       # tiny cap: 5+ distinct cold leaves trip it
+    engine._pool_update_k_cap = 1  # pooled route would cost 1 dispatch/miss
+
+    # resident hot set: one small batch, leaves enter the pool (an Or of
+    # two leaves — a single leaf answers from stored cardinalities with
+    # no dispatch and would never touch the pool)
+    hot = [Query(json.dumps({
+        "filterExpression": {"type": "Or", "children": [
+            {"type": "NucleotideEquals", "position": 3001, "symbol": "A"},
+            {"type": "NucleotideEquals", "position": 3012, "symbol": "T"},
+        ]},
+        "action": {"type": "Aggregated"}})).filter]
+    engine.count_batch(hot)
+    hot_resident = dict(engine._leaf_slot)
+    assert hot_resident, "hot leaves never became resident"
+    updates_before = engine.pool_update_dispatches
+
+    cold = [Query(json.dumps({
+        "filterExpression": {"type": "Or", "children": [
+            {"type": "NucleotideEquals", "position": 3000 + i * 17 + 1,
+             "symbol": s} for i in range(8) for s in ("A", "C", "T", "G")
+        ]},
+        "action": {"type": "Aggregated"}})).filter]
+    lowered = [engine.lower(f)[0] for f in cold]
+    distinct = {r for p in lowered for r in p.sparse_leaves}
+    assert len(distinct) > engine.max_sparse_k, "cold set too small"
+
+    got = engine.count_batch(cold)
+    want = dense_engine.count_batch(cold)
+    assert got == want
+    assert engine.pool_update_dispatches == updates_before, \
+        "cold sweep ran pool updates instead of bypassing"
+    assert dict(engine._leaf_slot) == hot_resident, \
+        "cold sweep churned the resident hot set"
+
+    # the hot batch still answers from the pool, bit-identical
+    assert engine.count_batch(hot) == dense_engine.count_batch(hot)
     de._interpreter.cache_clear()
