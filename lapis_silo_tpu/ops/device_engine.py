@@ -964,7 +964,6 @@ class DeviceEngine:
                 except Exception:
                     self._drop_pool()
                     raise
-                self.pool_update_dispatches += 0  # fused — no extra dispatch
                 self.pool_fused_chunks += len(chunks)
                 return counts
         if k:
