@@ -894,17 +894,28 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
                         wrd_sq = jnp.broadcast_to(wrd_row, (128, 128))
                         wrd_t = wrd_sq.T
                         lane_oh = (iota_l_sq == (idx_t & 127))
+                        # ONE [128, 4*128] dot instead of 4 [128, 128]
+                        # dots: the 4 byte planes concatenate along the
+                        # output lanes, so the per-row MXU fixed cost is
+                        # paid once (segments average ~100 entries — the
+                        # per-dot overhead, not the flops, dominates).
+                        # Mosaic has no u32<->f32 casts; route through
+                        # i32 (values <= 255, exact in f32/bf16 passes).
+                        planes = [
+                            jnp.where(lane_oh,
+                                      ((wrd_t >> (8 * b)) &
+                                       jnp.uint32(255)).astype(
+                                          jnp.int32).astype(jnp.float32),
+                                      0.0)
+                            for b in range(4)
+                        ]
+                        c4 = jnp.concatenate(planes, axis=1)  # [128, 512]
+                        u4 = jax.lax.dot(
+                            a_mat, c4,
+                            preferred_element_type=jnp.float32)
                         acc = jnp.zeros((MXU_SPAN, 128), jnp.uint32)
                         for b in range(4):
-                            # Mosaic has no u32<->f32 casts; route
-                            # through i32 (values <= 255, exact)
-                            byte = ((wrd_t >> (8 * b)) &
-                                    jnp.uint32(255)).astype(
-                                jnp.int32).astype(jnp.float32)
-                            c_mat = jnp.where(lane_oh, byte, 0.0)
-                            u_b = jax.lax.dot(
-                                a_mat, c_mat,
-                                preferred_element_type=jnp.float32)
+                            u_b = u4[:, b * 128 : (b + 1) * 128]
                             acc = acc | (u_b.astype(jnp.int32)
                                          .astype(jnp.uint32)
                                          << (8 * b))
