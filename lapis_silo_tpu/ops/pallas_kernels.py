@@ -795,26 +795,36 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
             iota_s_span = jax.lax.broadcasted_iota(
                 jnp.int32, (MXU_SPAN, 128), 0)
 
+        def wrd_s_copy(p0, slot):
+            q8 = (p0 >> 10) * 8
+            return pltpu.make_async_copy(
+                word_hbm.at[pl.ds(q8, DENSIFY_WINDOW // 128), :],
+                wrd_s.at[slot], sem2.at[slot])
+
         def window_copies(p0, slot):
-            """The 4 async copies moving the aligned window covering
-            stream position p0 into buffer `slot`."""
+            """The async copies moving the aligned window covering stream
+            position p0 into buffer `slot`. On the MXU path the
+            word-scalar (SMEM) copy is OMITTED — only the rare wide-span
+            per-entry fallback reads word scalars, and it DMAs them on
+            demand; each issue/wait costs serial scalar work that
+            dominates tiny cold-sweep segments."""
             q8 = (p0 >> 10) * 8  # provably 8-row-aligned window start
             rows = pl.ds(q8, DENSIFY_WINDOW // 128)
             copies = [
                 pltpu.make_async_copy(idx_hbm.at[rows, :], idx_s.at[slot],
                                       sem1.at[slot]),
-                pltpu.make_async_copy(word_hbm.at[rows, :], wrd_s.at[slot],
-                                      sem2.at[slot]),
             ]
             if use_mxu:
                 # the vector path reads the same windows as VMEM tiles
-                # (the scalar copies above drive span decisions only)
+                # (the scalar idx copy above drives span decisions only)
                 copies += [
                     pltpu.make_async_copy(idx_hbm.at[rows, :],
                                           idx_v.at[slot], sem3.at[slot]),
                     pltpu.make_async_copy(word_hbm.at[rows, :],
                                           wrd_v.at[slot], sem4.at[slot]),
                 ]
+            else:
+                copies.append(wrd_s_copy(p0, slot))
             return copies
 
         def start_segment(pi, slot):
@@ -824,12 +834,21 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
             for cp in window_copies(starts_ref[k * n_per_leaf + pi], slot):
                 cp.start()
 
-        def process_chunk(slot, off, n):
+        def process_chunk(slot, p0, off, n):
             """Consume `n` entries at window offset `off` from `slot`
-            (the window DMA must have completed)."""
+            (the window DMA must have completed; `p0` identifies the
+            window for the fallback's on-demand word-scalar DMA)."""
 
             def entry_span(lo, hi_x):
                 """Per-entry fallback over window positions [lo, hi_x)."""
+                if use_mxu:
+                    # word scalars are not resident on the MXU path —
+                    # fetch this window's words into the SMEM slot now
+                    # (rare: only spans wider than the MXU output tile)
+                    cp = wrd_s_copy(p0, slot)
+                    cp.start()
+                    cp.wait()
+
                 def per_entry(p, _):
                     i = idx_s[slot, p >> 7, p & 127]
                     h = i >> 7
@@ -962,7 +981,7 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
 
             @pl.when(length > 0)
             def _():
-                process_chunk(slot, s & 1023,
+                process_chunk(slot, s, s & 1023,
                               jnp.minimum(length, DENSIFY_CHUNK))
 
             def later_chunk(ci, _):
@@ -972,7 +991,7 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
                     cp.start()
                 for cp in window_copies(p0, slot):
                     cp.wait()
-                process_chunk(slot, p0 & 1023,
+                process_chunk(slot, p0, p0 & 1023,
                               jnp.minimum(length - ci * DENSIFY_CHUNK,
                                           DENSIFY_CHUNK))
                 return 0
