@@ -754,15 +754,47 @@ MXU_SPAN = 128             # hi rows per matmul-scatter output tile: a
                            # segment takes the MXU path
 
 
+def bounded_part_h0(n_per_leaf: int, n_words: int):
+    """Per-partition 8-aligned MXU tile base rows for the BOUNDED densify
+    path: valid when the engine's uniform layout (partition pi owns global
+    words [pi*W, (pi+1)*W), W = n_words // n_per_leaf) guarantees every
+    segment's index span fits one [MXU_SPAN, 128] output tile. Returns an
+    i32 [n_per_leaf] array of h0 rows, or None when any window could
+    overflow the tile (callers then use the span-checked kernel)."""
+    if n_words % 128 or n_per_leaf <= 0 or n_words % n_per_leaf:
+        return None
+    hi = n_words // 128
+    if hi < MXU_SPAN:
+        return None
+    w = n_words // n_per_leaf
+    out = np.empty(n_per_leaf, np.int32)
+    for pi in range(n_per_leaf):
+        s_hi = (pi * w) >> 7
+        l_hi = ((pi + 1) * w - 1) >> 7
+        h0 = min((s_hi >> 3) << 3, hi - MXU_SPAN)
+        if l_hi - h0 >= MXU_SPAN:
+            return None
+        out[pi] = h0
+    return out
+
+
 def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
-                 n_words: int, interpret: bool | None = None):
+                 n_words: int, interpret: bool | None = None,
+                 part_h0=None):
     """[K, PW] u32: for each of n_sparse_k leaves, scatter its n_per_leaf
     contiguous (start, len) stream segments (seg = leaf * P + pi) into a
     dense global-word row. Stream entries within a segment carry GLOBAL
     word indices in that partition's disjoint window (so every target is
     written at most once). The stream must be padded so any aligned
     DENSIFY_WINDOW read past the last live entry stays in bounds
-    (DeviceEngine pads by DENSIFY_WINDOW), with pad words 0."""
+    (DeviceEngine pads by DENSIFY_WINDOW), with pad words 0.
+
+    part_h0 (i32 [n_per_leaf], from bounded_part_h0) opts into the
+    BOUNDED fast path: the caller guarantees segment pi's indices lie in
+    [part_h0[pi]*128, (part_h0[pi]+MXU_SPAN)*128), so the kernel skips
+    the SMEM idx window copy (1 of 3 DMA issues/waits per segment) and
+    the two per-row scalar span reads — per-segment serial scalar work is
+    the cold-sweep bound at ~100-entry segments."""
     if interpret is None:
         interpret = interpret_default()
     n_seg = starts.shape[0]
@@ -782,9 +814,17 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
     # RMW for A/B.
     use_mxu = (hi >= MXU_SPAN
                and os.environ.get("SILO_DENSIFY_MXU", "1") != "0")
+    bounded = (use_mxu and part_h0 is not None
+               and os.environ.get("SILO_DENSIFY_BOUNDED", "1") != "0")
 
-    def kernel(starts_ref, lens_ref, idx_hbm, word_hbm, out_ref,
-               idx_s, wrd_s, idx_v, wrd_v, sem1, sem2, sem3, sem4):
+    def kernel(*refs):
+        if bounded:
+            (starts_ref, lens_ref, h0_ref, idx_hbm, word_hbm, out_ref,
+             idx_v, wrd_v, sem3, sem4) = refs
+            idx_s = wrd_s = sem1 = sem2 = None
+        else:
+            (starts_ref, lens_ref, idx_hbm, word_hbm, out_ref,
+             idx_s, wrd_s, idx_v, wrd_v, sem1, sem2, sem3, sem4) = refs
         k = pl.program_id(0)
         out_ref[...] = jnp.zeros_like(out_ref)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -810,13 +850,14 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
             dominates tiny cold-sweep segments."""
             q8 = (p0 >> 10) * 8  # provably 8-row-aligned window start
             rows = pl.ds(q8, DENSIFY_WINDOW // 128)
-            copies = [
-                pltpu.make_async_copy(idx_hbm.at[rows, :], idx_s.at[slot],
-                                      sem1.at[slot]),
-            ]
+            copies = []
+            if not bounded:
+                # scalar idx copy: drives the fallback's span decisions
+                copies.append(
+                    pltpu.make_async_copy(idx_hbm.at[rows, :],
+                                          idx_s.at[slot], sem1.at[slot]))
             if use_mxu:
                 # the vector path reads the same windows as VMEM tiles
-                # (the scalar idx copy above drives span decisions only)
                 copies += [
                     pltpu.make_async_copy(idx_hbm.at[rows, :],
                                           idx_v.at[slot], sem3.at[slot]),
@@ -834,10 +875,65 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
             for cp in window_copies(starts_ref[k * n_per_leaf + pi], slot):
                 cp.start()
 
-        def process_chunk(slot, p0, off, n):
+        def mxu_row_scatter(slot, r, lo, hi_x, h0):
+            """Matmul-scatter one 128-entry window row into the
+            [MXU_SPAN, 128] output tile at row h0 (caller guarantees the
+            row's index span fits the tile)."""
+            idx_row = idx_v[slot, pl.ds(r, 1), :]  # [1, 128]
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 128), 1)
+            # lo..hi_x-1 live within ONE window row, so the
+            # in-row lane bounds cannot wrap
+            valid = ((lane >= (lo & 127))
+                     & (lane <= ((hi_x - 1) & 127)))
+            idx_m = jnp.where(valid, idx_row, -1)
+            # A[s, e]: hi-row one-hot along lanes (e)
+            hi_rel = jnp.broadcast_to(
+                (idx_m >> 7) - h0, (MXU_SPAN, 128))
+            a_mat = (iota_s_span == hi_rel).astype(
+                jnp.float32)
+            # C[e, l]: lane one-hot needs entry-major
+            # sublanes -> transpose the row tiles once
+            idx_sq = jnp.broadcast_to(idx_m, (128, 128))
+            idx_t = idx_sq.T  # idx_t[e, l] = idx_m[e]
+            wrd_row = wrd_v[slot, pl.ds(r, 1), :]
+            wrd_sq = jnp.broadcast_to(wrd_row, (128, 128))
+            wrd_t = wrd_sq.T
+            lane_oh = (iota_l_sq == (idx_t & 127))
+            # ONE [128, 4*128] dot instead of 4 [128, 128]
+            # dots: the 4 byte planes concatenate along the
+            # output lanes, so the per-row MXU fixed cost is
+            # paid once (segments average ~100 entries — the
+            # per-dot overhead, not the flops, dominates).
+            # Mosaic has no u32<->f32 casts; route through
+            # i32 (values <= 255, exact in f32/bf16 passes).
+            planes = [
+                jnp.where(lane_oh,
+                          ((wrd_t >> (8 * b)) &
+                           jnp.uint32(255)).astype(
+                              jnp.int32).astype(jnp.float32),
+                          0.0)
+                for b in range(4)
+            ]
+            c4 = jnp.concatenate(planes, axis=1)  # [128, 512]
+            u4 = jax.lax.dot(
+                a_mat, c4,
+                preferred_element_type=jnp.float32)
+            acc = jnp.zeros((MXU_SPAN, 128), jnp.uint32)
+            for b in range(4):
+                u_b = u4[:, b * 128 : (b + 1) * 128]
+                acc = acc | (u_b.astype(jnp.int32)
+                             .astype(jnp.uint32)
+                             << (8 * b))
+            out_ref[0, pl.ds(h0, MXU_SPAN), :] = (
+                out_ref[0, pl.ds(h0, MXU_SPAN), :] | acc)
+
+        def process_chunk(slot, p0, off, n, h0b=None):
             """Consume `n` entries at window offset `off` from `slot`
             (the window DMA must have completed; `p0` identifies the
-            window for the fallback's on-demand word-scalar DMA)."""
+            window for the fallback's on-demand word-scalar DMA; `h0b`
+            is the BOUNDED path's precomputed tile base — with it the
+            per-row span reads and the fallback vanish)."""
 
             def entry_span(lo, hi_x):
                 """Per-entry fallback over window positions [lo, hi_x)."""
@@ -875,12 +971,16 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
                 MXU passes regardless of precision mode). ~3 ns/entry
                 vs ~18 for the per-entry RMW. Rows whose index span
                 exceeds the MXU_SPAN output tile (very sparse
-                segments) take the per-entry path."""
+                segments) take the per-entry path; the BOUNDED variant
+                proves the fit per partition and skips the checks."""
                 lo = jnp.maximum(off, r * 128)
                 hi_x = jnp.minimum(off + n, (r + 1) * 128)
 
                 @pl.when(lo < hi_x)
                 def _():
+                    if bounded:
+                        mxu_row_scatter(slot, r, lo, hi_x, h0b)
+                        return
                     first = idx_s[slot, r, lo & 127] >> 7
                     last = idx_s[slot, r, (hi_x - 1) & 127] >> 7
 
@@ -891,55 +991,7 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
 
                     @pl.when(last - h0a < MXU_SPAN)
                     def _():
-                        h0 = h0a
-                        idx_row = idx_v[slot, pl.ds(r, 1), :]  # [1, 128]
-                        lane = jax.lax.broadcasted_iota(
-                            jnp.int32, (1, 128), 1)
-                        # lo..hi_x-1 live within ONE window row, so the
-                        # in-row lane bounds cannot wrap
-                        valid = ((lane >= (lo & 127))
-                                 & (lane <= ((hi_x - 1) & 127)))
-                        idx_m = jnp.where(valid, idx_row, -1)
-                        # A[s, e]: hi-row one-hot along lanes (e)
-                        hi_rel = jnp.broadcast_to(
-                            (idx_m >> 7) - h0, (MXU_SPAN, 128))
-                        a_mat = (iota_s_span == hi_rel).astype(
-                            jnp.float32)
-                        # C[e, l]: lane one-hot needs entry-major
-                        # sublanes -> transpose the row tiles once
-                        idx_sq = jnp.broadcast_to(idx_m, (128, 128))
-                        idx_t = idx_sq.T  # idx_t[e, l] = idx_m[e]
-                        wrd_row = wrd_v[slot, pl.ds(r, 1), :]
-                        wrd_sq = jnp.broadcast_to(wrd_row, (128, 128))
-                        wrd_t = wrd_sq.T
-                        lane_oh = (iota_l_sq == (idx_t & 127))
-                        # ONE [128, 4*128] dot instead of 4 [128, 128]
-                        # dots: the 4 byte planes concatenate along the
-                        # output lanes, so the per-row MXU fixed cost is
-                        # paid once (segments average ~100 entries — the
-                        # per-dot overhead, not the flops, dominates).
-                        # Mosaic has no u32<->f32 casts; route through
-                        # i32 (values <= 255, exact in f32/bf16 passes).
-                        planes = [
-                            jnp.where(lane_oh,
-                                      ((wrd_t >> (8 * b)) &
-                                       jnp.uint32(255)).astype(
-                                          jnp.int32).astype(jnp.float32),
-                                      0.0)
-                            for b in range(4)
-                        ]
-                        c4 = jnp.concatenate(planes, axis=1)  # [128, 512]
-                        u4 = jax.lax.dot(
-                            a_mat, c4,
-                            preferred_element_type=jnp.float32)
-                        acc = jnp.zeros((MXU_SPAN, 128), jnp.uint32)
-                        for b in range(4):
-                            u_b = u4[:, b * 128 : (b + 1) * 128]
-                            acc = acc | (u_b.astype(jnp.int32)
-                                         .astype(jnp.uint32)
-                                         << (8 * b))
-                        out_ref[0, pl.ds(h0, MXU_SPAN), :] = (
-                            out_ref[0, pl.ds(h0, MXU_SPAN), :] | acc)
+                        mxu_row_scatter(slot, r, lo, hi_x, h0a)
 
                     # complement of the matmul gate ABOVE (both test
                     # last - h0a): testing last - first here left a
@@ -978,11 +1030,12 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
             seg = k * n_per_leaf + pi
             s = starts_ref[seg]
             length = lens_ref[seg]
+            h0b = h0_ref[pi] if bounded else None
 
             @pl.when(length > 0)
             def _():
                 process_chunk(slot, s, s & 1023,
-                              jnp.minimum(length, DENSIFY_CHUNK))
+                              jnp.minimum(length, DENSIFY_CHUNK), h0b)
 
             def later_chunk(ci, _):
                 # 2nd+ chunks of a long segment: serial DMA in this slot
@@ -993,7 +1046,7 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
                     cp.wait()
                 process_chunk(slot, p0, p0 & 1023,
                               jnp.minimum(length - ci * DENSIFY_CHUNK,
-                                          DENSIFY_CHUNK))
+                                          DENSIFY_CHUNK), h0b)
                 return 0
 
             n_chunks = (length + DENSIFY_CHUNK - 1) // DENSIFY_CHUNK
@@ -1003,13 +1056,16 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
         start_segment(0, 0)
         jax.lax.fori_loop(0, n_per_leaf, per_partition, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_sparse_k,),
-        in_specs=[pl.BlockSpec(memory_space=_ANY),
-                  pl.BlockSpec(memory_space=_ANY)],
-        out_specs=pl.BlockSpec((1, hi, 128), lambda k, *s: (k, 0, 0)),
-        scratch_shapes=[
+    if bounded:
+        scratch = [
+            pltpu.VMEM((2, DENSIFY_WINDOW // 128, 128), jnp.int32),
+            pltpu.VMEM((2, DENSIFY_WINDOW // 128, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        n_prefetch = 3
+    else:
+        scratch = [
             pltpu.SMEM((2, DENSIFY_WINDOW // 128, 128), jnp.int32),
             pltpu.SMEM((2, DENSIFY_WINDOW // 128, 128), jnp.uint32),
             pltpu.VMEM((2, DENSIFY_WINDOW // 128, 128), jnp.int32),
@@ -1018,7 +1074,15 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+        n_prefetch = 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_prefetch,
+        grid=(n_sparse_k,),
+        in_specs=[pl.BlockSpec(memory_space=_ANY),
+                  pl.BlockSpec(memory_space=_ANY)],
+        out_specs=pl.BlockSpec((1, hi, 128), lambda k, *s: (k, 0, 0)),
+        scratch_shapes=scratch,
     )
     try:
         compiler_params = pltpu.CompilerParams(
@@ -1026,18 +1090,20 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
             vmem_limit_bytes=100 << 20)
     except Exception:  # noqa: BLE001
         compiler_params = None
+    operands = ((starts, lens, jnp.asarray(part_h0, jnp.int32))
+                if bounded else (starts, lens))
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_sparse_k, hi, 128), jnp.uint32),
         compiler_params=compiler_params,
         interpret=interpret,
-    )(starts, lens, idx2, wrd2)
+    )(*operands, idx2, wrd2)
     return out.reshape(n_sparse_k, n_words)
 
 
 def densify_rows_into_pool(pool3, stream_idx, stream_words, starts, lens,
                            slots, n_sparse_k: int, n_words: int,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None, part_h0=None):
     """Densify n_sparse_k leaves and write them into pool slots (the
     hot-leaf cache): pool3 [C, PW/128, 128] comes back with slot rows
     replaced and every other row untouched. The rows build in the proven
@@ -1056,5 +1122,6 @@ def densify_rows_into_pool(pool3, stream_idx, stream_words, starts, lens,
     hi = n_words // 128
     assert pool3.shape[1:] == (hi, 128), (pool3.shape, hi)
     rows = densify_rows(stream_idx, stream_words, starts, lens,
-                        n_sparse_k, n_words, interpret=interpret)
+                        n_sparse_k, n_words, interpret=interpret,
+                        part_h0=part_h0)
     return pool3.at[slots].set(rows.reshape(n_sparse_k, hi, 128))

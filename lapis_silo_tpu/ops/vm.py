@@ -264,6 +264,8 @@ def _pool_update_jit(k_bucket: int, n_partitions: int, n_words: int):
     ids point at the table's trailing all-zero sentinel row (no work)."""
     from . import pallas_kernels as pk
 
+    part_h0 = pk.bounded_part_h0(n_partitions, n_words)
+
     def run(pool, stream_idx, stream_words, bounds, blob):
         ids = blob[:k_bucket]
         slots = blob[k_bucket:]
@@ -272,7 +274,7 @@ def _pool_update_jit(k_bucket: int, n_partitions: int, n_words: int):
         lens = b[:, 1, :].reshape(-1)
         return pk.densify_rows_into_pool(pool, stream_idx, stream_words,
                                          starts, lens, slots, k_bucket,
-                                         n_words)
+                                         n_words, part_h0=part_h0)
 
     return jax.jit(run, donate_argnums=0)
 
@@ -304,6 +306,7 @@ def _pooled_update_vm_jit(program_len: int, n_rows: int, n_dyn: int,
     vm = _interpreter(program_len, n_rows, n_dyn, pool_slots + 1, n_words,
                       output, n_regs, mesh=None)
     code_len = 2 * program_len
+    part_h0 = pk.bounded_part_h0(n_partitions, n_words)
 
     def run(pool, bank, dyn, stream_idx, stream_words, bounds, blob,
             full_masks):
@@ -318,7 +321,7 @@ def _pooled_update_vm_jit(program_len: int, n_rows: int, n_dyn: int,
             lens = b[:, 1, :].reshape(-1)
             pool = pk.densify_rows_into_pool(
                 pool, stream_idx, stream_words, starts, lens, slots,
-                k_bucket, n_words)
+                k_bucket, n_words, part_h0=part_h0)
         counts = vm(blob[: code_len + 1], bank, dyn, pool, full_masks)
         return counts, pool
 
@@ -469,13 +472,14 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
             and mesh is None
             and n_words % 128 == 0
         )
+        part_h0 = pk.bounded_part_h0(n_per_leaf, n_words)
 
         def densify_and_run(code, starts, lens, n_instr, bank, dyn,
                             stream_idx, stream_words, full_masks):
             if use_densify_kernel:
                 sparse_rows = pk.densify_rows(
                     stream_idx, stream_words, starts, lens, n_sparse_k,
-                    n_words)
+                    n_words, part_h0=part_h0)
             else:
                 sparse_rows = densify(stream_idx, stream_words, starts, lens)
             words, outs = run_one(code, bank, dyn, sparse_rows, full_masks,

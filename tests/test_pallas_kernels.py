@@ -421,6 +421,62 @@ def test_densify_mxu_scatter_matches_oracle(monkeypatch):
     np.testing.assert_array_equal(got_scalar, want)
 
 
+def test_densify_bounded_matches_oracle():
+    """The BOUNDED densify path (per-partition precomputed MXU tile base,
+    no SMEM idx window, no per-row span reads) must be bit-exact vs the
+    numpy oracle AND vs the span-checked kernel on an engine-layout
+    stream (uniform partition word windows, seg = leaf * P + pi)."""
+    import jax.numpy as jnp
+
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    if not pk.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(41)
+    P = 8
+    n_words = 128 * 512          # hi = 512; W = 8192 words = 64 hi rows
+    wp = n_words // P
+    h0 = pk.bounded_part_h0(P, n_words)
+    assert h0 is not None and h0.shape == (P,)
+    # production shape sanity: 10M x 32 qualifies
+    assert pk.bounded_part_h0(32, 327680) is not None
+    # whole-space single segment does NOT (span > MXU_SPAN)
+    assert pk.bounded_part_h0(1, n_words) is None
+
+    K = 4
+    n_seg = K * P
+    lens = rng.integers(0, 300, size=n_seg).astype(np.int32)
+    lens[3] = 0                  # empty segment
+    lens[7] = 1400               # multi-chunk segment
+    lens = np.minimum(lens, wp)
+    starts = np.zeros(n_seg, np.int32)
+    pos = 0
+    e_idx, e_wrd = [], []
+    for g in range(n_seg):
+        pi = g % P
+        starts[g] = pos
+        w = np.sort(rng.choice(wp, size=lens[g], replace=False)).astype(
+            np.int32) + pi * wp
+        e_idx.append(w)
+        e_wrd.append(rng.integers(1, 2**32, size=lens[g], dtype=np.uint32))
+        pos += lens[g]
+    pad = ((-pos) % pk.DENSIFY_WINDOW) + pk.DENSIFY_WINDOW
+    idx_np = np.concatenate(e_idx + [np.zeros(pad, np.int32)])
+    wrd_np = np.concatenate(e_wrd + [np.zeros(pad, np.uint32)])
+
+    want = np.zeros((K, n_words), dtype=np.uint32)
+    for g in range(n_seg):
+        want[g // P, e_idx[g]] |= e_wrd[g]
+
+    args = (jnp.asarray(idx_np), jnp.asarray(wrd_np), jnp.asarray(starts),
+            jnp.asarray(lens), K, n_words)
+    got_bounded = np.asarray(pk.densify_rows(*args, interpret=True,
+                                             part_h0=h0))
+    np.testing.assert_array_equal(got_bounded, want)
+    got_checked = np.asarray(pk.densify_rows(*args, interpret=True))
+    np.testing.assert_array_equal(got_checked, want)
+
+
 def test_densify_mxu_alignment_gap_regression():
     """Regression: a window row whose raw hi-span fits MXU_SPAN but whose
     8-ALIGNED span does not (span in [MXU_SPAN-7, MXU_SPAN-1], misaligned
