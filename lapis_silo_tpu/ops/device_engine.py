@@ -357,12 +357,20 @@ class DeviceEngine:
                 # windows may over-read past the last live entry
                 nnz_pad = -(-(nnz_pad + pk.DENSIFY_WINDOW)
                             // pk.SPARSE_CHUNK) * pk.SPARSE_CHUNK
+            # the block-interleaved combined stream needs E to be a
+            # COMBINE_BLOCK multiple on every path (XLA fallbacks too)
+            nnz_pad = (-(-nnz_pad // pk.COMBINE_BLOCK)
+                       * pk.COMBINE_BLOCK)
             sp_idx = np.zeros(nnz_pad, dtype=np.int32)
             sp_words = np.zeros(nnz_pad, dtype=np.uint32)
             sp_idx[: len(idx)] = idx
             sp_words[: len(words)] = words
-            self.sparse_stream = (jax.device_put(sp_idx),
-                                  jax.device_put(sp_words))
+            # ONE combined device array (idx lanes 0:128, words 128:256):
+            # every densify window then moves with a single DMA issue/wait
+            # instead of two — per-segment serial scalar work is the
+            # cold-sweep bound (see pallas_kernels.combine_stream)
+            self.sparse_stream = (
+                jax.device_put(pk.combine_stream(sp_idx, sp_words)),)
             # Mutations-reduction bounds: one (start, len) per
             # (leaf, partition) segment, flattened seg = leaf * P + pi
             self._sparse_bounds_dev = (
@@ -623,7 +631,7 @@ class DeviceEngine:
                 run = _pool_update_jit(k_bucket, n_p, self.n_flat_words)
                 self.leaf_pool = run(
                     self.leaf_pool, self.sparse_stream[0],
-                    self.sparse_stream[1], bounds, jax.device_put(blob))
+                    bounds, jax.device_put(blob))
                 self.pool_update_dispatches += 1
         except Exception:
             self._drop_pool()
@@ -661,7 +669,7 @@ class DeviceEngine:
                 run = _pool_update_jit(k_bucket, n_p, self.n_flat_words)
                 self.leaf_pool = run(
                     self.leaf_pool, self.sparse_stream[0],
-                    self.sparse_stream[1], bounds, jax.device_put(blob))
+                    bounds, jax.device_put(blob))
 
     def _rewrite_sparse_operands(self, code: np.ndarray,
                                  leaf_ids: list[int],
@@ -852,7 +860,7 @@ class DeviceEngine:
             return cached
         starts, lens, _ids = sp
         run = _densify_jit(k, e, self.n_flat_words, self.n_partitions)
-        return run(self.sparse_stream[0], self.sparse_stream[1],
+        return run(self.sparse_stream[0],
                    jax.device_put(starts), jax.device_put(lens))
 
     def _dyn_sharding(self, ndim: int):
@@ -958,7 +966,7 @@ class DeviceEngine:
                 try:
                     counts, self.leaf_pool = run(
                         self.leaf_pool, self.bank, dyn_dev,
-                        self.sparse_stream[0], self.sparse_stream[1],
+                        self.sparse_stream[0],
                         self._ensure_bounds_dev(), jax.device_put(blob),
                         self.full_masks)
                 except Exception:
@@ -978,7 +986,7 @@ class DeviceEngine:
                 blob = np.concatenate([
                     code.reshape(-1), ids, rounded.reshape(1)])
                 return run(jax.device_put(blob), self.bank, dyn_dev,
-                           self.sparse_stream[0], self.sparse_stream[1],
+                           self.sparse_stream[0],
                            self.full_masks, self._ensure_bounds_dev())
             run = _interpreter(bucket, self.n_rows, n_dyn, k,
                                self.n_flat_words, output, n_regs, m,
@@ -990,7 +998,7 @@ class DeviceEngine:
                 rounded.reshape(1),
             ])
             return run(jax.device_put(blob), self.bank, dyn_dev,
-                       self.sparse_stream[0], self.sparse_stream[1],
+                       self.sparse_stream[0],
                        self.full_masks)
         run = _interpreter(bucket, self.n_rows, n_dyn, 0, self.n_flat_words,
                            output, n_regs, mesh=self.mesh)
@@ -1494,7 +1502,7 @@ class DeviceEngine:
         if memo is not None and memo[0] == key:
             return memo[2]
         filters = self._filters_for(filter_words)
-        sp_idx, sp_words = self.sparse_stream
+        (stream_comb,) = self.sparse_stream
         starts, lens = self._sparse_bounds_dev
         from . import pallas_kernels as pk
 
@@ -1507,15 +1515,15 @@ class DeviceEngine:
             self.use_pallas
             and self.mesh is None
             and self._sparse_kernel_ok
-            and sp_idx.shape[0] % pk.SPARSE_CHUNK == 0
+            and (stream_comb.shape[0] * 64) % pk.SPARSE_CHUNK == 0
         )
         if use_kernel:
             out = np.asarray(_sparse_mutation_counts_pallas_jit(
-                sp_idx, sp_words, filters,
+                stream_comb, filters,
                 starts, lens, self.n_partitions), dtype=np.int64)
         else:
             out = np.asarray(_sparse_mutation_counts_jit(
-                sp_idx, sp_words, filters, starts, lens,
+                stream_comb, filters, starts, lens,
                 self.n_partitions), dtype=np.int64)
         self._sparse_counts_memo = (key, filter_words, out)
         return out

@@ -349,11 +349,14 @@ SPARSE_CHUNK = 16384
 SPARSE_GROUP = 1024  # one [8, 128] slab
 
 
-def _sparse_vals_kernel(filt_ref, idx_ref, words_ref, out_ref):
+def _sparse_vals_kernel(filt_ref, comb_ref, out_ref):
     def per_group(g, _):
-        base = g * 8
-        idx = idx_ref[pl.ds(base, 8), :]
-        words = words_ref[pl.ds(base, 8), :]
+        # block-interleaved combined stream: group g's 8 idx rows at
+        # g*16, its 8 word rows at g*16 + 8 (indices stored as u32,
+        # bit-identical i32)
+        base = g * 16
+        idx = comb_ref[pl.ds(base, 8), :].astype(jnp.int32)
+        words = comb_ref[pl.ds(base + 8, 8), :]
         lo = idx & 127
         hi = idx >> 7
         h0 = jnp.min(hi)
@@ -366,42 +369,71 @@ def _sparse_vals_kernel(filt_ref, idx_ref, words_ref, out_ref):
             return jnp.where(hi == h, gth, val)
 
         val = jax.lax.fori_loop(h0, h1 + 1, body, jnp.zeros_like(words))
-        out_ref[pl.ds(base, 8), :] = jax.lax.population_count(
+        out_ref[pl.ds(g * 8, 8), :] = jax.lax.population_count(
             words & val).astype(jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, SPARSE_CHUNK // SPARSE_GROUP, per_group, 0)
 
 
-def sparse_filter_popcount(filters, sp_idx, sp_words, interpret=None):
-    """vals[E] i32 = popcount(sp_words & filters[sp_idx]) — the per-entry
-    reduction of the GLOBAL sparse-tier CSR stream against the flat filter
-    (reference mutations.cpp's and_cardinality over sparse rows). E must be
-    a SPARSE_CHUNK multiple and PW a lane multiple; pad entries carry word 0
+COMBINE_BLOCK = 1024  # entries per interleaved (8 idx + 8 word row) group
+
+
+def combine_stream(sp_idx, sp_words):
+    """Pack the sparse-tier CSR stream into ONE [2E/128, 128] u32 array,
+    8-row block-interleaved: each 1024-entry group stores its 8 idx rows
+    (bit-identical i32->u32) followed by its 8 word rows. Every kernel
+    window then moves with a SINGLE DMA (idx + words were two issues/
+    waits per densify segment — serial scalar work that bounds cold
+    sweeps at ~100-entry segments), and every in-kernel load stays the
+    proven lane-offset-0 pattern (a [*, 256] lanes-split layout hit TWO
+    Mosaic hardware limitations: dynamic-sublane loads at lane offset
+    128, and broadcasts of lane-offset vreg slices). Entry position p
+    maps to idx row (p>>10)*16 + ((p>>7)&7), word row = idx row + 8,
+    lane p&127. Works on numpy (engine init) and jnp (tests) inputs;
+    E must be a multiple of COMBINE_BLOCK."""
+    e = sp_idx.shape[0]
+    assert e % COMBINE_BLOCK == 0, e
+    if isinstance(sp_idx, np.ndarray):
+        comb = np.empty((e // 64, 128), np.uint32)
+        v = comb.reshape(e // COMBINE_BLOCK, 2, 8, 128)
+        v[:, 0] = sp_idx.reshape(-1, 8, 128).view(np.uint32)
+        v[:, 1] = sp_words.reshape(-1, 8, 128)
+        return comb
+    return jnp.concatenate(
+        [sp_idx.reshape(-1, 1, 8, 128).astype(jnp.uint32),
+         sp_words.reshape(-1, 1, 8, 128)], axis=1).reshape(-1, 128)
+
+
+def sparse_filter_popcount(filters, stream_comb, interpret=None):
+    """vals[E] i32 = popcount(word & filters[idx]) over the combined
+    [E/128, 256] stream (combine_stream) — the per-entry reduction of the
+    GLOBAL sparse-tier CSR stream against the flat filter (reference
+    mutations.cpp's and_cardinality over sparse rows). E must be a
+    SPARSE_CHUNK multiple and PW a lane multiple; pad entries carry word 0
     and contribute 0."""
     if interpret is None:
         interpret = interpret_default()
 
     n_words = filters.shape[0]
-    e = sp_idx.shape[0]
+    e = stream_comb.shape[0] * 64
+    assert stream_comb.shape[1] == 128, stream_comb.shape
     assert e % SPARSE_CHUNK == 0 and n_words % 128 == 0, (e, n_words)
     n_hi = n_words // 128
-    rows_per_chunk = SPARSE_CHUNK // 128
+    rows_per_chunk = SPARSE_CHUNK // 64   # interleaved rows per chunk
     n_chunks = e // SPARSE_CHUNK
-    entry_spec = pl.BlockSpec((rows_per_chunk, 128), lambda c: (c, 0))
     out = pl.pallas_call(
         _sparse_vals_kernel,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((n_hi, 128), lambda c: (0, 0)),
-            entry_spec,
-            entry_spec,
+            pl.BlockSpec((rows_per_chunk, 128), lambda c: (c, 0)),
         ],
-        out_specs=entry_spec,
+        out_specs=pl.BlockSpec((SPARSE_CHUNK // 128, 128),
+                               lambda c: (c, 0)),
         out_shape=jax.ShapeDtypeStruct((e // 128, 128), jnp.int32),
         interpret=interpret,
-    )(filters.reshape(-1, 128), sp_idx.reshape(-1, 128),
-      sp_words.reshape(-1, 128))
+    )(filters.reshape(-1, 128), stream_comb)
     return out.reshape(e)
 
 
@@ -778,33 +810,35 @@ def bounded_part_h0(n_per_leaf: int, n_words: int):
     return out
 
 
-def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
+def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
                  n_words: int, interpret: bool | None = None,
                  part_h0=None):
     """[K, PW] u32: for each of n_sparse_k leaves, scatter its n_per_leaf
     contiguous (start, len) stream segments (seg = leaf * P + pi) into a
-    dense global-word row. Stream entries within a segment carry GLOBAL
-    word indices in that partition's disjoint window (so every target is
-    written at most once). The stream must be padded so any aligned
-    DENSIFY_WINDOW read past the last live entry stays in bounds
+    dense global-word row. stream_comb is the COMBINED [E/128, 256] u32
+    stream (combine_stream: idx lanes 0:128, word lanes 128:256) — one
+    window DMA moves both halves. Stream entries within a segment carry
+    GLOBAL word indices in that partition's disjoint window (so every
+    target is written at most once). The stream must be padded so any
+    aligned DENSIFY_WINDOW read past the last live entry stays in bounds
     (DeviceEngine pads by DENSIFY_WINDOW), with pad words 0.
 
     part_h0 (i32 [n_per_leaf], from bounded_part_h0) opts into the
     BOUNDED fast path: the caller guarantees segment pi's indices lie in
     [part_h0[pi]*128, (part_h0[pi]+MXU_SPAN)*128), so the kernel skips
-    the SMEM idx window copy (1 of 3 DMA issues/waits per segment) and
-    the two per-row scalar span reads — per-segment serial scalar work is
-    the cold-sweep bound at ~100-entry segments."""
+    the SMEM window copy entirely and the two per-row scalar span reads —
+    per-segment serial scalar work is the cold-sweep bound at ~100-entry
+    segments."""
     if interpret is None:
         interpret = interpret_default()
     n_seg = starts.shape[0]
     n_per_leaf = n_seg // n_sparse_k
     assert n_seg == n_sparse_k * n_per_leaf
-    n_stream = stream_idx.shape[0]
-    assert n_stream % 128 == 0 and n_words % 128 == 0, (n_stream, n_words)
+    assert stream_comb.ndim == 2 and stream_comb.shape[1] == 128, (
+        stream_comb.shape)
+    assert stream_comb.shape[0] % 16 == 0, stream_comb.shape
+    assert n_words % 128 == 0, n_words
     hi = n_words // 128
-    idx2 = stream_idx.reshape(-1, 128)    # free: same row-major bytes
-    wrd2 = stream_words.reshape(-1, 128)
     # MXU scatter path (see per_row below): needs >= MXU_SPAN hi rows to
     # slice a full [MXU_SPAN, 128] accumulation tile out of the output.
     # Bit-exact on hardware (and vs the numpy oracle in interpret mode);
@@ -819,12 +853,16 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
 
     def kernel(*refs):
         if bounded:
-            (starts_ref, lens_ref, h0_ref, idx_hbm, word_hbm, out_ref,
-             idx_v, wrd_v, sem3, sem4) = refs
-            idx_s = wrd_s = sem1 = sem2 = None
+            (starts_ref, lens_ref, h0_ref, comb_hbm, out_ref,
+             comb_v, sem_v) = refs
+            comb_s = sem_s = None
+        elif use_mxu:
+            (starts_ref, lens_ref, comb_hbm, out_ref,
+             comb_s, comb_v, sem_s, sem_v) = refs
         else:
-            (starts_ref, lens_ref, idx_hbm, word_hbm, out_ref,
-             idx_s, wrd_s, idx_v, wrd_v, sem1, sem2, sem3, sem4) = refs
+            (starts_ref, lens_ref, comb_hbm, out_ref,
+             comb_s, sem_s) = refs
+            comb_v = sem_v = None
         k = pl.program_id(0)
         out_ref[...] = jnp.zeros_like(out_ref)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -835,37 +873,26 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
             iota_s_span = jax.lax.broadcasted_iota(
                 jnp.int32, (MXU_SPAN, 128), 0)
 
-        def wrd_s_copy(p0, slot):
-            q8 = (p0 >> 10) * 8
-            return pltpu.make_async_copy(
-                word_hbm.at[pl.ds(q8, DENSIFY_WINDOW // 128), :],
-                wrd_s.at[slot], sem2.at[slot])
-
         def window_copies(p0, slot):
-            """The async copies moving the aligned window covering stream
-            position p0 into buffer `slot`. On the MXU path the
-            word-scalar (SMEM) copy is OMITTED — only the rare wide-span
-            per-entry fallback reads word scalars, and it DMAs them on
-            demand; each issue/wait costs serial scalar work that
-            dominates tiny cold-sweep segments."""
-            q8 = (p0 >> 10) * 8  # provably 8-row-aligned window start
-            rows = pl.ds(q8, DENSIFY_WINDOW // 128)
+            """The async copies moving the combined (idx + word) window
+            covering stream position p0 into buffer `slot` — ONE copy per
+            memory space. BOUNDED skips SMEM entirely (no scalar reads);
+            the span-checked MXU path keeps an SMEM copy for its per-row
+            span decisions and the per-entry fallback."""
+            # block-interleaved stream: the window covering p0's two
+            # 1024-entry groups spans 32 rows at (p0 >> 10) * 16 —
+            # provably 16-row-aligned for the DMA prover
+            q16 = (p0 >> 10) * 16
+            rows = pl.ds(q16, DENSIFY_WINDOW // 64)
             copies = []
             if not bounded:
-                # scalar idx copy: drives the fallback's span decisions
                 copies.append(
-                    pltpu.make_async_copy(idx_hbm.at[rows, :],
-                                          idx_s.at[slot], sem1.at[slot]))
+                    pltpu.make_async_copy(comb_hbm.at[rows, :],
+                                          comb_s.at[slot], sem_s.at[slot]))
             if use_mxu:
-                # the vector path reads the same windows as VMEM tiles
-                copies += [
-                    pltpu.make_async_copy(idx_hbm.at[rows, :],
-                                          idx_v.at[slot], sem3.at[slot]),
-                    pltpu.make_async_copy(word_hbm.at[rows, :],
-                                          wrd_v.at[slot], sem4.at[slot]),
-                ]
-            else:
-                copies.append(wrd_s_copy(p0, slot))
+                copies.append(
+                    pltpu.make_async_copy(comb_hbm.at[rows, :],
+                                          comb_v.at[slot], sem_v.at[slot]))
             return copies
 
         def start_segment(pi, slot):
@@ -875,11 +902,13 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
             for cp in window_copies(starts_ref[k * n_per_leaf + pi], slot):
                 cp.start()
 
-        def mxu_row_scatter(slot, r, lo, hi_x, h0):
-            """Matmul-scatter one 128-entry window row into the
-            [MXU_SPAN, 128] output tile at row h0 (caller guarantees the
-            row's index span fits the tile)."""
-            idx_row = idx_v[slot, pl.ds(r, 1), :]  # [1, 128]
+        def mxu_row_scatter(slot, ri, lo, hi_x, h0):
+            """Matmul-scatter one 128-entry window row (buffer idx row
+            ri; its word row is ri + 8) into the [MXU_SPAN, 128] output
+            tile at row h0 (caller guarantees the row's index span fits
+            the tile)."""
+            idx_row = comb_v[slot, pl.ds(ri, 1), :].astype(
+                jnp.int32)                                   # [1, 128]
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 128), 1)
             # lo..hi_x-1 live within ONE window row, so the
@@ -896,7 +925,7 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
             # sublanes -> transpose the row tiles once
             idx_sq = jnp.broadcast_to(idx_m, (128, 128))
             idx_t = idx_sq.T  # idx_t[e, l] = idx_m[e]
-            wrd_row = wrd_v[slot, pl.ds(r, 1), :]
+            wrd_row = comb_v[slot, pl.ds(ri + 8, 1), :]
             wrd_sq = jnp.broadcast_to(wrd_row, (128, 128))
             wrd_t = wrd_sq.T
             lane_oh = (iota_l_sq == (idx_t & 127))
@@ -930,26 +959,21 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
 
         def process_chunk(slot, p0, off, n, h0b=None):
             """Consume `n` entries at window offset `off` from `slot`
-            (the window DMA must have completed; `p0` identifies the
-            window for the fallback's on-demand word-scalar DMA; `h0b`
-            is the BOUNDED path's precomputed tile base — with it the
-            per-row span reads and the fallback vanish)."""
+            (the window DMA must have completed; `h0b` is the BOUNDED
+            path's precomputed tile base — with it the per-row span reads
+            and the fallback vanish)."""
 
             def entry_span(lo, hi_x):
-                """Per-entry fallback over window positions [lo, hi_x)."""
-                if use_mxu:
-                    # word scalars are not resident on the MXU path —
-                    # fetch this window's words into the SMEM slot now
-                    # (rare: only spans wider than the MXU output tile)
-                    cp = wrd_s_copy(p0, slot)
-                    cp.start()
-                    cp.wait()
+                """Per-entry fallback over window positions [lo, hi_x) —
+                the combined SMEM window already holds the word scalars
+                in lanes 128:256."""
 
                 def per_entry(p, _):
-                    i = idx_s[slot, p >> 7, p & 127]
+                    ri = ((p >> 10) * 16) + ((p >> 7) & 7)
+                    i = comb_s[slot, ri, p & 127].astype(jnp.int32)
                     h = i >> 7
                     vec = jnp.where(iota == (i & 127),
-                                    wrd_s[slot, p >> 7, p & 127],
+                                    comb_s[slot, ri + 8, p & 127],
                                     jnp.uint32(0))
                     out_ref[0, pl.ds(h, 1), :] = (
                         out_ref[0, pl.ds(h, 1), :] | vec)
@@ -975,14 +999,18 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
                 proves the fit per partition and skips the checks."""
                 lo = jnp.maximum(off, r * 128)
                 hi_x = jnp.minimum(off + n, (r + 1) * 128)
+                # window row r -> interleaved-buffer idx row
+                ri = ((r >> 3) << 4) + (r & 7)
 
                 @pl.when(lo < hi_x)
                 def _():
                     if bounded:
-                        mxu_row_scatter(slot, r, lo, hi_x, h0b)
+                        mxu_row_scatter(slot, ri, lo, hi_x, h0b)
                         return
-                    first = idx_s[slot, r, lo & 127] >> 7
-                    last = idx_s[slot, r, (hi_x - 1) & 127] >> 7
+                    first = comb_s[slot, ri, lo & 127].astype(
+                        jnp.int32) >> 7
+                    last = comb_s[slot, ri, (hi_x - 1) & 127].astype(
+                        jnp.int32) >> 7
 
                     # h0 8-aligned: Mosaic handles aligned multi-row
                     # dynamic slices far better than arbitrary offsets
@@ -991,7 +1019,7 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
 
                     @pl.when(last - h0a < MXU_SPAN)
                     def _():
-                        mxu_row_scatter(slot, r, lo, hi_x, h0a)
+                        mxu_row_scatter(slot, ri, lo, hi_x, h0a)
 
                     # complement of the matmul gate ABOVE (both test
                     # last - h0a): testing last - first here left a
@@ -1056,31 +1084,31 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
         start_segment(0, 0)
         jax.lax.fori_loop(0, n_per_leaf, per_partition, 0)
 
+    comb_buf = (2, DENSIFY_WINDOW // 64, 128)
     if bounded:
         scratch = [
-            pltpu.VMEM((2, DENSIFY_WINDOW // 128, 128), jnp.int32),
-            pltpu.VMEM((2, DENSIFY_WINDOW // 128, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(comb_buf, jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
         n_prefetch = 3
+    elif use_mxu:
+        scratch = [
+            pltpu.SMEM(comb_buf, jnp.uint32),
+            pltpu.VMEM(comb_buf, jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        n_prefetch = 2
     else:
         scratch = [
-            pltpu.SMEM((2, DENSIFY_WINDOW // 128, 128), jnp.int32),
-            pltpu.SMEM((2, DENSIFY_WINDOW // 128, 128), jnp.uint32),
-            pltpu.VMEM((2, DENSIFY_WINDOW // 128, 128), jnp.int32),
-            pltpu.VMEM((2, DENSIFY_WINDOW // 128, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM(comb_buf, jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
         n_prefetch = 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(n_sparse_k,),
-        in_specs=[pl.BlockSpec(memory_space=_ANY),
-                  pl.BlockSpec(memory_space=_ANY)],
+        in_specs=[pl.BlockSpec(memory_space=_ANY)],
         out_specs=pl.BlockSpec((1, hi, 128), lambda k, *s: (k, 0, 0)),
         scratch_shapes=scratch,
     )
@@ -1097,11 +1125,11 @@ def densify_rows(stream_idx, stream_words, starts, lens, n_sparse_k: int,
         out_shape=jax.ShapeDtypeStruct((n_sparse_k, hi, 128), jnp.uint32),
         compiler_params=compiler_params,
         interpret=interpret,
-    )(*operands, idx2, wrd2)
+    )(*operands, stream_comb)
     return out.reshape(n_sparse_k, n_words)
 
 
-def densify_rows_into_pool(pool3, stream_idx, stream_words, starts, lens,
+def densify_rows_into_pool(pool3, stream_comb, starts, lens,
                            slots, n_sparse_k: int, n_words: int,
                            interpret: bool | None = None, part_h0=None):
     """Densify n_sparse_k leaves and write them into pool slots (the
@@ -1121,7 +1149,7 @@ def densify_rows_into_pool(pool3, stream_idx, stream_words, starts, lens,
     granularity.)"""
     hi = n_words // 128
     assert pool3.shape[1:] == (hi, 128), (pool3.shape, hi)
-    rows = densify_rows(stream_idx, stream_words, starts, lens,
+    rows = densify_rows(stream_comb, starts, lens,
                         n_sparse_k, n_words, interpret=interpret,
                         part_h0=part_h0)
     return pool3.at[slots].set(rows.reshape(n_sparse_k, hi, 128))

@@ -56,8 +56,8 @@ def _boundary_sums(vals_u32, starts, lens):
     return jnp.where(lens > 0, hi - lo, jnp.uint32(0))
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
-def _sparse_mutation_counts_jit(sp_idx, sp_words, filters, starts, lens,
+@functools.partial(jax.jit, static_argnums=(4,))
+def _sparse_mutation_counts_jit(stream_comb, filters, starts, lens,
                                 n_per_leaf):
     """Segmented popcount over the flat GLOBAL sparse-tier CSR stream:
     counts[r] = sum over row r's stored words of popcount(word &
@@ -65,6 +65,12 @@ def _sparse_mutation_counts_jit(sp_idx, sp_words, filters, starts, lens,
     is n_per_leaf (start, len) segments, seg = leaf * P + pi — boundary
     sums per segment, then a per-leaf partition reduce (still on device:
     the [n_sparse * P] intermediate would cost a relay transfer)."""
+    # block-interleaved combined stream (pallas_kernels.combine_stream):
+    # de-interleave the 8-row idx/word groups (XLA fuses the reshapes/
+    # slices into the gather and elementwise consumers)
+    v = stream_comb.reshape(-1, 2, 8, 128)
+    sp_idx = v[:, 0].reshape(-1).astype(jnp.int32)
+    sp_words = v[:, 1].reshape(-1)
     vals = jax.lax.population_count(
         sp_words & filters[sp_idx]).astype(jnp.uint32)
     per_seg = _boundary_sums(vals, starts, lens)
@@ -72,8 +78,8 @@ def _sparse_mutation_counts_jit(sp_idx, sp_words, filters, starts, lens,
         axis=1, dtype=jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
-def _sparse_mutation_counts_pallas_jit(sp_idx, sp_words,
+@functools.partial(jax.jit, static_argnums=(4,))
+def _sparse_mutation_counts_pallas_jit(stream_comb,
                                        filters, starts, lens, n_per_leaf):
     """_sparse_mutation_counts_jit with the per-entry filter lookup done by
     the Mosaic dynamic-gather kernel (pallas_kernels.sparse_filter_popcount)
@@ -84,7 +90,7 @@ def _sparse_mutation_counts_pallas_jit(sp_idx, sp_words,
     from . import pallas_kernels as pk
 
     vals = pk.sparse_filter_popcount(
-        filters, sp_idx, sp_words).astype(jnp.uint32)
+        filters, stream_comb).astype(jnp.uint32)
     per_seg = _boundary_sums(vals, starts, lens)
     return per_seg.reshape(-1, n_per_leaf).sum(
         axis=1, dtype=jnp.uint32)

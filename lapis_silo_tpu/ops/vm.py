@@ -266,13 +266,13 @@ def _pool_update_jit(k_bucket: int, n_partitions: int, n_words: int):
 
     part_h0 = pk.bounded_part_h0(n_partitions, n_words)
 
-    def run(pool, stream_idx, stream_words, bounds, blob):
+    def run(pool, stream_comb, bounds, blob):
         ids = blob[:k_bucket]
         slots = blob[k_bucket:]
         b = bounds[ids]                      # [K, 2, P]
         starts = b[:, 0, :].reshape(-1)
         lens = b[:, 1, :].reshape(-1)
-        return pk.densify_rows_into_pool(pool, stream_idx, stream_words,
+        return pk.densify_rows_into_pool(pool, stream_comb,
                                          starts, lens, slots, k_bucket,
                                          n_words, part_h0=part_h0)
 
@@ -308,7 +308,7 @@ def _pooled_update_vm_jit(program_len: int, n_rows: int, n_dyn: int,
     code_len = 2 * program_len
     part_h0 = pk.bounded_part_h0(n_partitions, n_words)
 
-    def run(pool, bank, dyn, stream_idx, stream_words, bounds, blob,
+    def run(pool, bank, dyn, stream_comb, bounds, blob,
             full_masks):
         off = code_len + 1
         for c in range(n_chunks):
@@ -320,7 +320,7 @@ def _pooled_update_vm_jit(program_len: int, n_rows: int, n_dyn: int,
             starts = b[:, 0, :].reshape(-1)
             lens = b[:, 1, :].reshape(-1)
             pool = pk.densify_rows_into_pool(
-                pool, stream_idx, stream_words, starts, lens, slots,
+                pool, stream_comb, starts, lens, slots,
                 k_bucket, n_words, part_h0=part_h0)
         counts = vm(blob[: code_len + 1], bank, dyn, pool, full_masks)
         return counts, pool
@@ -329,7 +329,7 @@ def _pooled_update_vm_jit(program_len: int, n_rows: int, n_dyn: int,
 
 
 def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
-                 n_per_leaf: int, stream_idx, stream_words, starts, lens):
+                 n_per_leaf: int, stream_comb, starts, lens):
     """[K, PW] densified sparse-tier rows (global word space), via a FLAT
     ragged gather+scatter over an E-entry budget: per-element scatter cost
     ~29 ns means work must scale with the ACTUAL entry count, not the
@@ -362,10 +362,15 @@ def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
         s_idx + 1, mode="drop")
     seg = jax.lax.cummax(seed) - 1                            # [E]
     seg_c = jnp.clip(seg, 0, n_seg - 1)
-    src = jnp.clip(slots + delta[seg_c], 0, stream_idx.shape[0] - 1)
+    src = jnp.clip(slots + delta[seg_c], 0,
+                   stream_comb.shape[0] * 64 - 1)
     valid = (slots < total) & (seg >= 0)
-    gi = stream_idx[src].astype(jnp.int32)
-    gw = stream_words[src]
+    # block-interleaved combined stream (pallas_kernels.combine_stream):
+    # entry p -> idx row (p>>10)*16 + ((p>>7)&7), word row +8, lane p&127
+    # — XLA fuses the row arithmetic into the gathers
+    row = ((src >> 10) * 16) + ((src >> 7) & 7)
+    gi = stream_comb[row, src & 127].astype(jnp.int32)
+    gw = stream_comb[row + 8, src & 127]
     leaf = seg_c // n_per_leaf
     flat = jnp.where(valid, leaf * n_words + gi, n_sparse_k * n_words)
     out = jnp.zeros(n_sparse_k * n_words, jnp.uint32).at[flat].set(
@@ -475,20 +480,20 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
         part_h0 = pk.bounded_part_h0(n_per_leaf, n_words)
 
         def densify_and_run(code, starts, lens, n_instr, bank, dyn,
-                            stream_idx, stream_words, full_masks):
+                            stream_comb, full_masks):
             if use_densify_kernel:
                 sparse_rows = pk.densify_rows(
-                    stream_idx, stream_words, starts, lens, n_sparse_k,
+                    stream_comb, starts, lens, n_sparse_k,
                     n_words, part_h0=part_h0)
             else:
-                sparse_rows = densify(stream_idx, stream_words, starts, lens)
+                sparse_rows = densify(stream_comb, starts, lens)
             words, outs = run_one(code, bank, dyn, sparse_rows, full_masks,
                                   n_instr)
             return finish(words, outs)
 
         if resident_bounds:
-            def run_fused_resident(blob, bank, dyn, stream_idx,
-                                   stream_words, full_masks, bounds):
+            def run_fused_resident(blob, bank, dyn, stream_comb,
+                                   full_masks, bounds):
                 # per-leaf (start, len) bounds are static per snapshot and
                 # live device-resident — the upload carries LEAF IDS only
                 # (2 x K x P i32 of bounds was ~524 KB per sub-dispatch at
@@ -502,12 +507,12 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
                 starts = b[:, 0, :].reshape(-1)
                 lens = b[:, 1, :].reshape(-1)
                 return densify_and_run(code, starts, lens, n_instr, bank,
-                                       dyn, stream_idx, stream_words,
+                                       dyn, stream_comb,
                                        full_masks)
 
             return jax.jit(run_fused_resident)
 
-        def run_fused(blob, bank, dyn, stream_idx, stream_words,
+        def run_fused(blob, bank, dyn, stream_comb,
                       full_masks):
             # ONE packed upload: code + per-leaf bounds + n_instr (each
             # separate host->device transfer costs a relay round trip)
@@ -516,7 +521,7 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
             lens = blob[code_len + n_seg : code_len + 2 * n_seg]
             n_instr = blob[-1]
             return densify_and_run(code, starts, lens, n_instr, bank, dyn,
-                                   stream_idx, stream_words, full_masks)
+                                   stream_comb, full_masks)
 
         return jax.jit(run_fused)
 

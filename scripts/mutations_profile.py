@@ -58,11 +58,11 @@ def main():
         jax.block_until_ready(filters)
         t_upload = time.perf_counter() - t0
 
-        sp_idx, sp_words = engine.sparse_stream
+        (stream_comb,) = engine.sparse_stream
         starts, lens = engine._sparse_bounds_dev
         t0 = time.perf_counter()
         out = np.asarray(de._sparse_mutation_counts_jit(
-            sp_idx, sp_words, filters, starts, lens))
+            stream_comb, filters, starts, lens, engine.n_partitions))
         t_reduce = time.perf_counter() - t0
 
         engine._filters_memo = None

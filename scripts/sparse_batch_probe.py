@@ -94,7 +94,7 @@ def main():
         else:
             dens = de._densify_jit(k_b, e_b, engine.n_flat_words,
                                    engine.n_partitions)
-        out = dens(engine.sparse_stream[0], engine.sparse_stream[1],
+        out = dens(engine.sparse_stream[0],
                    jax.device_put(sp[0]), jax.device_put(sp[1]))
         np.asarray(out[0, 0])  # compile + run
         for i, progs in enumerate(batches[2:], 1):
@@ -104,7 +104,7 @@ def main():
                 log(f"densify shape changed ({k_b2},{e_b2}); skipping")
                 continue
             t0 = time.perf_counter()
-            out = dens(engine.sparse_stream[0], engine.sparse_stream[1],
+            out = dens(engine.sparse_stream[0],
                        jax.device_put(sp2[0]), jax.device_put(sp2[1]))
             np.asarray(out[0, 0])
             log(f"densify alone {i} (K={k_b} E={e_b} kernel={use_kernel}): "

@@ -23,6 +23,7 @@ sys.path.insert(0, ".")
 from lapis_silo_tpu.ops import device_engine as de  # noqa: E402
 
 NNZ = int(sys.argv[1]) if len(sys.argv) > 1 else 31_000_000
+NNZ = -(-NNZ // 1024) * 1024  # combine_stream needs a COMBINE_BLOCK multiple
 N_WORDS = 32768
 N_SPARSE = 89_709
 REPS = 8
@@ -86,8 +87,10 @@ def main():
 
     # the production kernel (adds the [P] partition axis)
     def fused(idx, words, filt, starts, lens, i):
-        out = de._sparse_mutation_counts_jit(
-            idx[None], (words + i)[None], filt[None], starts[None], lens[None])
+        from lapis_silo_tpu.ops import pallas_kernels as pk
+
+        comb = pk.combine_stream(idx, words + i)
+        out = de._sparse_mutation_counts_jit(comb, filt, starts, lens, 1)
         return out.sum()
     timed("fused", rep(fused), idx, words, filt, starts, lens)
 

@@ -89,7 +89,7 @@ def test_sparse_filter_popcount_matches_numpy():
     sp_idx[-100:] = 0
     sp_words[-100:] = 0
     got = np.asarray(pk.sparse_filter_popcount(
-        filters, sp_idx, sp_words, interpret=True))
+        filters, pk.combine_stream(sp_idx, sp_words), interpret=True))
     want = np.bitwise_count(sp_words & filters[sp_idx]).astype(np.int32)
     np.testing.assert_array_equal(got, want)
 
@@ -347,19 +347,20 @@ def test_densify_rows_matches_xla():
         entries_wrd.append(
             rng.integers(1, 2**32, size=lens[g], dtype=np.uint32))
         pos += lens[g]
-    n_pad = -(-(pos + pk.DENSIFY_WINDOW) // 128) * 128
+    n_pad = (-(-(pos + pk.DENSIFY_WINDOW) // pk.COMBINE_BLOCK)
+             * pk.COMBINE_BLOCK)
     idx_np = np.zeros(n_pad, np.int32)
     wrd_np = np.zeros(n_pad, np.uint32)
     idx_np[:pos] = np.concatenate(entries_idx)
     wrd_np[:pos] = np.concatenate(entries_wrd)
 
-    di, dw = jnp.asarray(idx_np), jnp.asarray(wrd_np)
+    comb = jnp.asarray(pk.combine_stream(idx_np, wrd_np))
     sd, ld = jnp.asarray(starts), jnp.asarray(lens)
-    got = np.asarray(pk.densify_rows(di, dw, sd, ld, K, n_words,
+    got = np.asarray(pk.densify_rows(comb, sd, ld, K, n_words,
                                      interpret=True))
     e_bucket = 1 << 13
     want = np.asarray(jax.jit(lambda *a: de._densify_one(
-        K, e_bucket, n_words, P, *a))(di, dw, sd, ld))
+        K, e_bucket, n_words, P, *a))(comb, sd, ld))
     np.testing.assert_array_equal(got, want)
 
 
@@ -406,17 +407,16 @@ def test_densify_mxu_scatter_matches_oracle(monkeypatch):
         s = starts[seg]
         want[leaf, idx] |= words_flat[s : s + len(idx)]
 
+    comb = jnp.asarray(pk.combine_stream(idx_flat, words_flat))
     monkeypatch.setenv("SILO_DENSIFY_MXU", "1")
     got = np.asarray(pk.densify_rows(
-        jnp.asarray(idx_flat), jnp.asarray(words_flat),
-        jnp.asarray(starts), jnp.asarray(lens), n_k, n_words,
+        comb, jnp.asarray(starts), jnp.asarray(lens), n_k, n_words,
         interpret=True))
     np.testing.assert_array_equal(got, want)
 
     monkeypatch.setenv("SILO_DENSIFY_MXU", "0")
     got_scalar = np.asarray(pk.densify_rows(
-        jnp.asarray(idx_flat), jnp.asarray(words_flat),
-        jnp.asarray(starts), jnp.asarray(lens), n_k, n_words,
+        comb, jnp.asarray(starts), jnp.asarray(lens), n_k, n_words,
         interpret=True))
     np.testing.assert_array_equal(got_scalar, want)
 
@@ -468,8 +468,8 @@ def test_densify_bounded_matches_oracle():
     for g in range(n_seg):
         want[g // P, e_idx[g]] |= e_wrd[g]
 
-    args = (jnp.asarray(idx_np), jnp.asarray(wrd_np), jnp.asarray(starts),
-            jnp.asarray(lens), K, n_words)
+    args = (jnp.asarray(pk.combine_stream(idx_np, wrd_np)),
+            jnp.asarray(starts), jnp.asarray(lens), K, n_words)
     got_bounded = np.asarray(pk.densify_rows(*args, interpret=True,
                                              part_h0=h0))
     np.testing.assert_array_equal(got_bounded, want)
@@ -500,7 +500,7 @@ def test_densify_mxu_alignment_gap_regression():
     idx_p = np.concatenate([idx, np.zeros(pad, np.int32)])
     wrd_p = np.concatenate([words, np.zeros(pad, np.uint32)])
     got = np.asarray(pk.densify_rows(
-        jnp.asarray(idx_p), jnp.asarray(wrd_p), jnp.asarray(starts),
+        jnp.asarray(pk.combine_stream(idx_p, wrd_p)), jnp.asarray(starts),
         jnp.asarray(lens), 1, n_words, interpret=True))
     want = np.zeros((1, n_words), dtype=np.uint32)
     want[0, idx] = words
