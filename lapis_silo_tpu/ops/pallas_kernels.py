@@ -850,6 +850,19 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
                and os.environ.get("SILO_DENSIFY_MXU", "1") != "0")
     bounded = (use_mxu and part_h0 is not None
                and os.environ.get("SILO_DENSIFY_BOUNDED", "1") != "0")
+    # bounded scatter tile: shrink from the fixed MXU_SPAN to the actual
+    # maximum per-partition span (8-row rounded) — the [span, 128] output
+    # RMW and the one-hot mask build scale with the tile height (80-hi
+    # partition windows at 10M x 32 need an 88-row tile, not 128)
+    span_rows = MXU_SPAN
+    if bounded:
+        w_part = n_words // n_per_leaf
+        span_rows = 8
+        for pi in range(n_per_leaf):
+            l_hi = ((pi + 1) * w_part - 1) >> 7
+            span_pi = l_hi - int(part_h0[pi]) + 1
+            span_rows = max(span_rows, -(-span_pi // 8) * 8)
+        assert span_rows <= MXU_SPAN, span_rows
 
     def kernel(*refs):
         if bounded:
@@ -871,7 +884,7 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             # tile (entry-major) and a [MXU_SPAN,128] sublane iota
             iota_l_sq = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
             iota_s_span = jax.lax.broadcasted_iota(
-                jnp.int32, (MXU_SPAN, 128), 0)
+                jnp.int32, (span_rows, 128), 0)
 
         def window_copies(p0, slot):
             """The async copies moving the combined (idx + word) window
@@ -918,7 +931,7 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             idx_m = jnp.where(valid, idx_row, -1)
             # A[s, e]: hi-row one-hot along lanes (e)
             hi_rel = jnp.broadcast_to(
-                (idx_m >> 7) - h0, (MXU_SPAN, 128))
+                (idx_m >> 7) - h0, (span_rows, 128))
             a_mat = (iota_s_span == hi_rel).astype(
                 jnp.float32)
             # C[e, l]: lane one-hot needs entry-major
@@ -948,14 +961,14 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             u4 = jax.lax.dot(
                 a_mat, c4,
                 preferred_element_type=jnp.float32)
-            acc = jnp.zeros((MXU_SPAN, 128), jnp.uint32)
+            acc = jnp.zeros((span_rows, 128), jnp.uint32)
             for b in range(4):
                 u_b = u4[:, b * 128 : (b + 1) * 128]
                 acc = acc | (u_b.astype(jnp.int32)
                              .astype(jnp.uint32)
                              << (8 * b))
-            out_ref[0, pl.ds(h0, MXU_SPAN), :] = (
-                out_ref[0, pl.ds(h0, MXU_SPAN), :] | acc)
+            out_ref[0, pl.ds(h0, span_rows), :] = (
+                out_ref[0, pl.ds(h0, span_rows), :] | acc)
 
         def process_chunk(slot, p0, off, n, h0b=None):
             """Consume `n` entries at window offset `off` from `slot`
