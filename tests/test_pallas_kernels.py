@@ -421,6 +421,28 @@ def test_densify_mxu_scatter_matches_oracle(monkeypatch):
     np.testing.assert_array_equal(got_scalar, want)
 
 
+def test_combine_stream_numpy_jnp_parity():
+    """combine_stream's numpy (engine init) and jnp (in-jit) branches
+    must produce identical block-interleaved bytes, and the documented
+    entry->row mapping must hold."""
+    import jax.numpy as jnp
+
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(3)
+    e = 2 * pk.COMBINE_BLOCK
+    idx = rng.integers(0, 1 << 20, size=e).astype(np.int32)
+    words = rng.integers(0, 1 << 32, size=e, dtype=np.uint32)
+    a = pk.combine_stream(idx, words)
+    b = np.asarray(pk.combine_stream(jnp.asarray(idx), jnp.asarray(words)))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (e // 64, 128)
+    for p in [0, 1, 127, 128, 1023, 1024, 1025, e - 1]:
+        row = (p >> 10) * 16 + ((p >> 7) & 7)
+        assert a[row, p & 127] == np.uint32(idx[p])
+        assert a[row + 8, p & 127] == words[p]
+
+
 def test_densify_bounded_matches_oracle():
     """The BOUNDED densify path (per-partition precomputed MXU tile base,
     no SMEM idx window, no per-row span reads) must be bit-exact vs the
