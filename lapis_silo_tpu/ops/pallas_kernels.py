@@ -352,11 +352,11 @@ SPARSE_GROUP = 1024  # one [8, 128] slab
 def _sparse_vals_kernel(filt_ref, comb_ref, out_ref):
     def per_group(g, _):
         # block-interleaved combined stream: group g's 8 idx rows at
-        # g*16, its 8 word rows at g*16 + 8 (indices stored as u32,
-        # bit-identical i32)
-        base = g * 16
+        # g*COMBINE_GROUP_ROWS, word rows COMBINE_WORD_ROW_OFF later
+        # (indices stored as u32, bit-identical i32)
+        base = g * COMBINE_GROUP_ROWS
         idx = comb_ref[pl.ds(base, 8), :].astype(jnp.int32)
-        words = comb_ref[pl.ds(base + 8, 8), :]
+        words = comb_ref[pl.ds(base + COMBINE_WORD_ROW_OFF, 8), :]
         lo = idx & 127
         hi = idx >> 7
         h0 = jnp.min(hi)
@@ -377,6 +377,36 @@ def _sparse_vals_kernel(filt_ref, comb_ref, out_ref):
 
 
 COMBINE_BLOCK = 1024  # entries per interleaved (8 idx + 8 word row) group
+COMBINE_GROUP_ROWS = 16   # buffer rows per COMBINE_BLOCK entries (8 idx + 8 word)
+COMBINE_WORD_ROW_OFF = 8  # a position's word row = its idx row + this
+
+
+def comb_idx_row(p):
+    """Idx row of stream entry position p in the block-interleaved combined
+    stream (combine_stream layout). The word row is
+    `comb_idx_row(p) + COMBINE_WORD_ROW_OFF`, the lane is `p & 127`. THE
+    single definition of the interleave address arithmetic — vm._densify_one,
+    the densify kernels, and reductions' de-interleave all route through
+    here (or split_stream below), so a layout change cannot silently
+    diverge. Works on python ints, numpy arrays, and traced jax values."""
+    return ((p >> 10) * COMBINE_GROUP_ROWS) + ((p >> 7) & 7)
+
+
+def comb_group_row(p):
+    """First buffer row of the COMBINE_BLOCK-entry group containing
+    position p (the 16-row-aligned DMA window base)."""
+    return (p >> 10) * COMBINE_GROUP_ROWS
+
+
+def split_stream(comb):
+    """Inverse of combine_stream: (idx int32 [E], words u32 [E]) from the
+    combined [2E/128, 128] array (numpy or jnp)."""
+    v = comb.reshape(-1, 2, COMBINE_WORD_ROW_OFF, 128)
+    if isinstance(comb, np.ndarray):
+        return (v[:, 0].reshape(-1).view(np.int32).copy(),
+                v[:, 1].reshape(-1))
+    return (v[:, 0].reshape(-1).astype(jnp.int32),
+            v[:, 1].reshape(-1))
 
 
 def combine_stream(sp_idx, sp_words):
@@ -893,9 +923,9 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             the span-checked MXU path keeps an SMEM copy for its per-row
             span decisions and the per-entry fallback."""
             # block-interleaved stream: the window covering p0's two
-            # 1024-entry groups spans 32 rows at (p0 >> 10) * 16 —
+            # 1024-entry groups spans 32 rows at comb_group_row(p0) —
             # provably 16-row-aligned for the DMA prover
-            q16 = (p0 >> 10) * 16
+            q16 = comb_group_row(p0)
             rows = pl.ds(q16, DENSIFY_WINDOW // 64)
             copies = []
             if not bounded:
@@ -929,6 +959,23 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             valid = ((lane >= (lo & 127))
                      & (lane <= ((hi_x - 1) & 127)))
             idx_m = jnp.where(valid, idx_row, -1)
+            if interpret and bounded:
+                # Debug guard (interpret mode only — compiled kernels are
+                # unchanged): the BOUNDED path silently never matches
+                # entries outside [h0*128, (h0+span_rows)*128). A caller
+                # violating the uniform partition-window contract that
+                # part_h0 encodes would get corrupted rows; flag it loudly.
+                hr_chk = (idx_m >> 7) - h0
+                n_bad = jnp.sum(jnp.where(
+                    (idx_m >= 0) & ((hr_chk < 0) | (hr_chk >= span_rows)),
+                    1, 0))
+
+                @pl.when(n_bad > 0)
+                def _():
+                    pl.debug_print(
+                        "densify_rows BOUNDED path DROPPED {} entries "
+                        "outside the part_h0 tile (caller violated the "
+                        "uniform partition-window contract)", n_bad)
             # A[s, e]: hi-row one-hot along lanes (e)
             hi_rel = jnp.broadcast_to(
                 (idx_m >> 7) - h0, (span_rows, 128))
@@ -938,7 +985,7 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             # sublanes -> transpose the row tiles once
             idx_sq = jnp.broadcast_to(idx_m, (128, 128))
             idx_t = idx_sq.T  # idx_t[e, l] = idx_m[e]
-            wrd_row = comb_v[slot, pl.ds(ri + 8, 1), :]
+            wrd_row = comb_v[slot, pl.ds(ri + COMBINE_WORD_ROW_OFF, 1), :]
             wrd_sq = jnp.broadcast_to(wrd_row, (128, 128))
             wrd_t = wrd_sq.T
             lane_oh = (iota_l_sq == (idx_t & 127))
@@ -982,11 +1029,12 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
                 in lanes 128:256."""
 
                 def per_entry(p, _):
-                    ri = ((p >> 10) * 16) + ((p >> 7) & 7)
+                    ri = comb_idx_row(p)
                     i = comb_s[slot, ri, p & 127].astype(jnp.int32)
                     h = i >> 7
                     vec = jnp.where(iota == (i & 127),
-                                    comb_s[slot, ri + 8, p & 127],
+                                    comb_s[slot, ri + COMBINE_WORD_ROW_OFF,
+                                           p & 127],
                                     jnp.uint32(0))
                     out_ref[0, pl.ds(h, 1), :] = (
                         out_ref[0, pl.ds(h, 1), :] | vec)
@@ -1012,8 +1060,9 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
                 proves the fit per partition and skips the checks."""
                 lo = jnp.maximum(off, r * 128)
                 hi_x = jnp.minimum(off + n, (r + 1) * 128)
-                # window row r -> interleaved-buffer idx row
-                ri = ((r >> 3) << 4) + (r & 7)
+                # window row r -> interleaved-buffer idx row (the row's
+                # first entry position is r * 128)
+                ri = comb_idx_row(r * 128)
 
                 @pl.when(lo < hi_x)
                 def _():

@@ -66,11 +66,11 @@ def _sparse_mutation_counts_jit(stream_comb, filters, starts, lens,
     sums per segment, then a per-leaf partition reduce (still on device:
     the [n_sparse * P] intermediate would cost a relay transfer)."""
     # block-interleaved combined stream (pallas_kernels.combine_stream):
-    # de-interleave the 8-row idx/word groups (XLA fuses the reshapes/
-    # slices into the gather and elementwise consumers)
-    v = stream_comb.reshape(-1, 2, 8, 128)
-    sp_idx = v[:, 0].reshape(-1).astype(jnp.int32)
-    sp_words = v[:, 1].reshape(-1)
+    # de-interleave via the centralized layout helper (XLA fuses the
+    # reshapes/slices into the gather and elementwise consumers)
+    from . import pallas_kernels as pk
+
+    sp_idx, sp_words = pk.split_stream(stream_comb)
     vals = jax.lax.population_count(
         sp_words & filters[sp_idx]).astype(jnp.uint32)
     per_seg = _boundary_sums(vals, starts, lens)

@@ -365,12 +365,14 @@ def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
     src = jnp.clip(slots + delta[seg_c], 0,
                    stream_comb.shape[0] * 64 - 1)
     valid = (slots < total) & (seg >= 0)
-    # block-interleaved combined stream (pallas_kernels.combine_stream):
-    # entry p -> idx row (p>>10)*16 + ((p>>7)&7), word row +8, lane p&127
-    # — XLA fuses the row arithmetic into the gathers
-    row = ((src >> 10) * 16) + ((src >> 7) & 7)
+    # block-interleaved combined stream: the interleave address arithmetic
+    # is centralized in pallas_kernels (comb_idx_row) — XLA fuses the row
+    # arithmetic into the gathers
+    from . import pallas_kernels as pk
+
+    row = pk.comb_idx_row(src)
     gi = stream_comb[row, src & 127].astype(jnp.int32)
-    gw = stream_comb[row + 8, src & 127]
+    gw = stream_comb[row + pk.COMBINE_WORD_ROW_OFF, src & 127]
     leaf = seg_c // n_per_leaf
     flat = jnp.where(valid, leaf * n_words + gi, n_sparse_k * n_words)
     out = jnp.zeros(n_sparse_k * n_words, jnp.uint32).at[flat].set(
