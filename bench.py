@@ -219,73 +219,78 @@ def main():
         f"{seg_bytes / mutations_s / 1e9:.0f} GB/s effective "
         f"(pallas={engine.use_pallas}); nonzero cells={int((matrix > 0).sum())}")
 
-    # RTT-free kernel bandwidth: chain measurement — time chains of k
-    # back-to-back reductions at several k, fit time = a + slope*k by
-    # least squares; the slope is per-kernel time with every dispatch/
-    # readback round trip cancelled. Distinguishes a kernel regression
-    # from relay noise in the driver record (BENCHMARKS.md "~91% of v5e
-    # HBM peak" methodology). Round 3's single (1, 16) two-point reading
-    # swung to 461 GB/s under relay load: each chain now takes the MIN of
-    # 3 reps (relay contention only ever adds time), the fit spans 4
-    # chain lengths, and the per-point residual is logged so a bad fit is
-    # visible instead of silently wrong. Filters are random resident
-    # masks (bandwidth does not depend on filter content), all DISTINCT
-    # so the relay cannot memoize a link of any chain.
+    # RTT-free kernel bandwidth, IN-EXECUTABLE two-point method: run the
+    # reduction `iters` times inside ONE jitted fori_loop (per-iteration
+    # filter = base ^ i so XLA cannot CSE the calls), time at two iter
+    # counts, slope = per-reduction compute with the dispatch round trip
+    # cancelled. Round 4's driver record exposed why the multi-DISPATCH
+    # chain fit was not enough: a co-tenant's work interleaving between
+    # chain links through the relay inflates every link — proportional to
+    # k, so the fit stays CLEAN (1.2% residual) while reading 12% low
+    # (644 vs 735-747 GB/s builder readings, VERDICT r4 item 2). A single
+    # executable is atomic on the chip: nothing can interleave inside it,
+    # so only a genuinely slower kernel (or chip clock) can lower the
+    # slope. Reps use DISTINCT base filters (relay memoizes identical
+    # executions) and take the min (queue wait only ever adds time).
     if engine.use_pallas and engine.mesh is None and meta["n_stored"]:
+        import jax.numpy as jnp
+
         from lapis_silo_tpu.ops import pallas_kernels as pk
 
         seg_bucket = pk.seg_row_bucket(meta["n_stored"])
         rng = np.random.default_rng(7)
         full_host = np.asarray(engine.full_masks)
-        chain_ks = (1, 6, 11, 16)
+        iters_lo, iters_hi = 4, 36
         reps = 3
-        n_filters = sum(chain_ks) * reps + 1
 
         def fresh_filter():
             return jax.device_put(
                 (rng.integers(0, 1 << 32, size=full_host.shape,
                               dtype=np.uint32) & full_host))
 
-        filt_devs = [fresh_filter() for _ in range(n_filters)]
+        def make_repeat(iters):
+            @jax.jit
+            def repeat(bank, filters):
+                def body(i, acc):
+                    f = filters ^ i.astype(jnp.uint32)
+                    counts = pk.mutation_counts_banked(
+                        bank, f, meta["offset"], seg_bucket,
+                        engine.n_flat_words)
+                    return acc + counts.sum(dtype=jnp.int32)
 
-        def chain(filters):
-            t0 = time.perf_counter()
-            devs = [pk.mutation_counts_banked(engine.bank, f, meta["offset"],
-                                              seg_bucket, engine.n_flat_words)
-                    for f in filters]
-            np.asarray(devs[-1])
-            return time.perf_counter() - t0
+                return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+            return repeat
 
         wait_healthy("pre-kernel-bandwidth", attempts=3)
-        chain(filt_devs[:1])  # warm (same executable as the e2e call above)
-        cursor = 1
-        points = []
-        for k in chain_ks:
-            times = []
+        best_t = {}
+        for iters in (iters_lo, iters_hi):
+            fn = make_repeat(iters)
+            int(fn(engine.bank, fresh_filter()))  # compile, untimed
+            t_best = float("inf")
             for _ in range(reps):
-                times.append(chain(filt_devs[cursor : cursor + k]))
-                cursor += k
-            points.append((k, min(times)))  # min: contention only adds
-        ks = np.asarray([p[0] for p in points], dtype=np.float64)
-        ts = np.asarray([p[1] for p in points], dtype=np.float64)
-        slope, intercept = np.polyfit(ks, ts, 1)
-        slope = max(float(slope), 1e-9)
-        fit = intercept + slope * ks
-        resid_pct = float(np.abs(ts - fit).max() / max(ts.max(), 1e-9)) * 100
+                filt = fresh_filter()
+                t0 = time.perf_counter()
+                int(fn(engine.bank, filt))  # pull scalar: forces the relay
+                t_best = min(t_best, time.perf_counter() - t0)
+            best_t[iters] = t_best
+        slope = max((best_t[iters_hi] - best_t[iters_lo])
+                    / (iters_hi - iters_lo), 1e-9)
         dense_bytes = meta["n_stored"] * engine.n_words * 4 * n_partitions
         kernel_gbps = dense_bytes / slope / 1e9
-        log(f"mutations kernel (RTT-free LSQ fit over k={chain_ks}, "
-            f"min-of-{reps}): {slope * 1e3:.2f} ms / reduction over "
+        log(f"mutations kernel (in-executable two-point, min-of-{reps}): "
+            f"{slope * 1e3:.2f} ms / reduction over "
             f"{dense_bytes / 1e9:.2f} GB dense rows -> {kernel_gbps:.0f} GB/s "
-            f"(intercept {intercept * 1e3:.1f} ms, max residual "
-            f"{resid_pct:.1f}% of t_max; points "
-            f"{[f'{k}:{t * 1e3:.1f}ms' for k, t in points]})")
+            f"(t{iters_lo}={best_t[iters_lo] * 1e3:.1f}ms "
+            f"t{iters_hi}={best_t[iters_hi] * 1e3:.1f}ms; "
+            f"implied dispatch overhead "
+            f"{(best_t[iters_lo] - iters_lo * slope) * 1e3:.1f}ms)")
         best_gbps = 747.0  # BENCHMARKS.md roofline record for this kernel
-        if kernel_gbps < 0.8 * best_gbps:
+        if kernel_gbps < 0.9 * best_gbps:
             log(f"WARNING: kernel bandwidth {kernel_gbps:.0f} GB/s is below "
-                f"80% of the recorded best ({best_gbps:.0f} GB/s) — either "
-                "the relay window degraded the chain fit (check residuals) "
-                "or the kernel regressed")
+                f"90% of the recorded best ({best_gbps:.0f} GB/s) — with the "
+                "in-executable method relay contention cannot deflate the "
+                "slope; suspect a kernel regression or a down-clocked chip")
 
     # Throughput: batched — up to MAX_BATCH_QUERIES queries execute as ONE
     # device dispatch (the relay serializes dispatches and charges
@@ -323,17 +328,31 @@ def main():
     log(f"wide-batch warm-up (bucket {big_bucket}, {group_width * len(lowered)} "
         f"queries/dispatch) in {time.time() - t0:.1f}s")
 
+    import gc
+
     def throughput_pass(pass_idx: int) -> float:
+        # Phase instrumentation (VERDICT r4 item 3 — the bimodal 60k/110k
+        # passes): host group-build time, dispatch-issue time (lowered
+        # program concat + pack + blob upload + async dispatch), readback
+        # wait, and the GC collections the pass triggered. A slow pass
+        # with healthy RTT probes must show WHERE the time went.
+        gc_before = [s["collections"] for s in gc.get_stats()]
         t_start = time.perf_counter()
         in_flight = []
         wants = []
+        t_make = t_issue = 0.0
         for g in range(groups_per_pass):
+            t0 = time.perf_counter()
             progs, want = make_group((pass_idx * groups_per_pass + g)
                                      * group_width)
+            t1 = time.perf_counter()
+            t_make += t1 - t0
             in_flight.extend(engine.count_dispatches(
                 progs, big_bucket,
                 floors["min_sparse_k"], floors["min_sparse_e"]))
+            t_issue += time.perf_counter() - t1
             wants.extend(want)
+        t_issued = time.perf_counter()
         for arr, _n in in_flight:
             try:
                 arr.copy_to_host_async()
@@ -341,6 +360,13 @@ def main():
                 pass
         forced = [np.asarray(arr)[:n] for arr, n in in_flight]
         total = time.perf_counter() - t_start
+        gc_delta = [a - b for a, b in
+                    zip((s["collections"] for s in gc.get_stats()),
+                        gc_before)]
+        log(f"  pass {pass_idx + 1} phases: make {t_make * 1e3:.0f}ms "
+            f"issue {t_issue * 1e3:.0f}ms "
+            f"readback {(total - (t_issued - t_start)) * 1e3:.0f}ms "
+            f"total {total * 1e3:.0f}ms gc={gc_delta}")
         got = [c for f in forced for c in f]
         assert got == wants, (got[:8], wants[:8])
         return len(wants) / total
@@ -369,14 +395,26 @@ def main():
         floor_qps = baseline_value * 1.02
     else:
         floor_qps = 0.0
+    # GC pause control: round-5 phase instrumentation showed the bimodal
+    # 60k/110k passes were exactly the passes hit by a GEN-2 collection
+    # mid-issue (+60-70 ms over a ~100 ms pass; gc=[.., .., 1] in the
+    # phase log). Freeze the warm engine's object graph out of the
+    # collector and disable GC for the measured loop — the passes
+    # allocate only flat lists, nothing cyclic.
+    gc.collect()
+    gc.freeze()
+    gc.disable()
     pass_qps: list[float] = []
     for pi in range(max_passes):
         q = throughput_pass(pi)
         pass_qps.append(q)
         log(f"throughput pass {pi + 1}/{max_passes}: {q:.0f} qps")
         best = max(pass_qps)
-        settled = (len(pass_qps) >= 2
-                   and sorted(pass_qps)[-2] >= 0.9 * best)
+        # settle when the MEDIAN backs the best (>= 3 passes, median >=
+        # 85% of best — the r4 bimodal 60k/110k split must keep measuring
+        # until it resolves, not stop on one lucky pass)
+        med = sorted(pass_qps)[len(pass_qps) // 2]
+        settled = len(pass_qps) >= 3 and med >= 0.85 * best
         if settled and best >= floor_qps:
             break
         if pi + 1 < max_passes and best < floor_qps:
@@ -387,13 +425,20 @@ def main():
             # runway instead of burning them back-to-back
             wait_healthy(f"between-pass-{pi + 1}", attempts=3,
                          cooldown_s=15.0 if pi < 3 else 45.0)
-    qps = max(pass_qps)
+    gc.enable()
+    gc.unfreeze()
+    best_qps = max(pass_qps)
     spread = sorted(pass_qps)
-    log(f"throughput passes: n={len(pass_qps)} best={qps:.0f} "
-        f"median={spread[len(spread) // 2]:.0f} "
+    # HEADLINE = MEDIAN pass (round-5 policy, VERDICT r4 item 3): a best-of
+    # headline can ride one lucky window; the median is what a sustained
+    # caller would see. The retry floor still keys on the best pass — a
+    # best far below the record means the whole window was degraded.
+    qps = spread[len(spread) // 2]
+    log(f"throughput passes: n={len(pass_qps)} median={qps:.0f} "
+        f"best={best_qps:.0f} "
         f"min={spread[0]:.0f} max={spread[-1]:.0f} "
         f"(all: {[f'{p:.0f}' for p in pass_qps]})")
-    if floor_qps and qps < floor_qps:
+    if floor_qps and best_qps < floor_qps:
         log(f"WARNING: best of {len(pass_qps)} passes ({qps:.0f} qps) never "
             f"reached the record floor ({floor_qps:.0f}) — relay likely "
             "degraded for the whole run; the number below understates the "
@@ -441,6 +486,117 @@ def main():
         "unit": f"queries/s ({n_rows} seqs x {length} pos, batch {len(queries)}, 1 chip)",
         "vs_baseline": vs_baseline,
     }))
+    sys.stdout.flush()
+
+    # Two-tier scale probe (round 5, driver-visible): the pool/densify
+    # path measured in the SAME driver artifact as the dense flagship.
+    # Runs after the contract JSON line (stderr only) so a probe failure
+    # can never cost the headline.
+    if default_shape and os.environ.get("SILO_BENCH_TWO_TIER", "1") != "0":
+        try:
+            two_tier_probe()
+        except Exception as ex:  # noqa: BLE001 — non-fatal tail probe
+            log(f"two-tier probe failed (non-fatal): {ex!r}")
+
+
+def two_tier_probe():
+    """Compact probe of the TWO-TIER engine (sparse CSR tier + hot-leaf
+    pool FORCED via sparse_min_words=1): hot and cold batch qps at a
+    1M-row synthetic shape, so driver runs capture the pool/densify path
+    — round 4's 10M numbers existed only in builder-run pool_bench logs
+    (VERDICT r4 item 6). Budget ~2 min; scripts/pool_bench.py remains the
+    full-scale (10M x 32) harness."""
+    import jax
+
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.testing import (hot_count_queries,
+                                        sample_count_queries,
+                                        synthetic_database)
+
+    rows = int(os.environ.get("SILO_BENCH_TT_ROWS", 1048576))
+    length = int(os.environ.get("SILO_BENCH_TT_LENGTH", 2048))
+    parts = int(os.environ.get("SILO_BENCH_TT_PARTITIONS", 8))
+    nq = int(os.environ.get("SILO_BENCH_TT_QUERIES", 256))
+    t0 = time.time()
+    # mutations_per_genome=8: sparse rows need word density below 1/8,
+    # i.e. length > 64 x mpg — at length 2048 this sits at 1/4 of the
+    # cutoff, a solidly two-tier population (the 10M flagship's 29903
+    # length is sparse at the default 30 mpg; pool_bench covers it)
+    db = synthetic_database(n_rows=rows, length=length, n_partitions=parts,
+                            mutations_per_genome=8)
+    engine = de.DeviceEngine(db, sparse_min_words=1)
+    jax.block_until_ready(engine.bank)
+    stream_mb = (sum(a.nbytes for a in engine.sparse_stream) / 1e6
+                 if engine.sparse_stream is not None else 0.0)
+    log(f"[two-tier] engine up in {time.time() - t0:.0f}s: "
+        f"{rows} x {length} x {parts}, sparse rows={engine.n_sparse}, "
+        f"pool slots={engine.pool_slots}, stream={stream_mb:.0f} MB")
+    if not engine.n_sparse:
+        log("[two-tier] no sparse rows at this shape — probe skipped")
+        return
+    rng = np.random.default_rng(11)
+    positions = rng.choice(length, size=192, replace=False)
+    SERVE_BUCKET = de.SERVE_LEN_BUCKET
+
+    def lower_batch(queries):
+        return [engine.lower(Query(q).filter)[0] for q in queries]
+
+    # bit-exactness vs the stored-cardinality-free host oracle path
+    from lapis_silo_tpu.query import ast
+    from lapis_silo_tpu.query.ir import HostEvaluator
+
+    check = hot_count_queries(db, positions, 32, seed=999)
+    got = engine.count_programs(lower_batch(check),
+                                min_bucket=SERVE_BUCKET)
+    want = []
+    for q in check:
+        query = Query(q)
+        total = 0
+        for partition in db.partitions:
+            node = query.filter.compile(db, partition, ast.NONE)
+            words = HostEvaluator(partition.sequence_count).evaluate(node)
+            total += int(np.bitwise_count(words).sum())
+        want.append(total)
+    assert got == want, "[two-tier] device counts diverge from host oracle"
+    log("[two-tier] bit-exactness: 32/32 vs host oracle")
+
+    def timed_pipelined(batches, label):
+        in_flight = []
+        t0 = time.perf_counter()
+        for progs in batches:
+            min_k, min_e = engine.sparse_floors(progs)
+            in_flight.extend(engine.count_dispatches(
+                progs, SERVE_BUCKET, min_k, min_e))
+        for arr, _n in in_flight:
+            try:
+                arr.copy_to_host_async()
+            except Exception:  # noqa: BLE001
+                pass
+        n = sum(len(np.asarray(arr)[:k]) for arr, k in in_flight)
+        total = time.perf_counter() - t0
+        qps = n / total
+        log(f"[two-tier] {label}: {len(batches)} x {n // len(batches)} "
+            f"queries in {total * 1e3:.0f} ms -> {qps:.0f} qps "
+            f"(pool hits={engine.pool_hits} misses={engine.pool_misses})")
+        return qps
+
+    # hot: warm residency once (untimed), then distinct batches
+    engine.count_programs(
+        lower_batch(hot_count_queries(db, positions, nq, seed=0)),
+        min_bucket=SERVE_BUCKET)
+    hot_batches = [lower_batch(hot_count_queries(db, positions, nq,
+                                                 seed=i + 1))
+                   for i in range(2)]
+    hot_qps = timed_pipelined(hot_batches, "hot")
+    # cold: fresh leaves every batch (worst case, updates + VM)
+    cold_batches = [lower_batch(sample_count_queries(db, n_queries=nq,
+                                                     seed=300 + i))
+                    for i in range(2)]
+    cold_qps = timed_pipelined(cold_batches, "cold")
+    log(f"[two-tier] RESULT: hot {hot_qps:.0f} qps, cold {cold_qps:.0f} "
+        f"qps at {rows} x {length} x {parts} (sparse tier forced, "
+        f"pool {engine.pool_slots} slots)")
 
 
 if __name__ == "__main__":

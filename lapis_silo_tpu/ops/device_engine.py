@@ -352,6 +352,10 @@ class DeviceEngine:
             nnz_pad = max(1, len(idx))
             kernel_capable = pk.HAVE_PALLAS and (
                 jax.default_backend() != "cpu" or pk.interpret_default())
+            # the sparse gather/densify kernels need lane-aligned words
+            # (bank3 guarantees PW % 128 == 0) but not the dense-tier
+            # worthwhileness cutoff (use_pallas' n_words >= 512)
+            self._kernel_capable = kernel_capable and self.bank3
             if self.use_pallas or kernel_capable:
                 # +DENSIFY_WINDOW: the Mosaic densify kernel's aligned DMA
                 # windows may over-read past the last live entry
@@ -361,6 +365,13 @@ class DeviceEngine:
             # COMBINE_BLOCK multiple on every path (XLA fallbacks too)
             nnz_pad = (-(-nnz_pad // pk.COMBINE_BLOCK)
                        * pk.COMBINE_BLOCK)
+            if self.mesh is not None:
+                # sharded sparse-Mutations splits the ENTRY axis evenly
+                # across devices; each local chunk must stay
+                # SPARSE_CHUNK-aligned for the Mosaic gather kernel
+                quantum_e = len(devices) * (
+                    pk.SPARSE_CHUNK if kernel_capable else pk.COMBINE_BLOCK)
+                nnz_pad = -(-nnz_pad // quantum_e) * quantum_e
             sp_idx = np.zeros(nnz_pad, dtype=np.int32)
             sp_words = np.zeros(nnz_pad, dtype=np.uint32)
             sp_idx[: len(idx)] = idx
@@ -368,17 +379,21 @@ class DeviceEngine:
             # ONE combined device array (idx lanes 0:128, words 128:256):
             # every densify window then moves with a single DMA issue/wait
             # instead of two — per-segment serial scalar work is the
-            # cold-sweep bound (see pallas_kernels.combine_stream)
+            # cold-sweep bound (see pallas_kernels.combine_stream). On a
+            # mesh the stream is REPLICATED per device (the dense bank is
+            # what dominates HBM; replication lets both the window-local
+            # sharded densify and the entry-split sharded Mutations
+            # reduction run with zero stream communication).
             self.sparse_stream = (
-                jax.device_put(pk.combine_stream(sp_idx, sp_words)),)
+                self._put_repl(pk.combine_stream(sp_idx, sp_words)),)
             # Mutations-reduction bounds: one (start, len) per
             # (leaf, partition) segment, flattened seg = leaf * P + pi
             self._sparse_bounds_dev = (
-                jax.device_put(starts_pp.reshape(-1).astype(np.int32)),
-                jax.device_put(lens_pp.reshape(-1).astype(np.int32)),
+                self._put_repl(starts_pp.reshape(-1).astype(np.int32)),
+                self._put_repl(lens_pp.reshape(-1).astype(np.int32)),
             )
             self._sparse_kernel_ok = False
-            if self.use_pallas:
+            if self._kernel_capable:
                 # The gather kernel computes per-[8,128]-slab (1024-entry
                 # GROUP) hi-row bounds in-kernel and walks only that band.
                 # If groups still span wide hi bands (a very sparse stream
@@ -396,6 +411,7 @@ class DeviceEngine:
             self.sparse_lengths = None
             self._sparse_bounds_dev = None
             self._sparse_kernel_ok = False
+            self._kernel_capable = False
         self._sparse_counts_memo: tuple | None = None
         self._filters_memo: tuple | None = None
         # Serving floors: pin the sparse K/M buckets corpus-wide so every
@@ -477,7 +493,10 @@ class DeviceEngine:
             # sane; ceiling 6 GB bounds the donate-copy worst case.
             budget_bytes = int(float(os.environ.get(
                 "SILO_DENSE_BANK_BUDGET_GB", SPARSE_BANK_BUDGET_GB)) * 2**30)
-            bank_bytes = 4 * self.n_rows * self.n_flat_words
+            # per-DEVICE accounting: the bank and pool shard over the mesh
+            # (1/n_dev of their rows per device); the stream is replicated
+            n_dev_div = len(devices) if self.mesh is not None else 1
+            bank_bytes = 4 * self.n_rows * self.n_flat_words // n_dev_div
             stream_bytes = (sum(int(a.nbytes) for a in self.sparse_stream)
                             if self.sparse_stream is not None else 0)
             free = budget_bytes - bank_bytes - stream_bytes
@@ -488,10 +507,17 @@ class DeviceEngine:
                 # could push the engine past HBM at init. Disable the pool
                 # and run the poolless densify path instead.
                 pool_budget = 0
-        row_bytes = 4 * self.n_flat_words
+        row_bytes = 4 * self.n_flat_words // (
+            len(devices) if self.mesh is not None else 1)
         want_slots = int(pool_budget // row_bytes)
         self.pool_slots = 0
-        if (n_sparse > 0 and self.bank3 and self.mesh is None
+        # Mesh engines keep the pool too (round-5: the 10M-scale design
+        # must not silently degrade on the configuration that needs it
+        # most): the pool shards along the word axis exactly like the
+        # bank, updates densify per-shard (window-local scatter, zero
+        # communication), and the VM reads resident pool rows through
+        # vm_run_sharded like a second bank.
+        if (n_sparse > 0 and self.bank3
                 and os.environ.get("SILO_LEAF_POOL", "1") != "0"
                 and want_slots >= 64):
             # never more slots than leaves exist (+1 scratch), cap the
@@ -504,6 +530,7 @@ class DeviceEngine:
         # Trailing all-zero sentinel row serves padded ids. Built lazily
         # with the pool.
         self._leaf_bounds_table = None
+        self._pool_e_budgets: dict[int, int] = {}
         self._leaf_slot: "OrderedDict[int, int]" = OrderedDict()  # LRU
         # Segmented LRU: leaves hit on a SECOND distinct call promote into
         # _protected (recency-ordered, capped at 80% of slots); eviction
@@ -532,6 +559,36 @@ class DeviceEngine:
 
     # -- hot-leaf pool -----------------------------------------------------
 
+    def _alloc_pool(self) -> jax.Array:
+        """The zeroed [C+1, PW/128, 128] pool, word-sharded like the bank
+        on a mesh (allocated straight into the sharded layout — a host
+        round-trip for a multi-GB pool would be pointless)."""
+        hi = self.n_flat_words // 128
+        shape = (self.pool_slots + 1, hi, 128)
+        if self.mesh is None:
+            return jnp.zeros(shape, jnp.uint32)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(self.mesh,
+                                 PartitionSpec(None, "seq", None))
+        return jax.jit(lambda: jnp.zeros(shape, jnp.uint32),
+                       out_shardings=sharding)()
+
+    def _pool_e_budget(self, k_bucket: int) -> int:
+        """Static per-(snapshot, K bucket) entry budget for the MESH pool
+        update's window-local XLA densify (worst case: the K longest
+        leaves) — one executable per K bucket, shared by warm-up and every
+        runtime chunk. The single-device Mosaic kernel scales with live
+        entries and ignores this."""
+        cached = self._pool_e_budgets.get(k_bucket)
+        if cached is None:
+            lens_desc = np.sort(self.sparse_lengths)[::-1]
+            needed = max(int(lens_desc[:k_bucket].sum()), 1)
+            cached = next((b for b in _SPARSE_E_BUCKETS if b >= needed),
+                          1 << (int(needed - 1).bit_length()))
+            self._pool_e_budgets[k_bucket] = cached
+        return cached
+
     def _plan_residency(self, leaf_ids: list[int]):
         """Slot-assign every leaf (LRU bookkeeping) and return
         (leaf id -> slot, update chunks): each chunk is an (ids, slots)
@@ -545,8 +602,7 @@ class DeviceEngine:
         first on the single device queue."""
         C = self.pool_slots
         if self.leaf_pool is None:
-            hi = self.n_flat_words // 128
-            self.leaf_pool = jnp.zeros((C + 1, hi, 128), jnp.uint32)
+            self.leaf_pool = self._alloc_pool()
             self._free_slots = list(range(C))
         slot_map: dict[int, int] = {}
         misses: list[int] = []
@@ -628,7 +684,9 @@ class DeviceEngine:
                 blob[: len(chunk)] = chunk
                 blob[k_bucket:] = C  # pad slots -> scratch row
                 blob[k_bucket : k_bucket + len(slots)] = slots
-                run = _pool_update_jit(k_bucket, n_p, self.n_flat_words)
+                run = _pool_update_jit(k_bucket, n_p, self.n_flat_words,
+                                       self.mesh,
+                                       self._pool_e_budget(k_bucket))
                 self.leaf_pool = run(
                     self.leaf_pool, self.sparse_stream[0],
                     bounds, jax.device_put(blob))
@@ -643,7 +701,7 @@ class DeviceEngine:
                              dtype=np.int32)
             table[: self.n_sparse, 0, :] = self.sparse_starts_pp
             table[: self.n_sparse, 1, :] = self.sparse_lengths_pp
-            self._leaf_bounds_table = jax.device_put(table)
+            self._leaf_bounds_table = self._put_repl(table)
         return self._leaf_bounds_table
 
     def warm_pool_updates(self):
@@ -655,9 +713,7 @@ class DeviceEngine:
             return
         with self._pool_lock:
             if self.leaf_pool is None:
-                hi = self.n_flat_words // 128
-                self.leaf_pool = jnp.zeros((self.pool_slots + 1, hi, 128),
-                                           jnp.uint32)
+                self.leaf_pool = self._alloc_pool()
                 self._free_slots = list(range(self.pool_slots))
             n_p = self.n_partitions
             bounds = self._ensure_bounds_dev()
@@ -666,7 +722,8 @@ class DeviceEngine:
                     break
                 blob = np.full(2 * k_bucket, self.n_sparse, dtype=np.int32)
                 blob[k_bucket:] = self.pool_slots  # scratch row
-                run = _pool_update_jit(k_bucket, n_p, self.n_flat_words)
+                run = _pool_update_jit(k_bucket, n_p, self.n_flat_words,
+                                       self.mesh, self._pool_e_budget(k_bucket))
                 self.leaf_pool = run(
                     self.leaf_pool, self.sparse_stream[0],
                     bounds, jax.device_put(blob))
@@ -874,6 +931,17 @@ class DeviceEngine:
     def _put_dyn(self, array: np.ndarray) -> jax.Array:
         return jax.device_put(array, self._dyn_sharding(array.ndim))
 
+    def _put_repl(self, array: np.ndarray) -> jax.Array:
+        """device_put REPLICATED across the mesh (plain placement off-mesh)
+        — for resident tables every device reads whole (the sparse CSR
+        stream, the leaf-bounds tables)."""
+        if self.mesh is None:
+            return jax.device_put(array)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(array, NamedSharding(
+            self.mesh, PartitionSpec(*(None,) * array.ndim)))
+
     def _zero_dyn(self, shape) -> jax.Array:
         """Cached all-zero dynamic bank: the hot path for data-free queries
         transfers only the tiny program array."""
@@ -927,6 +995,15 @@ class DeviceEngine:
                 slot_map, chunks = self._plan_residency(sparse_leaf_ids)
                 code = self._rewrite_sparse_operands(code, sparse_leaf_ids,
                                                      slot_map)
+                if chunks and self.mesh is not None:
+                    # mesh pools update EAGERLY (each chunk is one sharded
+                    # window-local densify dispatch): the fused update+VM
+                    # executable exists to collapse relay round trips on
+                    # the single-chip serving path — a pod has no relay,
+                    # and eager chunks keep the per-chunk entry budget
+                    # tight for the XLA window scatter
+                    self._eager_update_chunks(chunks)
+                    chunks = []
                 if len(chunks) > vm._POOL_CHUNK_BUCKETS[-1]:
                     # overflow past the fused bucket: eager updates first
                     cut = len(chunks) - vm._POOL_CHUNK_BUCKETS[-1]
@@ -936,7 +1013,7 @@ class DeviceEngine:
                     run = _interpreter(bucket, self.n_rows, n_dyn,
                                        self.pool_slots + 1,
                                        self.n_flat_words, output, n_regs,
-                                       mesh=None)
+                                       mesh=self.mesh)
                     blob = np.append(code.reshape(-1), rounded)
                     return run(jax.device_put(blob), self.bank, dyn_dev,
                                self.leaf_pool, self.full_masks)
@@ -1511,9 +1588,28 @@ class DeviceEngine:
         # span stays inside one partition's window, so cost tracks the
         # entries actually touched, not the full filter height. XLA gather
         # (the fallback, also for wide-span corpora) costs ~9.1 ns/entry.
+        if self.mesh is not None:
+            # sharded form: the entry axis splits across devices, each
+            # reduces its chunk (Mosaic gather kernel where available)
+            # against the all-gathered filter, per-leaf partials psum
+            from .reductions import _sparse_mutation_counts_sharded_jit
+
+            n_dev = self.mesh.devices.size
+            rows = stream_comb.shape[0]
+            use_kernel = (
+                self._kernel_capable
+                and self._sparse_kernel_ok
+                and rows % n_dev == 0
+                and ((rows // n_dev) * 64) % pk.SPARSE_CHUNK == 0
+            )
+            run = _sparse_mutation_counts_sharded_jit(
+                self.mesh, self.n_partitions, use_kernel)
+            out = np.asarray(run(stream_comb, filters, starts, lens),
+                             dtype=np.int64)
+            self._sparse_counts_memo = (key, filter_words, out)
+            return out
         use_kernel = (
-            self.use_pallas
-            and self.mesh is None
+            self._kernel_capable
             and self._sparse_kernel_ok
             and (stream_comb.shape[0] * 64) % pk.SPARSE_CHUNK == 0
         )

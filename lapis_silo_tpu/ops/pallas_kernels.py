@@ -498,6 +498,17 @@ VM_MAX_BATCH = 4096  # must match device_engine.MAX_BATCH_QUERIES
 _ANY = getattr(pl, "ANY", None) or (pltpu.ANY if HAVE_PALLAS else None)
 
 
+def get_shard_map():
+    """shard_map with the replication/vma check off (pallas_call out_shapes
+    carry no varying-mesh-axes annotation; the flag name differs across jax
+    versions). The single shim for every sharded kernel wrapper."""
+    if hasattr(jax, "shard_map"):
+        return functools.partial(jax.shard_map, check_vma=False)
+    from jax.experimental.shard_map import shard_map as _sm
+
+    return functools.partial(_sm, check_rep=False)
+
+
 def _vm_block_hi(n_hi: int, n_regs: int, vmem_cap_bytes: int = 64 << 20):
     """Largest per-block hi-row count (multiple of the whole-words-per-
     partition quantum that divides n_hi) whose register file fits VMEM;
@@ -743,14 +754,7 @@ def vm_run_sharded(mesh, axis: str, opers, specs, n_instr, bank, dyn,
     instead of one row DMA)."""
     from jax.sharding import PartitionSpec as P
 
-    # pallas_call out_shapes carry no varying-mesh-axes annotation, so the
-    # replication/vma check must be off (flag name differs across versions)
-    if hasattr(jax, "shard_map"):
-        shard_map = functools.partial(jax.shard_map, check_vma=False)
-    else:
-        from jax.experimental.shard_map import shard_map as _sm
-
-        shard_map = functools.partial(_sm, check_rep=False)
+    shard_map = get_shard_map()
 
     def local(opers_l, specs_l, ninstr_l, bank_l, dyn_l, sp_l, full_l):
         words, counts = vm_run(opers_l, specs_l, ninstr_l, bank_l,
@@ -758,10 +762,14 @@ def vm_run_sharded(mesh, axis: str, opers, specs, n_instr, bank, dyn,
                                interpret=interpret)
         return words, jax.lax.psum(counts, axis)
 
+    # sparse_rows is either the per-dispatch densified [K, PW] block or the
+    # resident 3-D hot-leaf pool [C+1, PW/128, 128] — both word-sharded
+    sparse_spec = (P(None, axis, None) if sparse_rows.ndim == 3
+                   else P(None, axis))
     return shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(), P(), P(None, axis, None), P(None, axis),
-                  P(None, axis), P(axis)),
+                  sparse_spec, P(axis)),
         out_specs=(P(axis), P()),
     )(opers, specs, n_instr, bank, dyn, sparse_rows, full)
 
@@ -775,12 +783,7 @@ def mutation_counts_banked_sharded(mesh, axis: str, bank3, filters, start,
     word-sharded."""
     from jax.sharding import PartitionSpec as P
 
-    if hasattr(jax, "shard_map"):
-        shard_map = functools.partial(jax.shard_map, check_vma=False)
-    else:
-        from jax.experimental.shard_map import shard_map as _sm
-
-        shard_map = functools.partial(_sm, check_rep=False)
+    shard_map = get_shard_map()
     n_words_local = n_words // mesh.devices.size
 
     def local(bank_l, filters_l):

@@ -96,6 +96,56 @@ def _sparse_mutation_counts_pallas_jit(stream_comb,
         axis=1, dtype=jnp.uint32)
 
 
+@functools.lru_cache(maxsize=None)
+def _sparse_mutation_counts_sharded_jit(mesh, n_per_leaf: int,
+                                        use_kernel: bool):
+    """Segmented sparse-tier popcount over a word-sharded Mesh: the ENTRY
+    axis of the (replicated) combined stream splits across devices — each
+    device all-gathers the word-sharded filter (small next to the dense
+    bank traffic a Mutations query already moves), reduces its own entry
+    chunk with the Mosaic dynamic-gather kernel (or the XLA gather
+    fallback), computes boundary sums over its chunk with the (leaf,
+    partition) segments CLIPPED to its entry range, and the per-leaf
+    partials psum-merge over ICI. Every entry is counted by exactly one
+    device, so the merge is exact. The engine guarantees the padded entry
+    count splits evenly (and SPARSE_CHUNK-aligned for the kernel) across
+    the mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from . import pallas_kernels as pk
+
+    shard_map = pk.get_shard_map()
+    n_dev = mesh.devices.size
+
+    def local(stream_full, filters_l, starts, lens):
+        rows_local = stream_full.shape[0] // n_dev
+        e_local = rows_local * 64
+        d = jax.lax.axis_index("seq")
+        filters_full = jax.lax.all_gather(filters_l, "seq", tiled=True)
+        chunk = jax.lax.dynamic_slice_in_dim(
+            stream_full, d * rows_local, rows_local, 0)
+        if use_kernel:
+            vals = pk.sparse_filter_popcount(
+                filters_full, chunk).astype(jnp.uint32)
+        else:
+            sp_idx, sp_words = pk.split_stream(chunk)
+            vals = jax.lax.population_count(
+                sp_words & filters_full[sp_idx]).astype(jnp.uint32)
+        e0 = d * e_local
+        ls = jnp.clip(starts - e0, 0, e_local)
+        le = jnp.clip(starts + lens - e0, 0, e_local)
+        per_seg = _boundary_sums(vals, ls, jnp.maximum(le - ls, 0))
+        partial = per_seg.reshape(-1, n_per_leaf).sum(
+            axis=1, dtype=jnp.uint32)
+        return jax.lax.psum(partial, "seq")
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("seq"), P(), P()),
+        out_specs=P())
+    return jax.jit(sharded)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _mutation_counts_jit(bank, filters, start, n_seg_rows):
     """bank [R, PW] & filter [PW]: per-row popcount over the global word

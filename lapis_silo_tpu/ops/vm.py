@@ -248,7 +248,8 @@ class _Program:
 
 
 @functools.lru_cache(maxsize=None)
-def _pool_update_jit(k_bucket: int, n_partitions: int, n_words: int):
+def _pool_update_jit(k_bucket: int, n_partitions: int, n_words: int,
+                     mesh=None, e_budget: int = 0):
     """In-place hot-leaf-pool update: densify up to k_bucket leaves from
     the resident CSR stream straight into their pool slots. The pool is
     donated, so XLA aliases the buffer — the dispatch writes only the
@@ -261,10 +262,50 @@ def _pool_update_jit(k_bucket: int, n_partitions: int, n_words: int):
     starts/lens per dispatch (~530 KB at K=2048 x 32 through a
     10-25 MB/s relay path), which was a large slice of the cold-sweep
     cliff. The gather to scalar-prefetch operands runs in-jit; padded
-    ids point at the table's trailing all-zero sentinel row (no work)."""
+    ids point at the table's trailing all-zero sentinel row (no work).
+
+    With `mesh`, the pool is word-sharded like the bank and each device
+    densifies its own shard under shard_map via the WINDOW-LOCAL XLA
+    scatter (_densify_one with w_off): the stream is replicated, so no
+    communication happens at all — every device scans the whole E-budget
+    (`e_budget` slots, engine-chosen per chunk) but writes only its own
+    words. The Mosaic densify kernel stays the single-device path."""
     from . import pallas_kernels as pk
 
-    part_h0 = pk.bounded_part_h0(n_partitions, n_words)
+    if mesh is None:
+        part_h0 = pk.bounded_part_h0(n_partitions, n_words)
+
+        def run(pool, stream_comb, bounds, blob):
+            ids = blob[:k_bucket]
+            slots = blob[k_bucket:]
+            b = bounds[ids]                      # [K, 2, P]
+            starts = b[:, 0, :].reshape(-1)
+            lens = b[:, 1, :].reshape(-1)
+            return pk.densify_rows_into_pool(pool, stream_comb,
+                                             starts, lens, slots, k_bucket,
+                                             n_words, part_h0=part_h0)
+
+        return jax.jit(run, donate_argnums=0)
+
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = pk.get_shard_map()
+    n_dev = mesh.devices.size
+    assert n_words % (128 * n_dev) == 0, (n_words, n_dev)
+    local_w = n_words // n_dev
+
+    def local(pool_l, stream_full, starts_r, lens_r, slots_r):
+        d = jax.lax.axis_index("seq")
+        rows = _densify_one(k_bucket, e_budget, n_words, n_partitions,
+                            stream_full, starts_r, lens_r,
+                            w_off=d * local_w, local_words=local_w)
+        return pool_l.at[slots_r].set(
+            rows.reshape(k_bucket, local_w // 128, 128))
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "seq", None), P(), P(), P(), P()),
+        out_specs=P(None, "seq", None))
 
     def run(pool, stream_comb, bounds, blob):
         ids = blob[:k_bucket]
@@ -272,9 +313,7 @@ def _pool_update_jit(k_bucket: int, n_partitions: int, n_words: int):
         b = bounds[ids]                      # [K, 2, P]
         starts = b[:, 0, :].reshape(-1)
         lens = b[:, 1, :].reshape(-1)
-        return pk.densify_rows_into_pool(pool, stream_comb,
-                                         starts, lens, slots, k_bucket,
-                                         n_words, part_h0=part_h0)
+        return sharded(pool, stream_comb, starts, lens, slots)
 
     return jax.jit(run, donate_argnums=0)
 
@@ -329,7 +368,8 @@ def _pooled_update_vm_jit(program_len: int, n_rows: int, n_dyn: int,
 
 
 def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
-                 n_per_leaf: int, stream_comb, starts, lens):
+                 n_per_leaf: int, stream_comb, starts, lens,
+                 w_off=None, local_words: int | None = None):
     """[K, PW] densified sparse-tier rows (global word space), via a FLAT
     ragged gather+scatter over an E-entry budget: per-element scatter cost
     ~29 ns means work must scale with the ACTUAL entry count, not the
@@ -345,7 +385,14 @@ def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
     VMEM at ~18 ns/entry — this path is TRANSACTION-bound at ~100 ns/slot
     (measured at the 10M shape: 2 stream gathers + 1 table gather + 1
     scatter per slot; the per-segment tables fold in-jit so the slot ->
-    stream mapping costs ONE table gather)."""
+    stream mapping costs ONE table gather).
+
+    `w_off` / `local_words` select the WINDOW-LOCAL form (mesh shard_map
+    callers): only entries whose global word index falls in
+    [w_off, w_off + local_words) scatter, into [K, local_words] rows in
+    local coordinates — every device scans the replicated stream but
+    writes only its own word shard, so a sharded densify needs no
+    communication at all."""
     n_seg = n_sparse_k * n_per_leaf
     lens = lens.astype(jnp.int32)
     cum = jnp.cumsum(lens)                                    # [K*P] inclusive
@@ -374,10 +421,14 @@ def _densify_one(n_sparse_k: int, n_sparse_e: int, n_words: int,
     gi = stream_comb[row, src & 127].astype(jnp.int32)
     gw = stream_comb[row + pk.COMBINE_WORD_ROW_OFF, src & 127]
     leaf = seg_c // n_per_leaf
-    flat = jnp.where(valid, leaf * n_words + gi, n_sparse_k * n_words)
-    out = jnp.zeros(n_sparse_k * n_words, jnp.uint32).at[flat].set(
+    out_words = n_words if local_words is None else local_words
+    if w_off is not None:
+        valid = valid & (gi >= w_off) & (gi < w_off + out_words)
+        gi = gi - w_off
+    flat = jnp.where(valid, leaf * out_words + gi, n_sparse_k * out_words)
+    out = jnp.zeros(n_sparse_k * out_words, jnp.uint32).at[flat].set(
         gw, mode="drop")
-    return out.reshape(n_sparse_k, n_words)
+    return out.reshape(n_sparse_k, out_words)
 
 
 @functools.lru_cache(maxsize=16)

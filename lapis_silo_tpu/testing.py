@@ -273,3 +273,42 @@ def sample_count_queries(db: Database, n_queries: int = 32, seed: int = 1) -> li
         queries.append(json.dumps({"action": {"type": "Aggregated"},
                                    "filterExpression": filt}))
     return queries
+
+
+def hot_count_queries(db: Database, positions, n_queries: int,
+                      seed: int) -> list[str]:
+    """Fresh random boolean combinations over a FIXED (position, symbol)
+    working set — the serving norm (dashboards repeat the same mutations):
+    distinct programs per batch, bounded leaf universe. Shared by
+    scripts/pool_bench.py and bench.py's two-tier probe."""
+    import json
+
+    rng = np.random.default_rng(seed)
+    ref = db.reference_genomes.nucleotide_ids["main"]
+    out = []
+    for qi in range(n_queries):
+        def leaf():
+            pos = int(positions[rng.integers(0, len(positions))])
+            ref_sym = int(ref[pos])
+            if rng.random() < 0.5:
+                sym = NUCLEOTIDE.chars[(ref_sym % 4) + 1]
+                return {"type": "NucleotideEquals", "position": pos + 1,
+                        "symbol": sym}
+            return {"type": "HasNucleotideMutation", "position": pos + 1}
+
+        kind = qi % 4
+        if kind == 0:
+            filt = {"type": "And", "children": [leaf(), leaf()]}
+        elif kind == 1:
+            filt = {"type": "Or", "children": [
+                leaf(), {"type": "Not", "child": leaf()}]}
+        elif kind == 2:
+            filt = {"type": "N-Of", "numberOfMatchers": 2,
+                    "matchExactly": False,
+                    "children": [leaf(), leaf(), leaf()]}
+        else:
+            filt = {"type": "And", "children": [
+                leaf(), {"type": "Or", "children": [leaf(), leaf()]}]}
+        out.append(json.dumps({"action": {"type": "Aggregated"},
+                               "filterExpression": filt}))
+    return out

@@ -37,39 +37,12 @@ def log(*args):
 
 
 def hot_queries(db, positions, n_queries, seed):
-    """Fresh random boolean combinations over a FIXED (position, symbol)
-    working set: distinct programs per batch, bounded leaf universe."""
-    rng = np.random.default_rng(seed)
-    ref = db.reference_genomes.nucleotide_ids["main"]
-    out = []
-    for qi in range(n_queries):
-        def leaf():
-            pos = int(positions[rng.integers(0, len(positions))])
-            ref_sym = int(ref[pos])
-            from lapis_silo_tpu.common.symbols import NUCLEOTIDE
+    """Shared helper (lapis_silo_tpu.testing.hot_count_queries): fresh
+    random boolean combinations over a FIXED (position, symbol) working
+    set — distinct programs per batch, bounded leaf universe."""
+    from lapis_silo_tpu.testing import hot_count_queries
 
-            if rng.random() < 0.5:
-                sym = NUCLEOTIDE.chars[(ref_sym % 4) + 1]
-                return {"type": "NucleotideEquals", "position": pos + 1,
-                        "symbol": sym}
-            return {"type": "HasNucleotideMutation", "position": pos + 1}
-
-        kind = qi % 4
-        if kind == 0:
-            filt = {"type": "And", "children": [leaf(), leaf()]}
-        elif kind == 1:
-            filt = {"type": "Or", "children": [
-                leaf(), {"type": "Not", "child": leaf()}]}
-        elif kind == 2:
-            filt = {"type": "N-Of", "numberOfMatchers": 2,
-                    "matchExactly": False,
-                    "children": [leaf(), leaf(), leaf()]}
-        else:
-            filt = {"type": "And", "children": [
-                leaf(), {"type": "Or", "children": [leaf(), leaf()]}]}
-        out.append(json.dumps({"action": {"type": "Aggregated"},
-                               "filterExpression": filt}))
-    return out
+    return hot_count_queries(db, positions, n_queries, seed)
 
 
 def main():

@@ -59,6 +59,78 @@ def test_sharded_engine_sparse_tier_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_pool_and_sparse_mutations_kernel(monkeypatch):
+    """Round-5 mesh scale tier: the hot-leaf pool (word-sharded like the
+    bank, window-local sharded updates, pool-resident VM reads) and the
+    sharded sparse-Mutations reduction (entry-split Mosaic gather kernel +
+    psum) must run on the 8-device mesh — spy-asserted — and stay
+    bit-exact vs the single-device engine."""
+    monkeypatch.setenv("SILO_FORCE_BANK3", "1")
+    monkeypatch.setenv("SILO_PALLAS_INTERPRET", "1")
+    from lapis_silo_tpu.ops import device_engine as de
+    from lapis_silo_tpu.ops import pallas_kernels as pk
+    from lapis_silo_tpu.ops import reductions
+    from lapis_silo_tpu.query.engine import Query
+    from lapis_silo_tpu.testing import sample_count_queries, synthetic_database
+
+    calls = {"pool_update_mesh": 0, "sparse_gather_kernel": 0}
+    real_pool_jit = de._pool_update_jit
+
+    def spy_pool_jit(k_bucket, n_partitions, n_words, mesh=None,
+                     e_budget=0):
+        if mesh is not None:
+            calls["pool_update_mesh"] += 1
+        return real_pool_jit(k_bucket, n_partitions, n_words, mesh,
+                             e_budget)
+
+    real_gather = pk.sparse_filter_popcount
+
+    def spy_gather(*args, **kwargs):
+        calls["sparse_gather_kernel"] += 1
+        return real_gather(*args, **kwargs)
+
+    monkeypatch.setattr(de, "_pool_update_jit", spy_pool_jit)
+    monkeypatch.setattr(pk, "sparse_filter_popcount", spy_gather)
+    de._interpreter.cache_clear()
+    reductions._sparse_mutation_counts_sharded_jit.cache_clear()
+    try:
+        db = synthetic_database(n_rows=2048, length=256, n_partitions=3,
+                                mutations_per_genome=2)
+        single = de.DeviceEngine(db, devices=jax.devices()[:1],
+                                 sparse_min_words=1)
+        sharded = de.DeviceEngine(db, devices=jax.devices()[:8],
+                                  sparse_min_words=1)
+        assert sharded.mesh is not None and sharded.n_sparse > 0
+        assert sharded.pool_slots > 0, "mesh pool must be active"
+        queries = [Query(q) for q in sample_count_queries(db, 12)]
+        batch = [q.filter for q in queries]
+        want = single.count_batch(batch)
+        assert sharded.count_batch(batch) == want
+        assert calls["pool_update_mesh"] > 0, \
+            "sharded pool update never dispatched"
+        misses_after_cold = sharded.pool_misses
+        # repeat: the same leaves must now be pool hits, not re-densified
+        assert sharded.count_batch(batch) == want
+        assert sharded.pool_hits > 0, "no pool-resident reads"
+        assert sharded.pool_misses == misses_after_cold, \
+            "hot leaves re-densified"
+        # sharded sparse-Mutations through the Mosaic gather kernel
+        filt = Query(json.dumps({
+            "action": {"type": "Aggregated"},
+            "filterExpression": {"type": "HasNucleotideMutation",
+                                 "position": 7}})).filter
+        m1 = single.mutation_counts("nuc", "main", single.evaluate(filt))
+        m2 = sharded.mutation_counts("nuc", "main", sharded.evaluate(filt))
+        np.testing.assert_array_equal(m1, m2)
+        assert calls["sparse_gather_kernel"] > 0, \
+            "sharded sparse-Mutations kernel never reached"
+    finally:
+        de._interpreter.cache_clear()
+        reductions._sparse_mutation_counts_sharded_jit.cache_clear()
+        de.vm._pool_update_jit.cache_clear()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_engine_kernel_path_matches_xla(monkeypatch):
     """The mesh engine with the Mosaic kernel paths FORCED (bank3 +
     interpret-mode pallas under shard_map — the configuration a real

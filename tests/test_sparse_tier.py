@@ -234,8 +234,9 @@ def test_pool_update_k_cap_splits_miss_bursts(example_dataset_db,
     seen_k = []
     real_jit = de._pool_update_jit
 
-    def counting_jit(k_bucket, n_partitions, n_words):
-        run = real_jit(k_bucket, n_partitions, n_words)
+    def counting_jit(k_bucket, n_partitions, n_words, mesh=None,
+                     e_budget=0):
+        run = real_jit(k_bucket, n_partitions, n_words, mesh, e_budget)
 
         def wrapper(*args, **kwargs):
             seen_k.append(k_bucket)
