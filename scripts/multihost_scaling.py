@@ -42,6 +42,189 @@ threading.Event().wait()
 """
 
 
+SYNTH_WORKER_SNIPPET = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from lapis_silo_tpu.testing import synthetic_database
+from lapis_silo_tpu.parallel import multihost as mh
+from lapis_silo_tpu.storage.database import DataVersion
+db = synthetic_database(n_rows={rows}, length={length}, n_partitions=1,
+                        seed={seed})
+db.data_version = DataVersion({pin_version!r})
+# SYNTHETIC worker: compute each distinct query's partial ONCE, then serve
+# the canned WIRE BYTES with zero per-request compute — the coordinator's
+# fan-out + merge cost is then the only thing a timed run can contain
+# (worker-side work ~= an HTTP echo).
+_batch_cache = {{}}
+_real_batch = mh.execute_partial_batch
+def canned_batch(database, queries):
+    key = tuple(queries)
+    r = _batch_cache.get(key)
+    if r is None:
+        r = _real_batch(database, queries)
+        _batch_cache[key] = r
+    return r
+mh.execute_partial_batch = canned_batch
+_partial_cache = {{}}
+_real_exec = mh.execute_partial
+_real_enc = mh.encode_partial
+def canned_exec(database, q):
+    r = _partial_cache.get(q)
+    if r is None:
+        r = _real_enc(_real_exec(database, q))
+        _partial_cache[q] = r
+    return r
+mh.execute_partial = canned_exec
+mh.encode_partial = lambda p: p  # canned_exec already returns wire bytes
+server = mh.start_worker(db)
+print(server.server_address[1], flush=True)
+import threading
+threading.Event().wait()
+"""
+
+
+def _worker_cpu_seconds(procs):
+    """Cumulative CPU (utime+stime) of worker subprocesses via /proc."""
+    ticks = os.sysconf("SC_CLK_TCK")
+    total = 0.0
+    for proc in procs:
+        try:
+            with open(f"/proc/{proc.pid}/stat") as f:
+                fields = f.read().rsplit(") ", 1)[1].split()
+            total += (int(fields[11]) + int(fields[12])) / ticks
+        except Exception:  # noqa: BLE001 — worker may have exited
+            pass
+    return total
+
+
+def synthetic_mode():
+    """Coordinator-overhead ISOLATION (round 5, VERDICT r4 item 5): N
+    synthetic workers serve pre-canned partial bytes (zero compute), so a
+    timed query contains ONLY the coordinator's fan-out + merge work. A
+    separate REAL worker with a curve-scale shard provides the
+    compute-time denominator: the >=80%-linear multi-host claim holds iff
+    coordinator-added time at 8 workers stays well under (<=20% of) a real
+    worker's per-query compute — then on real hardware (where workers have
+    their own cores) the control plane cannot cap scaling."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from lapis_silo_tpu.parallel import multihost as mh
+    from lapis_silo_tpu.parallel.multihost import Coordinator
+    from lapis_silo_tpu.testing import synthetic_database
+
+    # shard size per worker matches the --curve 8-worker split; filters
+    # are SELECTIVE so the real worker actually computes (True hits the
+    # stored-cardinality / full-filter fast paths and measures nothing)
+    shard_rows, length = 98304 // 8, 2048
+    count_q = json.dumps({"action": {"type": "Aggregated"},
+                          "filterExpression": {"type": "And", "children": [
+                              {"type": "NucleotideEquals", "position": 7,
+                               "symbol": "T"},
+                              {"type": "HasNucleotideMutation",
+                               "position": 100}]}})
+    mut_q = json.dumps({"action": {"type": "Mutations",
+                                   "minProportion": 0.001},
+                        "filterExpression": {
+                            "type": "HasNucleotideMutation",
+                            "position": 7}})
+    donor = synthetic_database(n_rows=256, length=length, n_partitions=1,
+                               seed=900)
+    pin = donor.data_version.value
+
+    # --- denominator: a REAL worker's per-query compute, measured by
+    # direct /internal/partial requests (no coordinator in the loop) -----
+    workers = []
+
+    def real_worker_ms(rows, seed):
+        proc = subprocess.Popen(
+            [sys.executable, "-c", WORKER_SNIPPET.format(
+                repo=repo, rows=rows, length=length, seed=seed,
+                pin_version=pin, cpu="")],
+            stdout=subprocess.PIPE, text=True)
+        workers.append(proc)
+        client = mh._client_for(
+            f"http://127.0.0.1:{int(proc.stdout.readline())}")
+        out = {}
+        for name, q in (("count", count_q), ("mutations", mut_q)):
+            body = q.encode()
+            client.request("POST", "/internal/partial", body)  # warm
+            reps = 40 if name == "count" else 12
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                client.request("POST", "/internal/partial", body)
+            out[name] = (time.perf_counter() - t0) / reps * 1e3
+        print(f"real worker ({rows} rows): "
+              + "  ".join(f"{k} {v:.2f} ms/query" for k, v in out.items()),
+              flush=True)
+        return out
+
+    try:
+        # two denominators: the curve's 8-way split shard, and a
+        # production-ish shard (the curve's 1-worker size) — the
+        # coordinator-added cost is ABSOLUTE, so the ratio depends on
+        # how much compute each worker actually holds
+        real_ms = real_worker_ms(shard_rows, seed=700)
+        real_big_ms = real_worker_ms(shard_rows * 8, seed=701)
+
+        # --- numerator: coordinator time with N canned workers ----------
+        synth, urls = [], []
+        results = {}
+        for n_workers in (1, 2, 4, 8):
+            while len(synth) < n_workers:
+                i = len(synth)
+                proc = subprocess.Popen(
+                    [sys.executable, "-c", SYNTH_WORKER_SNIPPET.format(
+                        repo=repo, rows=shard_rows, length=length,
+                        seed=710 + i, pin_version=pin)],
+                    stdout=subprocess.PIPE, text=True)
+                synth.append(proc)
+                workers.append(proc)
+                urls.append(f"http://127.0.0.1:{int(proc.stdout.readline())}")
+            coordinator = Coordinator(donor, list(urls), include_local=False)
+            row = {}
+            for name, q in (("count", count_q), ("mutations", mut_q)):
+                coordinator.execute_query(q)  # warm: workers can their bytes
+                reps = 40 if name == "count" else 12
+                cpu0 = _worker_cpu_seconds(synth)
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    coordinator.execute_query(q)
+                row[name] = (time.perf_counter() - t0) / reps * 1e3
+                row[f"{name}_worker_cpu"] = (
+                    (_worker_cpu_seconds(synth) - cpu0) / reps * 1e3)
+            results[n_workers] = row
+            print(f"{n_workers} synthetic workers: "
+                  f"count {row['count']:.2f} ms "
+                  f"(worker cpu {row['count_worker_cpu']:.2f} ms), "
+                  f"mutations {row['mutations']:.2f} ms "
+                  f"(worker cpu {row['mutations_worker_cpu']:.2f} ms)",
+                  flush=True)
+        summary = {
+            "real_worker_ms": {k: round(v, 2) for k, v in real_ms.items()},
+            "real_worker_8x_shard_ms": {k: round(v, 2)
+                                        for k, v in real_big_ms.items()},
+        }
+        for name in ("count", "mutations"):
+            added = results[8][name] - results[1][name]
+            summary[f"{name}_coord_ms_1w"] = round(results[1][name], 2)
+            summary[f"{name}_coord_ms_8w"] = round(results[8][name], 2)
+            summary[f"{name}_coord_added_1to8_ms"] = round(added, 2)
+            summary[f"{name}_added_vs_small_shard_pct"] = round(
+                100 * added / real_ms[name], 1)
+            summary[f"{name}_added_vs_8x_shard_pct"] = round(
+                100 * added / real_big_ms[name], 1)
+        print(json.dumps(summary))
+    finally:
+        for proc in workers:
+            proc.kill()
+
+
 def measure(coordinator, n_queries=6):
     query = json.dumps({"action": {"type": "Mutations", "minProportion": 0.001},
                         "filterExpression": {"type": "True"}})
@@ -181,16 +364,28 @@ def curve_mode():
                     for p in workers]
             coordinator = Coordinator(donor, urls, include_local=False)
             row = {}
+            cpu_row = {}
             for name, (query, reps) in queries.items():
                 first = coordinator.execute_query(query)  # warm + sanity
                 if n_workers == 1:
                     base_rows[name] = len(first["queryResult"])
                 else:
                     assert len(first["queryResult"]) == base_rows[name], name
+                coord_cpu0 = sum(os.times()[:2])
+                wcpu0 = _worker_cpu_seconds(workers)
                 t0 = time.perf_counter()
                 for _ in range(reps):
                     coordinator.execute_query(query)
-                row[name] = reps / (time.perf_counter() - t0)
+                wall = time.perf_counter() - t0
+                row[name] = reps / wall
+                cpu_row[name] = {
+                    "worker_cpu_ms_per_q": round(
+                        (_worker_cpu_seconds(workers) - wcpu0) / reps * 1e3,
+                        2),
+                    "coord_cpu_ms_per_q": round(
+                        (sum(os.times()[:2]) - coord_cpu0) / reps * 1e3, 2),
+                    "wall_ms_per_q": round(wall / reps * 1e3, 2),
+                }
             # Concurrent closed loop for the count family: a serving
             # coordinator carries MANY public queries at once, so the
             # per-worker fan-out cost overlaps across in-flight queries
@@ -217,6 +412,10 @@ def curve_mode():
             results[n_workers] = row
             print(f"{n_workers} workers: " + "  ".join(
                 f"{k}={v:.1f} q/s" for k, v in row.items()), flush=True)
+            print(f"  cpu accounting: " + "  ".join(
+                f"{k}: worker {v['worker_cpu_ms_per_q']}ms + coord "
+                f"{v['coord_cpu_ms_per_q']}ms of {v['wall_ms_per_q']}ms wall"
+                for k, v in cpu_row.items()), flush=True)
         finally:
             for proc in workers:
                 proc.kill()
@@ -237,6 +436,9 @@ def curve_mode():
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--overhead":
         overhead_mode()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--synthetic":
+        synthetic_mode()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--curve":
         curve_mode()

@@ -32,44 +32,55 @@ def main():
 
     n_words = -(-rows // 32 // 128) * 128
     rng = np.random.default_rng(0)
-    bank = rng.integers(0, 2**32, size=(1, n_stored, n_words), dtype=np.uint32)
+    bank = rng.integers(0, 2**32, size=(n_stored, n_words), dtype=np.uint32)
     print(f"bank: {bank.nbytes / 1e9:.2f} GB  ({n_stored} rows x {n_words} words)",
           file=sys.stderr)
     bank_dev = jax.device_put(bank)
+    # the engine's at-rest layout (DeviceEngine.bank3): same bytes viewed
+    # [R, PW/128, 128] — measured separately so a 2-D vs 3-D kernel-path
+    # cost difference is visible instead of folded into "chip variance"
+    bank3_dev = jax.device_put(bank.reshape(n_stored, n_words // 128, 128))
     filters = jax.device_put(
-        rng.integers(0, 2**32, size=(1, n_words), dtype=np.uint32))
+        rng.integers(0, 2**32, size=(n_words,), dtype=np.uint32))
 
-    def make(iters, rb, wb, csa):
+    def make(iters, which, rb, wb, csa):
         @jax.jit
-        def repeat(bank, filters):
+        def repeat(bank_in, filters):
             def body(i, acc):
                 # vary the filter per iteration so XLA cannot CSE the calls
                 f = filters ^ i.astype(jnp.uint32)
-                counts = pk.mutation_counts_banked(
-                    bank, f, 0, n_stored, n_words, rb, wb, csa)
+                if which == "3d":
+                    counts = pk.mutation_counts_banked(
+                        bank_in, f, 0, n_stored, n_words)
+                else:
+                    counts = pk.mutation_counts_banked(
+                        bank_in, f, 0, n_stored, n_words, rb, wb, csa)
                 return acc + counts.sum(dtype=jnp.int32)
 
             return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
         return repeat
 
-    sweep = [(256, None, False), (256, None, True), (512, None, False)]
-    for row_block, word_block, use_csa in sweep:
-        if n_stored % row_block or (word_block and n_words % word_block):
+    sweep = [("2d", 256, None, False), ("2d", 256, None, True),
+             ("2d", 512, None, False), ("3d", None, None, False)]
+    for which, row_block, word_block, use_csa in sweep:
+        if which == "2d" and (n_stored % row_block
+                              or (word_block and n_words % word_block)):
             continue
+        operand = bank3_dev if which == "3d" else bank_dev
         best = {}
         for iters in (ITERS_LO, ITERS_HI):
-            fn = make(iters, row_block, word_block, use_csa)
+            fn = make(iters, which, row_block, word_block, use_csa)
             t_best = float("inf")
             for k in range(4):
                 t0 = time.perf_counter()
-                result = int(fn(bank_dev, filters))  # force to host
+                result = int(fn(operand, filters))  # force to host
                 if k:  # first call pays the compile
                     t_best = min(t_best, time.perf_counter() - t0)
             best[iters] = t_best
         per_iter = (best[ITERS_HI] - best[ITERS_LO]) / (ITERS_HI - ITERS_LO)
         bw = bank.nbytes / per_iter / 1e9
-        print(f"rb={row_block} wb={word_block} csa={use_csa}: compute "
+        print(f"{which} rb={row_block} wb={word_block} csa={use_csa}: compute "
               f"{per_iter * 1e3:.3f} ms/iter = {bw:.0f} GB/s "
               f"(t{ITERS_LO}={best[ITERS_LO]*1e3:.1f}ms "
               f"t{ITERS_HI}={best[ITERS_HI]*1e3:.1f}ms, result={result})",
