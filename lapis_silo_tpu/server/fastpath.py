@@ -286,12 +286,52 @@ class CountFastPath:
             logger.warning("invalid SILO_FASTPATH_DEPTH=%r; using 3",
                            os.environ.get("SILO_FASTPATH_DEPTH"))
             depth = 3
+        # SILO_FASTPATH_STATS=1: periodic drainer-occupancy summaries to
+        # stderr — pop widths, per-phase time split (wait / dispatch /
+        # complete), and GC gen-2 collections observed by this thread.
+        # The round-5 serving-cap breakdown instrument; off by default.
+        stats_on = os.environ.get("SILO_FASTPATH_STATS") == "1"
+        stats = {"batches": 0, "tasks": 0, "wait_s": 0.0, "dispatch_s": 0.0,
+                 "complete_s": 0.0, "widths": collections.Counter(),
+                 "t0": time.perf_counter(), "gen2_0": 0}
+        if stats_on:
+            import gc as _gc
+
+            stats["gen2_0"] = _gc.get_stats()[2]["collections"]
+
+        def _stats_tick(n, t_wait, t_disp, t_comp):
+            stats["batches"] += 1
+            stats["tasks"] += n
+            stats["wait_s"] += t_wait
+            stats["dispatch_s"] += t_disp
+            stats["complete_s"] += t_comp
+            stats["widths"][1 << max(0, (n - 1).bit_length())] += 1
+            if stats["batches"] % 256 == 0:
+                import gc as _gc
+                import sys as _sys
+
+                wall = time.perf_counter() - stats["t0"]
+                gen2 = _gc.get_stats()[2]["collections"] - stats["gen2_0"]
+                print(
+                    f"[fastpath-stats] {stats['tasks']} tasks / "
+                    f"{stats['batches']} polls in {wall:.1f}s "
+                    f"({stats['tasks'] / max(wall, 1e-9):.0f} req/s): "
+                    f"wait {stats['wait_s']:.1f}s "
+                    f"dispatch {stats['dispatch_s']:.1f}s "
+                    f"complete {stats['complete_s']:.1f}s; "
+                    f"pop-width histogram (pow2 buckets) "
+                    f"{dict(sorted(stats['widths'].items()))}; "
+                    f"gen2 collections {gen2}",
+                    file=_sys.stderr, flush=True)
+
         inflight: collections.deque = collections.deque()
         current = None  # batch popped for completion; entries pop as answered
         while True:
+            t_wait0 = time.perf_counter()
             n = self._lib.silo_fastpath_wait(
                 self._sid, self._keys, self._handles, MAX_BATCH,
                 0 if inflight else 250)
+            t_wait = time.perf_counter() - t_wait0
             if n < 0:
                 while inflight:
                     try:
@@ -301,7 +341,10 @@ class CountFastPath:
                 return  # server stopping
             dispatched = None
             try:
+                t_disp0 = time.perf_counter()
                 dispatched = self._dispatch(self._pop_copy(n)) if n else None
+                t_disp = time.perf_counter() - t_disp0
+                t_comp0 = time.perf_counter()
                 if dispatched is not None:
                     inflight.append(dispatched)
                     dispatched = None
@@ -314,7 +357,10 @@ class CountFastPath:
                     current = inflight.popleft()
                     self._complete(current)
                     current = None
-                else:
+                if stats_on:
+                    _stats_tick(n, t_wait, t_disp,
+                                time.perf_counter() - t_comp0)
+                if n == 0 and not inflight:
                     # idle moment: generation maintenance
                     state = self._state
                     if state is not None and (

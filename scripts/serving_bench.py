@@ -143,18 +143,36 @@ def main():
         runs = []
         try:
             for rep in range(reps):
-                out = subprocess.run(
+                # CPU accounting (round-5 serving breakdown): the loadgen's
+                # CPU via wait4 rusage, the server process (this python +
+                # its C++ worker threads + the drainer) via os.times —
+                # whichever side saturates its core allocation is the bound
+                server_cpu0 = sum(os.times()[:2])
+                t_wall0 = time.perf_counter()
+                proc = subprocess.Popen(
                     [LOADGEN, "127.0.0.1", str(port), "/query", bodies_path,
                      str(n_clients), str(seconds)],
-                    capture_output=True, text=True, check=True,
-                    timeout=seconds + 60, preexec_fn=loadgen_pre,
-                ).stdout.strip()
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True, preexec_fn=loadgen_pre)
+                _pid, status, rusage = os.wait4(proc.pid, 0)
+                assert os.waitstatus_to_exitcode(status) == 0, (
+                    proc.stderr.read())
+                wall = time.perf_counter() - t_wall0
+                server_cpu = sum(os.times()[:2]) - server_cpu0
+                loadgen_cpu = rusage.ru_utime + rusage.ru_stime
+                out = proc.stdout.read().strip()
                 stats = json.loads(out)
                 assert stats["errors"] == 0, stats
+                stats["loadgen_cpu_util"] = round(
+                    loadgen_cpu / wall / max(1, n_cores - 1), 3)
+                stats["server_cpu_util"] = round(server_cpu / wall, 3)
                 runs.append(stats)
                 log(f"rep {rep + 1}/{reps}: {stats['req_per_s']:.0f} req/s "
                     f"p50={stats['p50_ms']} p99={stats['p99_ms']} "
-                    f"({stats['requests']} reqs)")
+                    f"({stats['requests']} reqs) "
+                    f"loadgen cpu {stats['loadgen_cpu_util']:.0%} of its "
+                    f"core(s), server cpu {stats['server_cpu_util']:.2f} "
+                    f"cores")
         finally:
             os.unlink(bodies_path)
         server.shutdown()
