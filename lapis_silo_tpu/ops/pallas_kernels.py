@@ -962,6 +962,9 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             valid = ((lane >= (lo & 127))
                      & (lane <= ((hi_x - 1) & 127)))
             idx_m = jnp.where(valid, idx_row, -1)
+            mxu_dtype = (jnp.float32 if os.environ.get("SILO_DENSIFY_BF16",
+                                                       "1") == "0"
+                         else jnp.bfloat16)
             if interpret and bounded:
                 # Debug guard (interpret mode only — compiled kernels are
                 # unchanged): the BOUNDED path silently never matches
@@ -979,11 +982,15 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
                         "densify_rows BOUNDED path DROPPED {} entries "
                         "outside the part_h0 tile (caller violated the "
                         "uniform partition-window contract)", n_bad)
-            # A[s, e]: hi-row one-hot along lanes (e)
+            # A[s, e]: hi-row one-hot along lanes (e). bf16 operands
+            # (default): a one-hot x u8-plane product is <= 255 and every
+            # output cell receives AT MOST ONE contribution (word indices
+            # unique per segment), so bf16's 8 mantissa bits are exact —
+            # and the MXU runs bf16 in ONE pass where f32 inputs
+            # decompose into several. SILO_DENSIFY_BF16=0 restores f32.
             hi_rel = jnp.broadcast_to(
                 (idx_m >> 7) - h0, (span_rows, 128))
-            a_mat = (iota_s_span == hi_rel).astype(
-                jnp.float32)
+            a_mat = (iota_s_span == hi_rel).astype(mxu_dtype)
             # C[e, l]: lane one-hot needs entry-major
             # sublanes -> transpose the row tiles once
             idx_sq = jnp.broadcast_to(idx_m, (128, 128))
@@ -1003,8 +1010,8 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
                 jnp.where(lane_oh,
                           ((wrd_t >> (8 * b)) &
                            jnp.uint32(255)).astype(
-                              jnp.int32).astype(jnp.float32),
-                          0.0)
+                              jnp.int32).astype(mxu_dtype),
+                          jnp.zeros((), mxu_dtype))
                 for b in range(4)
             ]
             c4 = jnp.concatenate(planes, axis=1)  # [128, 512]

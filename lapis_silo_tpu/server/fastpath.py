@@ -72,6 +72,77 @@ class _Generation:
         self.negative: set[bytes] = set()
 
 
+class _CompletionPump:
+    """Dedicated completion thread (round 5): the serving breakdown showed
+    the single drainer thread spending ~80% of loaded time BLOCKED in
+    `_complete`'s device readback (~one relay round trip per batch) — time
+    it was not popping or dispatching new work. The pump takes finished
+    dispatches off the drainer's hands so readbacks overlap dispatching.
+    Bounded: submit() blocks at `capacity` in-flight batches (the pipeline
+    depth). A batch stays at the queue head until fully answered, so
+    drain() waits for true quiescence (generation retire needs that)."""
+
+    def __init__(self, fastpath: "CountFastPath", capacity: int):
+        self._fp = fastpath
+        self._capacity = max(1, capacity)
+        self._cv = threading.Condition()
+        self._queue: list = []
+        self._stopped = False
+        self._thread = threading.Thread(
+            target=self._run, name="silo-fastpath-complete", daemon=True)
+        self._thread.start()
+
+    def submit(self, batch) -> None:
+        with self._cv:
+            while len(self._queue) >= self._capacity and not self._stopped:
+                self._cv.wait()
+            self._queue.append(batch)
+            self._cv.notify_all()
+
+    def idle(self) -> bool:
+        with self._cv:
+            return not self._queue
+
+    def drain(self) -> None:
+        """Block until every submitted batch is fully answered."""
+        with self._cv:
+            while self._queue and not self._stopped:
+                self._cv.wait()
+
+    def stop(self, timeout: float = 10.0) -> None:
+        with self._cv:
+            self._stopped = True
+            self._cv.notify_all()
+        self._thread.join(timeout)
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._stopped:
+                    self._cv.wait()
+                if not self._queue:
+                    return  # stopped and drained
+                batch = self._queue[0]  # stays queued until answered
+            try:
+                self._fp._complete(batch)
+            except Exception:  # noqa: BLE001 — no connection may hang
+                logger.exception("fast-path completion failed")
+                # _complete pops groups as it answers them: the remaining
+                # groups are exactly the unanswered ones
+                for group in list(batch):
+                    try:
+                        self._fp._respond_error(
+                            group[1], 500,
+                            {"error": "Internal Server Error",
+                             "message": "fast-path completion failed"})
+                    except Exception:  # noqa: BLE001 — best effort
+                        pass
+                del batch[:]
+            with self._cv:
+                self._queue.pop(0)
+                self._cv.notify_all()
+
+
 class CountFastPath:
     """Owns the drainer thread and the registration state for one native
     HTTP server instance."""
@@ -125,6 +196,7 @@ class CountFastPath:
         # under _reg_lock, which closes that window for good.
         if hasattr(database_mutex, "add_swap_listener"):
             database_mutex.add_swap_listener(self._on_swap)
+        self._pump: _CompletionPump | None = None  # set by the drain loop
         self._thread = threading.Thread(
             target=self._drain_loop, name="silo-fastpath", daemon=True)
         self._thread.start()
@@ -242,6 +314,11 @@ class CountFastPath:
             if self._state is state:
                 self._state = None  # stop registrations into the old table
         self._lib.silo_fastpath_clear(self._sid)
+        if self._pump is not None:
+            # old-generation batches already handed to the completion pump
+            # answer from their own table references; wait them out before
+            # this method drops the retired tables below
+            self._pump.drain()
         while True:
             n = self._lib.silo_fastpath_wait(
                 self._sid, self._keys, self._handles, MAX_BATCH, 20)
@@ -324,15 +401,24 @@ class CountFastPath:
                     f"gen2 collections {gen2}",
                     file=_sys.stderr, flush=True)
 
+        # Completion pump (round 5, default on): readbacks block in a
+        # dedicated thread so the drainer keeps popping + dispatching.
+        # SILO_FASTPATH_PUMP=0 restores the single-thread pipeline for A/B.
+        use_pump = os.environ.get("SILO_FASTPATH_PUMP", "1") != "0"
+        if use_pump:
+            self._pump = _CompletionPump(self, depth)
         inflight: collections.deque = collections.deque()
         current = None  # batch popped for completion; entries pop as answered
         while True:
             t_wait0 = time.perf_counter()
             n = self._lib.silo_fastpath_wait(
                 self._sid, self._keys, self._handles, MAX_BATCH,
-                0 if inflight else 250)
+                250 if (use_pump or not inflight) else 0)
             t_wait = time.perf_counter() - t_wait0
             if n < 0:
+                if use_pump:
+                    self._pump.drain()
+                    self._pump.stop()
                 while inflight:
                     try:
                         self._complete(inflight.popleft())
@@ -346,13 +432,19 @@ class CountFastPath:
                 t_disp = time.perf_counter() - t_disp0
                 t_comp0 = time.perf_counter()
                 if dispatched is not None:
-                    inflight.append(dispatched)
-                    dispatched = None
-                    while len(inflight) >= depth:
-                        current = inflight.popleft()
-                        self._complete(current)
-                        current = None
-                elif inflight:
+                    if use_pump:
+                        # hand off; blocks only when `depth` batches are
+                        # already awaiting readback (backpressure)
+                        self._pump.submit(dispatched)
+                        dispatched = None
+                    else:
+                        inflight.append(dispatched)
+                        dispatched = None
+                        while len(inflight) >= depth:
+                            current = inflight.popleft()
+                            self._complete(current)
+                            current = None
+                elif not use_pump and inflight:
                     # no new work: drain the oldest in-flight batch
                     current = inflight.popleft()
                     self._complete(current)
@@ -360,7 +452,8 @@ class CountFastPath:
                 if stats_on:
                     _stats_tick(n, t_wait, t_disp,
                                 time.perf_counter() - t_comp0)
-                if n == 0 and not inflight:
+                if n == 0 and not inflight and (
+                        not use_pump or self._pump.idle()):
                     # idle moment: generation maintenance
                     state = self._state
                     if state is not None and (
@@ -375,7 +468,9 @@ class CountFastPath:
                 # drainer never answers hangs forever. `current` is the
                 # batch that blew up mid-_complete — _complete pops entries
                 # as it answers them, so re-walking it covers exactly the
-                # still-unanswered groups (no double answer possible).
+                # still-unanswered groups (no double answer possible). In
+                # pump mode submitted batches are the pump's to answer;
+                # only the not-yet-submitted dispatch needs covering here.
                 pending_batches = list(inflight)
                 inflight.clear()
                 if current:
@@ -480,5 +575,8 @@ class CountFastPath:
         """Join the drainer after silo_http_stop woke it (wait returns -1).
         Without the join, a daemon thread blocked in a ctypes call at
         interpreter exit aborts the process (pthread_exit unwinding through
-        C++ frames)."""
+        C++ frames). The drain loop stops its own completion pump on the
+        way out; the extra stop here covers a drainer that died early."""
         self._thread.join(timeout)
+        if self._pump is not None:
+            self._pump.stop(timeout)
