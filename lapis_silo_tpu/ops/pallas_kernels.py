@@ -962,9 +962,12 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             valid = ((lane >= (lo & 127))
                      & (lane <= ((hi_x - 1) & 127)))
             idx_m = jnp.where(valid, idx_row, -1)
-            mxu_dtype = (jnp.float32 if os.environ.get("SILO_DENSIFY_BF16",
-                                                       "1") == "0"
-                         else jnp.bfloat16)
+            # bf16 MXU operands measured a WASH vs f32 on hardware (949 vs
+            # 940 ns/segment at the 10M x 32 geometry, K=512 — the dot is
+            # not the per-segment bound); default stays f32, knob kept
+            # for future hardware with a different MXU f32 penalty
+            mxu_dtype = (jnp.bfloat16 if os.environ.get(
+                "SILO_DENSIFY_BF16", "0") == "1" else jnp.float32)
             if interpret and bounded:
                 # Debug guard (interpret mode only — compiled kernels are
                 # unchanged): the BOUNDED path silently never matches
