@@ -807,6 +807,10 @@ def mutation_counts_banked_sharded(mesh, axis: str, bank3, filters, start,
 # ns/entry measured, 6x) — and never materializes slot indirection at all.
 # ---------------------------------------------------------------------------
 
+PREFETCH_SLOTS = 4         # cross-segment window pipeline depth (pow2):
+                           # segment processing (~0.5 us) is shorter than
+                           # the window-DMA latency, so depth 2 exposed
+                           # most of the latency per segment
 DENSIFY_CHUNK = 1024       # entries consumed per DMA window
 DENSIFY_WINDOW = 2048      # aligned window (16 rows x 128) covering any
                            # 1024-aligned offset + CHUNK entries
@@ -918,6 +922,9 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             iota_l_sq = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
             iota_s_span = jax.lax.broadcasted_iota(
                 jnp.int32, (span_rows, 128), 0)
+            # A/B knob: fold byte planes into the A operand (one
+            # transpose instead of two per row) — see mxu_row_scatter
+            aplanes = os.environ.get("SILO_DENSIFY_APLANES", "0") == "1"
 
         def window_copies(p0, slot):
             """The async copies moving the combined (idx + word) window
@@ -942,11 +949,17 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             return copies
 
         def start_segment(pi, slot):
-            # unconditional: zero-length (and sentinel-padded) segments
-            # carry start 0 — a valid window (the stream is padded by
-            # DENSIFY_WINDOW), the chunk loop then does no work
-            for cp in window_copies(starts_ref[k * n_per_leaf + pi], slot):
-                cp.start()
+            # SKIP empty (and sentinel-padded) segments entirely: padded
+            # pool-update slots (K-bucket minus live misses — ~10k leaves
+            # x 32 segments in a 10M cold chunk set) otherwise pay two
+            # real DMA issue/waits each. The matching wait below guards
+            # on the SAME scalar, so start/wait pairing stays exact.
+            seg = k * n_per_leaf + pi
+
+            @pl.when(lens_ref[seg] > 0)
+            def _():
+                for cp in window_copies(starts_ref[seg], slot):
+                    cp.start()
 
         def mxu_row_scatter(slot, ri, lo, hi_x, h0):
             """Matmul-scatter one 128-entry window row (buffer idx row
@@ -985,30 +998,57 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
                         "densify_rows BOUNDED path DROPPED {} entries "
                         "outside the part_h0 tile (caller violated the "
                         "uniform partition-window contract)", n_bad)
-            # A[s, e]: hi-row one-hot along lanes (e). bf16 operands
-            # (default): a one-hot x u8-plane product is <= 255 and every
-            # output cell receives AT MOST ONE contribution (word indices
-            # unique per segment), so bf16's 8 mantissa bits are exact —
-            # and the MXU runs bf16 in ONE pass where f32 inputs
-            # decompose into several. SILO_DENSIFY_BF16=0 restores f32.
-            hi_rel = jnp.broadcast_to(
-                (idx_m >> 7) - h0, (span_rows, 128))
+            wrd_row = comb_v[slot, pl.ds(ri + COMBINE_WORD_ROW_OFF, 1), :]
+            hi_rel_row = (idx_m >> 7) - h0            # [1, 128]
+            if aplanes:
+                # A-SIDE PLANES form: fold the byte planes into the
+                # one-hot A operand — A4[b*span+s, e] = (s == hi_rel[e])
+                # * plane_b[e], built from [1,128] rows with SUBLANE
+                # broadcasts only (no transpose); the lane one-hot C
+                # needs the single remaining transpose. U = A4 @ C is
+                # [4*span, 128] (3 MXU tiles at span 88 vs 4 for the
+                # [span,128]x[128,512] form) and one [128,128] transpose
+                # + 4 [128,128] wheres drop out of the per-row cost.
+                onehot_s = (iota_s_span ==
+                            jnp.broadcast_to(hi_rel_row, (span_rows, 128)))
+                zero_a = jnp.zeros((span_rows, 128), mxu_dtype)
+                planes_a = []
+                for b in range(4):
+                    p_row = ((wrd_row >> (8 * b)) &
+                             jnp.uint32(255)).astype(jnp.int32).astype(
+                                 mxu_dtype)               # [1, 128]
+                    planes_a.append(jnp.where(
+                        onehot_s,
+                        jnp.broadcast_to(p_row, (span_rows, 128)), zero_a))
+                a4 = jnp.concatenate(planes_a, axis=0)    # [4*span, 128]
+                idx_t = jnp.broadcast_to(idx_m, (128, 128)).T
+                lane_oh = (iota_l_sq == (idx_t & 127)).astype(mxu_dtype)
+                u4 = jax.lax.dot(a4, lane_oh,
+                                 preferred_element_type=jnp.float32)
+                acc = jnp.zeros((span_rows, 128), jnp.uint32)
+                for b in range(4):
+                    u_b = u4[b * span_rows : (b + 1) * span_rows, :]
+                    acc = acc | (u_b.astype(jnp.int32)
+                                 .astype(jnp.uint32)
+                                 << (8 * b))
+                out_ref[0, pl.ds(h0, span_rows), :] = (
+                    out_ref[0, pl.ds(h0, span_rows), :] | acc)
+                return
+            # A[s, e]: hi-row one-hot along lanes (e); C[e, l] carries the
+            # 4 byte planes concatenated along output lanes — ONE
+            # [128, 4*128] dot so the per-row MXU fixed cost is paid once
+            # (segments average ~100 entries — the per-dot overhead, not
+            # the flops, dominates). Mosaic has no u32<->f32 casts; route
+            # through i32 (values <= 255, exact in f32/bf16 passes).
+            hi_rel = jnp.broadcast_to(hi_rel_row, (span_rows, 128))
             a_mat = (iota_s_span == hi_rel).astype(mxu_dtype)
             # C[e, l]: lane one-hot needs entry-major
             # sublanes -> transpose the row tiles once
             idx_sq = jnp.broadcast_to(idx_m, (128, 128))
             idx_t = idx_sq.T  # idx_t[e, l] = idx_m[e]
-            wrd_row = comb_v[slot, pl.ds(ri + COMBINE_WORD_ROW_OFF, 1), :]
             wrd_sq = jnp.broadcast_to(wrd_row, (128, 128))
             wrd_t = wrd_sq.T
             lane_oh = (iota_l_sq == (idx_t & 127))
-            # ONE [128, 4*128] dot instead of 4 [128, 128]
-            # dots: the 4 byte planes concatenate along the
-            # output lanes, so the per-row MXU fixed cost is
-            # paid once (segments average ~100 entries — the
-            # per-dot overhead, not the flops, dominates).
-            # Mosaic has no u32<->f32 casts; route through
-            # i32 (values <= 255, exact in f32/bf16 passes).
             planes = [
                 jnp.where(lane_oh,
                           ((wrd_t >> (8 * b)) &
@@ -1110,26 +1150,26 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             jax.lax.fori_loop(off >> 7, ((off + n - 1) >> 7) + 1,
                               per_row, 0)
 
-        # Cross-segment double-buffering: segments here are TINY (cold
-        # sweeps at 10M x 32 average ~100 entries over 32 partitions per
-        # leaf), so the serial start->wait->process form paid the full
-        # window-DMA latency per SEGMENT (~2 us x P per leaf — more than
-        # the scatter work itself). Segment pi+1's window starts into the
-        # other buffer while pi processes; only a segment's 2nd+ chunks
-        # (rare: length > DENSIFY_CHUNK) fall back to serial DMA in its
-        # own slot. (The round-1 revert of double-buffering predates the
-        # MXU path: per-entry SMEM reads then dominated, and the dynamic
-        # leading slot index taxed every one; the MXU path reads ~2
-        # scalars per 128-entry row.)
+        # Cross-segment prefetch pipeline, DEPTH 4: segments here are TINY
+        # (cold sweeps at 10M x 32 average ~100 entries over 32 partitions
+        # per leaf), so per-segment processing (~0.5 us) is SHORTER than
+        # the window-DMA latency — a depth-2 double buffer still exposed
+        # most of the latency on every segment (round-5 decomposition:
+        # ~540 ns/segment fixed with the scatter itself contributing
+        # ~115 ns). With 3 windows in flight ahead of the consumer the
+        # latency pipelines away; only a segment's 2nd+ chunks (rare:
+        # length > DENSIFY_CHUNK) fall back to serial DMA in their own
+        # slot. Slot reuse is safe: segment pi+DEPTH's start issues at
+        # iteration pi+1, after segment pi's wait at iteration pi.
         def per_partition(pi, _):
-            slot = pi & 1
+            slot = pi & (PREFETCH_SLOTS - 1)
 
-            @pl.when(pi + 1 < n_per_leaf)
+            @pl.when(pi + PREFETCH_SLOTS - 1 < n_per_leaf)
             def _():
-                start_segment(pi + 1, 1 - slot)
+                start_segment(pi + PREFETCH_SLOTS - 1,
+                              (pi + PREFETCH_SLOTS - 1)
+                              & (PREFETCH_SLOTS - 1))
 
-            for cp in window_copies(starts_ref[k * n_per_leaf + pi], slot):
-                cp.wait()
             seg = k * n_per_leaf + pi
             s = starts_ref[seg]
             length = lens_ref[seg]
@@ -1137,6 +1177,10 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
 
             @pl.when(length > 0)
             def _():
+                # wait guarded on the SAME scalar start_segment used, so
+                # every issued copy is waited exactly once
+                for cp in window_copies(s, slot):
+                    cp.wait()
                 process_chunk(slot, s, s & 1023,
                               jnp.minimum(length, DENSIFY_CHUNK), h0b)
 
@@ -1156,28 +1200,29 @@ def densify_rows(stream_comb, starts, lens, n_sparse_k: int,
             jax.lax.fori_loop(1, n_chunks, later_chunk, 0)
             return 0
 
-        start_segment(0, 0)
+        for j in range(min(PREFETCH_SLOTS - 1, n_per_leaf)):
+            start_segment(j, j & (PREFETCH_SLOTS - 1))
         jax.lax.fori_loop(0, n_per_leaf, per_partition, 0)
 
-    comb_buf = (2, DENSIFY_WINDOW // 64, 128)
+    comb_buf = (PREFETCH_SLOTS, DENSIFY_WINDOW // 64, 128)
     if bounded:
         scratch = [
             pltpu.VMEM(comb_buf, jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((PREFETCH_SLOTS,)),
         ]
         n_prefetch = 3
     elif use_mxu:
         scratch = [
             pltpu.SMEM(comb_buf, jnp.uint32),
             pltpu.VMEM(comb_buf, jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((PREFETCH_SLOTS,)),
+            pltpu.SemaphoreType.DMA((PREFETCH_SLOTS,)),
         ]
         n_prefetch = 2
     else:
         scratch = [
             pltpu.SMEM(comb_buf, jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((PREFETCH_SLOTS,)),
         ]
         n_prefetch = 2
     grid_spec = pltpu.PrefetchScalarGridSpec(

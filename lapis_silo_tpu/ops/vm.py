@@ -522,8 +522,10 @@ def _interpreter(program_len: int, n_rows: int, n_dyn: int, n_sparse_k: int,
         # Mosaic densify (pallas_kernels.densify_rows): builds each leaf
         # row in VMEM at ~18 ns/entry (6x the XLA gather+scatter path,
         # measured at the 10M sub-dispatch shape) — cost scales with LIVE
-        # entries, not the E slot budget. Mesh-sharded engines keep the
-        # XLA path (the stream is not sharded).
+        # entries, not the E slot budget. Mesh engines keep the XLA path
+        # on this POOLLESS fused route (the window-local sharded scatter
+        # lives in the pool-update path, which mesh engines use by
+        # default — see _pool_update_jit).
         use_densify_kernel = (
             pk.HAVE_PALLAS
             and (jax.default_backend() != "cpu" or pk.interpret_default())
