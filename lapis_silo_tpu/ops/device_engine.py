@@ -1307,20 +1307,18 @@ class DeviceEngine:
                           or len(acc_sparse) > sparse_cap):
                     split = i
                     break
-            # Sub-batches take their NATURAL instruction buckets on
-            # offline paths (max_bucket None): a 10M cold sweep splits an
-            # 8192-query batch at the pool-slot leaf cap into ~1.4k-query
-            # sub-dispatches, and pinning each to the caller's top-bucket
-            # floor uploads a 512 KB NOP-padded code blob apiece through
-            # a 10-25 MB/s relay path. Serving paths pass max_bucket
-            # (=SERVE_LEN_BUCKET) and keep their pinned floor so a drain
-            # burst can never land on an unwarmed executable.
-            sub_min = min_bucket if max_bucket else 0
-            return self.count_dispatches(lowered[:split], sub_min,
+            # Sub-batches KEEP the caller's min_bucket pin: letting them
+            # take natural buckets was tried in round 5 (halves the
+            # NOP-padded code upload per sub-dispatch) and REGRESSED the
+            # pipelined cold sweep 5.7k -> 1.3k qps — leaf-cap split
+            # points vary per batch, so "natural" buckets proliferate
+            # executables and fresh compiles land mid-pipeline. Upload
+            # bytes cost ~10-20 ms; a new executable costs seconds.
+            return self.count_dispatches(lowered[:split], min_bucket,
                                          min_sparse_k, min_sparse_e,
                                          max_bucket=max_bucket,
                                          force_poolless=force_poolless) + \
-                self.count_dispatches(lowered[split:], sub_min,
+                self.count_dispatches(lowered[split:], min_bucket,
                                       min_sparse_k, min_sparse_e,
                                       max_bucket=max_bucket,
                                       force_poolless=force_poolless)
