@@ -29,14 +29,21 @@ from __future__ import annotations
 import ctypes
 import json
 import logging
+import os
 import threading
 import time
 
 logger = logging.getLogger(__name__)
 
-MAX_BATCH = 2048  # drain width cap: half of device_engine.MAX_BATCH_QUERIES
-                  # (4096) — serving favors latency; with max_bucket pinned to
-                  # SERVE_LEN_BUCKET a wider pop would split anyway
+try:
+    MAX_BATCH = max(256, int(os.environ.get("SILO_FASTPATH_BATCH", "2048")))
+except ValueError:
+    MAX_BATCH = 2048
+# drain width cap (SILO_FASTPATH_BATCH): default half of
+# device_engine.MAX_BATCH_QUERIES (4096) — serving favors latency; with
+# max_bucket pinned to SERVE_LEN_BUCKET a wider pop splits into multiple
+# pipelined dispatches anyway, but fewer pops = less host CPU per request
+# on a core-bound box (the round-5 80.9k req/s ceiling)
 _GEN_SHIFT = 20
 _IDX_MASK = (1 << _GEN_SHIFT) - 1
 _GEN_MASK = (1 << (32 - _GEN_SHIFT)) - 1
