@@ -500,6 +500,12 @@ class DeviceEngine:
             stream_bytes = (sum(int(a.nbytes) for a in self.sparse_stream)
                             if self.sparse_stream is not None else 0)
             free = budget_bytes - bank_bytes - stream_bytes
+            # ceiling stays 6 GB: SILO_LEAF_POOL_GB=8 measured cold
+            # 6,368 -> 6,867 sync at 10M x 32 (fewer leaf-cap
+            # sub-batches), but an 8 GB DEFAULT regressed the pipelined
+            # cold sweep to ~0.2k qps in one run — deep in-flight chains
+            # of donated-pool dispatches appear to force pool-sized
+            # copies the HBM can't hold. Explicit env opt-in only.
             pool_budget = min(6 * 2**30, free - 2 * 2**30)
             if pool_budget < 1 * 2**30:
                 # No real headroom (huge stream, or a user-lowered
